@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax imports.
+
+Multi-chip sharding is validated on virtual CPU devices (no TPU pod in CI);
+per the build plan all sharding tests use a `('data',)`/`('data','model')`
+mesh over these 8 host devices.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported by sitecustomize with a TPU plugin registered;
+# switching the platform via config (not env) still works pre-initialization.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
