@@ -1,0 +1,298 @@
+"""torch-checkpoint → flax-params converters for the frozen model zoo.
+
+Input is always a flat ``name -> np.ndarray`` dict (a torch ``state_dict``
+materialized to numpy; no torch dependency here), output is the nested param
+dict for the corresponding flax module in this package.
+
+Checkpoint dialects handled (SURVEY §7 hard part 7):
+  - DINOv2 "teacher"-prefixed keys, packed qkv   (dinov2_vit*14*.pth)
+  - CLIP JIT archives' visual/text naming, in_proj packed qkv (ViT-B-16.pt)
+  - AlphaCLIP's in_proj Linear + conv1_alpha extra weights
+  - SAM's image_encoder/prompt_encoder/mask_decoder trees
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _t(w: Array) -> Array:
+    """torch Linear weight (out, in) → flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: Array) -> Array:
+    """torch Conv2d weight (O, I, kh, kw) → flax Conv kernel (kh, kw, I, O)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def strip_prefix(sd: StateDict, prefix: str) -> StateDict:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+        else:
+            out[k] = v
+    return out
+
+
+def _ln(sd: StateDict, name: str) -> dict:
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _dense(sd: StateDict, name: str) -> dict:
+    out = {"kernel": _t(sd[f"{name}.weight"])}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+# --------------------------------------------------------------------------
+# DINOv2  (reference checkpoints: dinov2_vitl14_reg4_pretrain.pth;
+# module names from dinov2/models/vision_transformer.py + dinov2/layers/*)
+# --------------------------------------------------------------------------
+
+def dinov2_to_flax(sd: StateDict, depth: int, num_register_tokens: int = 4) -> dict:
+    sd = {k: v for k, v in sd.items()}
+    # DINOv2 SSL checkpoints may carry a "teacher.backbone." prefix
+    for p in ("teacher.backbone.", "teacher.", "backbone."):
+        if any(k.startswith(p) for k in sd):
+            sd = strip_prefix(sd, p)
+    params = {
+        "patch_embed": {
+            "kernel": _conv(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": _ln(sd, "norm"),
+    }
+    if num_register_tokens:
+        params["register_tokens"] = sd["register_tokens"]
+    for i in range(depth):
+        b = f"blocks.{i}"
+        blk = {
+            "ln1": _ln(sd, f"{b}.norm1"),
+            "ln2": _ln(sd, f"{b}.norm2"),
+            "attn": {
+                "qkv": _dense(sd, f"{b}.attn.qkv"),
+                "proj": _dense(sd, f"{b}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": _dense(sd, f"{b}.mlp.fc1"),
+                "fc2": _dense(sd, f"{b}.mlp.fc2"),
+            },
+        }
+        if f"{b}.ls1.gamma" in sd:
+            blk["ls1"] = {"gamma": sd[f"{b}.ls1.gamma"]}
+            blk["ls2"] = {"gamma": sd[f"{b}.ls2.gamma"]}
+        params[f"block{i}"] = blk
+    return params
+
+
+# --------------------------------------------------------------------------
+# CLIP (forked CLIP-ES dialect; names from clip/model.py:279-524).
+# torch MultiheadAttention packs qkv as in_proj_weight/in_proj_bias.
+# --------------------------------------------------------------------------
+
+def _clip_block(sd: StateDict, b: str) -> dict:
+    return {
+        "ln1": _ln(sd, f"{b}.ln_1"),
+        "ln2": _ln(sd, f"{b}.ln_2"),
+        "attn": {
+            "qkv": {
+                "kernel": _t(sd[f"{b}.attn.in_proj_weight"]),
+                "bias": sd[f"{b}.attn.in_proj_bias"],
+            },
+            "proj": _dense(sd, f"{b}.attn.out_proj"),
+        },
+        "mlp": {
+            "fc1": _dense(sd, f"{b}.mlp.c_fc"),
+            "fc2": _dense(sd, f"{b}.mlp.c_proj"),
+        },
+    }
+
+
+def clip_visual_to_flax(sd: StateDict, depth: int) -> dict:
+    v = strip_prefix({k: x for k, x in sd.items() if k.startswith("visual.")}, "visual.")
+    params = {
+        "patch_embed": {"kernel": _conv(v["conv1.weight"])},
+        "class_embedding": v["class_embedding"],
+        "pos_embed": v["positional_embedding"][None],
+        "ln_pre": _ln(v, "ln_pre"),
+        "ln_post": _ln(v, "ln_post"),
+        "proj": v["proj"],
+    }
+    for i in range(depth):
+        params[f"block{i}"] = _clip_block(v, f"transformer.resblocks.{i}")
+    return params
+
+
+def clip_text_to_flax(sd: StateDict, depth: int) -> dict:
+    params = {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "pos_embed": sd["positional_embedding"],
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": sd["text_projection"],
+    }
+    for i in range(depth):
+        params[f"block{i}"] = _clip_block(sd, f"transformer.resblocks.{i}")
+    return params
+
+
+def clip_logit_scale(sd: StateDict) -> np.ndarray:
+    return sd["logit_scale"]
+
+
+# --------------------------------------------------------------------------
+# AlphaCLIP (names from alpha_clip/model.py:173-386; in_proj is an nn.Linear
+# so keys are in_proj.weight/bias; extra conv1_alpha)
+# --------------------------------------------------------------------------
+
+def _alpha_block(sd: StateDict, b: str) -> dict:
+    return {
+        "ln1": _ln(sd, f"{b}.ln_1"),
+        "ln2": _ln(sd, f"{b}.ln_2"),
+        "attn": {
+            "qkv": _dense(sd, f"{b}.attn.in_proj"),
+            "proj": _dense(sd, f"{b}.attn.out_proj"),
+        },
+        "mlp": {
+            "fc1": _dense(sd, f"{b}.mlp.c_fc"),
+            "fc2": _dense(sd, f"{b}.mlp.c_proj"),
+        },
+    }
+
+
+def alpha_clip_visual_to_flax(sd: StateDict, depth: int) -> dict:
+    v = strip_prefix({k: x for k, x in sd.items() if k.startswith("visual.")}, "visual.")
+    params = {
+        "patch_embed": {"kernel": _conv(v["conv1.weight"])},
+        "patch_embed_alpha": {"kernel": _conv(v["conv1_alpha.weight"])},
+        "class_embedding": v["class_embedding"],
+        "pos_embed": v["positional_embedding"][None],
+        "ln_pre": _ln(v, "ln_pre"),
+        "ln_post": _ln(v, "ln_post"),
+        "proj": v["proj"],
+    }
+    for i in range(depth):
+        params[f"block{i}"] = _alpha_block(v, f"transformer.resblocks.{i}")
+    return params
+
+
+# --------------------------------------------------------------------------
+# SAM (names from segment_anything/modeling/*)
+# --------------------------------------------------------------------------
+
+def sam_encoder_to_flax(sd: StateDict, depth: int) -> dict:
+    e = strip_prefix({k: x for k, x in sd.items() if k.startswith("image_encoder.")}, "image_encoder.")
+    params = {
+        "patch_embed": {
+            "kernel": _conv(e["patch_embed.proj.weight"]),
+            "bias": e["patch_embed.proj.bias"],
+        },
+        "pos_embed": e["pos_embed"],
+        "neck_conv1": {"kernel": _conv(e["neck.0.weight"])},
+        "neck_ln1": {"scale": e["neck.1.weight"], "bias": e["neck.1.bias"]},
+        "neck_conv2": {"kernel": _conv(e["neck.2.weight"])},
+        "neck_ln2": {"scale": e["neck.3.weight"], "bias": e["neck.3.bias"]},
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        blk = {
+            "ln1": _ln(e, f"{b}.norm1"),
+            "ln2": _ln(e, f"{b}.norm2"),
+            "attn": {
+                "qkv": _dense(e, f"{b}.attn.qkv"),
+                "proj": _dense(e, f"{b}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": _dense(e, f"{b}.mlp.lin1"),
+                "fc2": _dense(e, f"{b}.mlp.lin2"),
+            },
+        }
+        if f"{b}.attn.rel_pos_h" in e:
+            blk["attn"]["rel_pos_h"] = e[f"{b}.attn.rel_pos_h"]
+            blk["attn"]["rel_pos_w"] = e[f"{b}.attn.rel_pos_w"]
+        params[f"block{i}"] = blk
+    return params
+
+
+def sam_prompt_encoder_to_flax(sd: StateDict) -> dict:
+    p = strip_prefix({k: x for k, x in sd.items() if k.startswith("prompt_encoder.")}, "prompt_encoder.")
+    params = {
+        "pe_gaussian": p["pe_layer.positional_encoding_gaussian_matrix"],
+        "not_a_point_embed": p["not_a_point_embed.weight"],
+        "no_mask_embed": p["no_mask_embed.weight"],
+        # 4 point embeddings: neg, pos, box tl, box br
+        "point_embeddings": np.stack([p[f"point_embeddings.{i}.weight"][0] for i in range(4)]),
+        "mask_downscale": {
+            "conv1": {"kernel": _conv(p["mask_downscaling.0.weight"]), "bias": p["mask_downscaling.0.bias"]},
+            "ln1": {"scale": p["mask_downscaling.1.weight"], "bias": p["mask_downscaling.1.bias"]},
+            "conv2": {"kernel": _conv(p["mask_downscaling.3.weight"]), "bias": p["mask_downscaling.3.bias"]},
+            "ln2": {"scale": p["mask_downscaling.4.weight"], "bias": p["mask_downscaling.4.bias"]},
+            "conv3": {"kernel": _conv(p["mask_downscaling.6.weight"]), "bias": p["mask_downscaling.6.bias"]},
+        },
+    }
+    return params
+
+
+def _sam_attn(sd: StateDict, b: str) -> dict:
+    return {
+        "q": _dense(sd, f"{b}.q_proj"),
+        "k": _dense(sd, f"{b}.k_proj"),
+        "v": _dense(sd, f"{b}.v_proj"),
+        "out": _dense(sd, f"{b}.out_proj"),
+    }
+
+
+def sam_decoder_to_flax(sd: StateDict, depth: int = 2) -> dict:
+    d = strip_prefix({k: x for k, x in sd.items() if k.startswith("mask_decoder.")}, "mask_decoder.")
+    t = {}
+    for i in range(depth):
+        b = f"transformer.layers.{i}"
+        t[f"layer{i}"] = {
+            "self_attn": _sam_attn(d, f"{b}.self_attn"),
+            "norm1": _ln(d, f"{b}.norm1"),
+            "cross_attn_t2i": _sam_attn(d, f"{b}.cross_attn_token_to_image"),
+            "norm2": _ln(d, f"{b}.norm2"),
+            "mlp": {"fc1": _dense(d, f"{b}.mlp.lin1"), "fc2": _dense(d, f"{b}.mlp.lin2")},
+            "norm3": _ln(d, f"{b}.norm3"),
+            "cross_attn_i2t": _sam_attn(d, f"{b}.cross_attn_image_to_token"),
+            "norm4": _ln(d, f"{b}.norm4"),
+        }
+    t["final_attn"] = _sam_attn(d, "transformer.final_attn_token_to_image")
+    t["norm_final"] = _ln(d, "transformer.norm_final_attn")
+
+    num_mask_tokens = d["mask_tokens.weight"].shape[0]
+    hyper = {}
+    for i in range(num_mask_tokens):
+        hyper[f"mlp{i}"] = {
+            f"layer{j}": _dense(d, f"output_hypernetworks_mlps.{i}.layers.{j}") for j in range(3)
+        }
+    iou_layers = sorted(
+        {int(k.split(".")[2]) for k in d if k.startswith("iou_prediction_head.layers.")}
+    )
+    params = {
+        "iou_token": d["iou_token.weight"],
+        "mask_tokens": d["mask_tokens.weight"],
+        "transformer": t,
+        "upscale_conv1": {"kernel": _conv_transpose(d["output_upscaling.0.weight"]), "bias": d["output_upscaling.0.bias"]},
+        "upscale_ln": {"scale": d["output_upscaling.1.weight"], "bias": d["output_upscaling.1.bias"]},
+        "upscale_conv2": {"kernel": _conv_transpose(d["output_upscaling.3.weight"]), "bias": d["output_upscaling.3.bias"]},
+        "hypernetworks": hyper,
+        "iou_head": {f"layer{j}": _dense(d, f"iou_prediction_head.layers.{j}") for j in iou_layers},
+    }
+    return params
+
+
+def _conv_transpose(w: Array) -> Array:
+    """torch ConvTranspose2d weight (I, O, kh, kw) → (kh, kw, O, I) for
+    jax.lax.conv_transpose(..., dimension_numbers=(NHWC, HWIO, NHWC),
+    transpose_kernel=True) — verified numerically against torch."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))

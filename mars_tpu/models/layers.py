@@ -1,0 +1,187 @@
+"""Shared functional transformer layers for the frozen-backbone model zoo.
+
+One parameterized layer set covers all four ViT dialects the pipeline needs
+(DINOv2, CLIP, AlphaCLIP, SAM-ViT).  Models are *pure functions over param
+pytrees* (the nested dicts produced by ``models.convert``): frozen inference
+models need no module machinery, and Grad-CAM style taps become ordinary
+``jax.value_and_grad`` over an intermediate activation.
+
+Attention-map statistics: the refinement operator (PIR) only ever consumes
+the *mean over the last N blocks and all heads* of the patch-token attention
+probabilities (reference: mars/components/PriorInformationRefinementModule.py:31-44).
+Instead of materializing per-block per-head maps (24 x 16 x 1374 x 1374 fp32
+~ 1.2 GB in the reference, SURVEY §5.7/§7.8), blocks return the
+head-averaged map and the backbone keeps a running sum — ~400x less HBM
+traffic, in the same pass that produces features.
+
+Layout: batch-first (B, L, D) tokens; images NHWC.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x):
+    """CLIP's QuickGELU (reference: clip/model.py:274-276)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def exact_gelu(x):
+    """torch.nn.GELU default (erf formulation), used by DINOv2 and SAM."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    """LayerNorm in float32 regardless of input dtype (fp16-safe, matching
+    the CLIP fork's LayerNorm, reference: clip/model.py:266-271)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dtype)
+
+
+def dense(p, x):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def conv_patch_embed(p, images, patch_size: int):
+    """(B, H, W, C) → (B, gh*gw, D) via a stride-p convolution (MXU-friendly:
+    lowered by XLA to one big matmul over p*p*C patches)."""
+    y = jax.lax.conv_general_dilated(
+        images,
+        p["kernel"],
+        window_strides=(patch_size, patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"]
+    b, gh, gw, d = y.shape
+    return y.reshape(b, gh * gw, d)
+
+
+def mha(p, x, num_heads: int, return_attn: bool = False, mask=None):
+    """Multi-head self-attention with optional head-averaged prob tap.
+
+    The tap returns the (B, L, L) head-mean of softmax(qk) — exactly torch
+    MultiheadAttention's ``need_weights=True`` output that PIR consumes
+    (reference: clip/model.py:293-295, dinov2/layers/attention.py:49-68).
+    """
+    b, l, d = x.shape
+    head_dim = d // num_heads
+    qkv = dense(p["qkv"], x).reshape(b, l, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, hd)
+    q = q * (head_dim ** -0.5)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b, l, d)
+    out = dense(p["proj"], out)
+    if return_attn:
+        return out, jnp.mean(probs, axis=1)
+    return out, None
+
+
+def mlp(p, x, act: Callable):
+    return dense(p["fc2"], act(dense(p["fc1"], x)))
+
+
+def block(
+    p,
+    x,
+    num_heads: int,
+    act: Callable = exact_gelu,
+    ln_eps: float = 1e-5,
+    return_attn: bool = False,
+    mask=None,
+):
+    """Pre-LN residual block covering DINOv2 (layerscale) and CLIP dialects.
+
+    x = x + ls1(attn(ln1(x))); x = x + ls2(mlp(ln2(x)))
+    (reference: dinov2/layers/block.py:86-115, clip/model.py:297-302).
+    """
+    a, attn_probs = mha(p["attn"], layer_norm(p["ln1"], x, ln_eps), num_heads,
+                        return_attn=return_attn, mask=mask)
+    if "ls1" in p:
+        a = a * p["ls1"]["gamma"]
+    x = x + a
+    h = mlp(p["mlp"], layer_norm(p["ln2"], x, ln_eps), act)
+    if "ls2" in p:
+        h = h * p["ls2"]["gamma"]
+    x = x + h
+    return x, attn_probs
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray,
+    grid_hw: Tuple[int, int],
+    num_prefix: int = 1,
+    method: str = "bicubic",
+    antialias: bool = False,
+) -> jnp.ndarray:
+    """Resample a (1, num_prefix + P, D) learned pos embed to a new grid.
+
+    Covers DINOv2's bicubic interpolation (reference:
+    dinov2/models/vision_transformer.py:188-221) and CLIP's bilinear
+    ``upsample_pos_emb`` (reference: clip/model.py:102-117).  Prefix tokens
+    (CLS) pass through untouched.  torch F.interpolate(align_corners=False)
+    uses half-pixel sampling, which jax.image.resize matches.
+    """
+    prefix = pos_embed[:, :num_prefix]
+    grid = pos_embed[:, num_prefix:]
+    n, d = grid.shape[1], grid.shape[2]
+    m = int(round(n ** 0.5))
+    assert m * m == n, f"pos embed grid is not square: {n}"
+    h, w = grid_hw
+    if (h, w) == (m, m):
+        return pos_embed
+    grid = grid.reshape(1, m, m, d).astype(jnp.float32)
+    method = {"bicubic": "cubic", "bilinear": "linear"}.get(method, method)
+    grid = jax.image.resize(grid, (1, h, w, d), method=method, antialias=antialias)
+    grid = grid.reshape(1, h * w, d).astype(pos_embed.dtype)
+    return jnp.concatenate([prefix.astype(pos_embed.dtype), grid], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# random init (for tests / benchmarks without checkpoints)
+# ---------------------------------------------------------------------------
+
+def _init_dense(key, d_in, d_out, bias=True, std=0.02):
+    k1, _ = jax.random.split(key)
+    p = {"kernel": jax.random.normal(k1, (d_in, d_out), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _init_ln(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def init_block_params(key, dim, mlp_hidden, layer_scale: Optional[float] = None, qkv_bias=True):
+    ks = jax.random.split(key, 4)
+    p = {
+        "ln1": _init_ln(dim),
+        "ln2": _init_ln(dim),
+        "attn": {
+            "qkv": _init_dense(ks[0], dim, 3 * dim, bias=qkv_bias),
+            "proj": _init_dense(ks[1], dim, dim),
+        },
+        "mlp": {
+            "fc1": _init_dense(ks[2], dim, mlp_hidden),
+            "fc2": _init_dense(ks[3], mlp_hidden, dim),
+        },
+    }
+    if layer_scale is not None:
+        p["ls1"] = {"gamma": jnp.full((dim,), layer_scale, jnp.float32)}
+        p["ls2"] = {"gamma": jnp.full((dim,), layer_scale, jnp.float32)}
+    return p

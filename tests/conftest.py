@@ -18,3 +18,5 @@ import jax  # noqa: E402
 # switching the platform via config (not env) still works pre-initialization.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# parity tests compare against float32 torch; keep matmuls exact on CPU
+jax.config.update("jax_default_matmul_precision", "highest")
