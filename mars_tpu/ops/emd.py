@@ -1,0 +1,135 @@
+"""Batched earth-mover's distance with uniform marginals, on device.
+
+The reference computes exact EMD per proposal on the host with POT's C++
+network simplex in a Python loop (``ot.emd2`` over a boolean-indexed cost
+submatrix, reference: mars/components/FilteringMergingModule.py:142-169 and
+matcher/Matcher.py:1188-1194).  Here ALL proposals are solved at once with
+an ε-annealed log-domain Sinkhorn over fixed-shape compacted submatrices:
+
+  - rows (masked support patches) are compacted once into a T-bucket,
+  - each proposal's columns (masked query patches) into a C-bucket,
+  - one (P, T, C) tensor of gathered costs is iterated entirely in
+    VMEM-friendly tiles by XLA.
+
+ε-scaling drives the regularized optimum toward the exact one; for the
+pipeline the EMD scores feed a min-max scale + threshold, so ~1e-3 absolute
+accuracy suffices (validated against exact LP in tests).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def compact_indices(mask: jnp.ndarray, bucket: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Indices of up to ``bucket`` True entries of a flat bool mask.
+
+    Returns (indices (bucket,), valid (bucket,), count ()).  Truncates if the
+    mask has more than ``bucket`` entries (callers size buckets generously).
+    """
+    n = mask.shape[0]
+    bucket = min(bucket, n)
+    order = jnp.argsort(~mask)  # True entries first, stable
+    idx = order[:bucket]
+    count = jnp.minimum(jnp.sum(mask), bucket)
+    valid = jnp.arange(bucket) < count
+    return idx.astype(jnp.int32), valid, count
+
+
+def _sinkhorn_uniform(cost, row_valid, col_valid, eps_schedule, iters_per_eps):
+    """Log-domain Sinkhorn with uniform marginals on masked (T, C) costs.
+
+    Returns the UNregularized transport cost <P, C> of the final plan.
+    """
+    t, c = cost.shape
+    nr = jnp.maximum(jnp.sum(row_valid), 1)
+    nc = jnp.maximum(jnp.sum(col_valid), 1)
+    log_a = jnp.where(row_valid, -jnp.log(nr.astype(jnp.float32)), NEG)
+    log_b = jnp.where(col_valid, -jnp.log(nc.astype(jnp.float32)), NEG)
+    cmask = jnp.where(row_valid[:, None] & col_valid[None, :], 0.0, NEG)
+
+    f = jnp.zeros((t,), jnp.float32)
+    g = jnp.zeros((c,), jnp.float32)
+
+    def eps_step(carry, eps):
+        f, g = carry
+        mlogk = (-cost) / eps + cmask  # (T, C) log kernel + mask
+
+        def it(_, fg):
+            f, g = fg
+            # f_i = eps * (log a_i - logsumexp_j (mlogk_ij + g_j/eps))
+            f = eps * (log_a - jax.nn.logsumexp(mlogk + (g / eps)[None, :], axis=1))
+            f = jnp.where(row_valid, f, 0.0)
+            g = eps * (log_b - jax.nn.logsumexp(mlogk + (f / eps)[:, None], axis=0))
+            g = jnp.where(col_valid, g, 0.0)
+            return f, g
+
+        f, g = jax.lax.fori_loop(0, iters_per_eps, it, (f, g))
+        return (f, g), None
+
+    (f, g), _ = jax.lax.scan(eps_step, (f, g), eps_schedule)
+    eps_last = eps_schedule[-1]
+    logp = (f[:, None] + g[None, :] - cost) / eps_last + cmask
+    plan = jnp.exp(jnp.clip(logp, -80.0, 80.0))
+    return jnp.sum(plan * cost)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def batched_emd(
+    cost_matrix: jnp.ndarray,  # (R, L) full cost matrix, rows=support patches
+    row_mask: jnp.ndarray,  # (R,) bool — support-mask pooled footprint
+    col_masks: jnp.ndarray,  # (P, L) bool — per-proposal pooled footprints
+    row_bucket: int = 1024,
+    col_bucket: int = 512,
+    eps_schedule=(0.2, 0.1, 0.05, 0.02, 0.01, 0.005),
+    iters_per_eps: int = 30,
+) -> jnp.ndarray:
+    """EMD of every proposal against the support footprint → (P,) float32.
+
+    Proposals with empty footprints get EMD 0 (their score is masked out
+    downstream by the proposal-validity mask anyway).
+    """
+    ridx, rvalid, _ = compact_indices(row_mask, row_bucket)
+    sub_rows = cost_matrix[ridx]  # (T, L)
+    eps_arr = jnp.asarray(eps_schedule, jnp.float32)
+
+    def one(col_mask):
+        cidx, cvalid, ccount = compact_indices(col_mask, col_bucket)
+        sub = sub_rows[:, cidx]  # (T, C)
+        emd = _sinkhorn_uniform(sub, rvalid, cvalid, eps_arr, iters_per_eps)
+        return jnp.where(ccount > 0, emd, 0.0)
+
+    return jax.vmap(one)(col_masks)
+
+
+def exact_emd_lp(cost: "np.ndarray") -> float:
+    """Exact EMD with uniform marginals via scipy linprog — test oracle only
+    (the reference's ot.emd2 network simplex equivalent)."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    t, c = cost.shape
+    a = np.full(t, 1.0 / t)
+    b = np.full(c, 1.0 / c)
+    # variables P_ij flattened
+    A_eq = []
+    b_eq = []
+    for i in range(t):
+        row = np.zeros(t * c)
+        row[i * c : (i + 1) * c] = 1
+        A_eq.append(row)
+        b_eq.append(a[i])
+    for j in range(c):
+        row = np.zeros(t * c)
+        row[j::c] = 1
+        A_eq.append(row)
+        b_eq.append(b[j])
+    res = linprog(cost.reshape(-1), A_eq=np.array(A_eq), b_eq=np.array(b_eq),
+                  bounds=(0, None), method="highs")
+    assert res.success
+    return float(res.fun)

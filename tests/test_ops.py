@@ -1,0 +1,213 @@
+"""Kernel tests against host oracles (cv2, scipy, numpy)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mars_tpu.ops import assignment, components, emd, kmeans, nms
+
+
+def cv2_box_union(fg: np.ndarray) -> np.ndarray:
+    """Oracle reproducing the reference's _scoremap2bbox + box paint
+    (PriorInformationRefinementModule.py:53-63,91-122)."""
+    import cv2
+
+    h, w = fg.shape
+    img = (fg.astype(np.uint8) * 255)[..., None]
+    contours = cv2.findContours(img, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE)[0]
+    B = np.zeros((h, w), np.float32)
+    if len(contours) == 0:
+        return B
+    for contour in contours:
+        x, y, ww, hh = cv2.boundingRect(contour)
+        x1 = min(x + ww, w - 1)
+        y1 = min(y + hh, h - 1)
+        B[y:y1, x:x1] = 1
+    return B
+
+
+class TestComponents:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_box_union_matches_cv2(self, seed):
+        rng = np.random.RandomState(seed)
+        fg = rng.rand(37, 37) > 0.8
+        got = np.asarray(components.component_boxes_union(jnp.asarray(fg)))
+        want = cv2_box_union(fg)
+        np.testing.assert_array_equal(got, want)
+
+    def test_box_union_blobs(self):
+        fg = np.zeros((37, 37), bool)
+        fg[2:6, 3:9] = True
+        fg[20:30, 15:25] = True
+        fg[35:, 30:] = True  # touches bottom/right edge → clamp quirk
+        got = np.asarray(components.component_boxes_union(jnp.asarray(fg)))
+        np.testing.assert_array_equal(got, cv2_box_union(fg))
+
+    def test_box_union_empty(self):
+        fg = np.zeros((16, 16), bool)
+        got = np.asarray(components.component_boxes_union(jnp.asarray(fg)))
+        assert got.sum() == 0
+
+    def test_labels_diagonal_connectivity(self):
+        fg = np.zeros((8, 8), bool)
+        fg[0, 0] = fg[1, 1] = fg[2, 2] = True  # 8-connected diagonal chain
+        lab = np.asarray(components.label_components(jnp.asarray(fg)))
+        assert lab[0, 0] == lab[1, 1] == lab[2, 2] == 0
+
+    def test_threshold_prior_matches_cv2(self):
+        import cv2
+
+        rng = np.random.RandomState(7)
+        prior = rng.rand(37, 37).astype(np.float32)
+        got = np.asarray(components.threshold_prior(jnp.asarray(prior), 0.4))
+        img = (prior * 255).astype(np.uint8)[..., None]
+        _, thr = cv2.threshold(img, int(0.4 * img.max()), 255, cv2.THRESH_BINARY)
+        np.testing.assert_array_equal(got, thr > 0)
+
+    def test_remove_small_regions(self):
+        mask = np.zeros((20, 20), bool)
+        mask[2:12, 2:12] = True
+        mask[5, 5] = False  # 1-px hole
+        mask[16, 16] = True  # 1-px island
+        filled, ch1 = components.remove_small_regions(jnp.asarray(mask), 4.0, True)
+        assert bool(ch1)
+        assert np.asarray(filled)[5, 5]  # hole filled
+        out, ch2 = components.remove_small_regions(filled, 4.0, False)
+        assert bool(ch2)
+        assert not np.asarray(out)[16, 16]  # island removed
+        assert np.asarray(out)[3, 3]
+
+
+class TestEmd:
+    @pytest.mark.parametrize("seed,t,c", [(0, 12, 8), (1, 20, 5), (2, 7, 15)])
+    def test_matches_exact_lp(self, seed, t, c):
+        rng = np.random.RandomState(seed)
+        cost = rng.rand(40, 30).astype(np.float32) * 0.5
+        row_mask = np.zeros(40, bool)
+        row_mask[rng.choice(40, t, replace=False)] = True
+        col_mask = np.zeros((1, 30), bool)
+        col_mask[0, rng.choice(30, c, replace=False)] = True
+
+        got = float(
+            emd.batched_emd(
+                jnp.asarray(cost), jnp.asarray(row_mask), jnp.asarray(col_mask),
+                row_bucket=64, col_bucket=64,
+            )[0]
+        )
+        exact = emd.exact_emd_lp(cost[row_mask][:, col_mask[0]])
+        assert abs(got - exact) < 5e-3, (got, exact)
+
+    def test_batched_and_empty(self):
+        rng = np.random.RandomState(3)
+        cost = rng.rand(30, 30).astype(np.float32)
+        row_mask = np.ones(30, bool)
+        col_masks = np.zeros((3, 30), bool)
+        col_masks[0, :10] = True
+        col_masks[1, 5:25] = True
+        # col_masks[2] empty
+        out = np.asarray(
+            emd.batched_emd(jnp.asarray(cost), jnp.asarray(row_mask),
+                            jnp.asarray(col_masks), row_bucket=32, col_bucket=32)
+        )
+        assert out.shape == (3,)
+        assert out[2] == 0.0
+        for i, cm in enumerate(col_masks[:2]):
+            exact = emd.exact_emd_lp(cost[:, cm])
+            assert abs(out[i] - exact) < 5e-3
+
+
+class TestAssignment:
+    @pytest.mark.parametrize("seed,t,n", [(0, 10, 10), (1, 15, 40), (2, 60, 80)])
+    def test_near_optimal_vs_scipy(self, seed, t, n):
+        from scipy.optimize import linear_sum_assignment
+
+        rng = np.random.RandomState(seed)
+        s = rng.rand(t, n).astype(np.float32)
+        cols = np.asarray(
+            assignment.auction_assignment(jnp.asarray(s), jnp.ones(t, bool))
+        )
+        # valid assignment: distinct columns
+        assert len(set(cols.tolist())) == t
+        got_total = s[np.arange(t), cols].sum()
+        ri, ci = linear_sum_assignment(s, maximize=True)
+        opt_total = s[ri, ci].sum()
+        assert got_total >= opt_total - 1e-3 * t, (got_total, opt_total)
+
+    def test_row_mask(self):
+        rng = np.random.RandomState(4)
+        s = rng.rand(8, 12).astype(np.float32)
+        valid = np.array([True] * 5 + [False] * 3)
+        cols = np.asarray(assignment.auction_assignment(jnp.asarray(s), jnp.asarray(valid)))
+        assert (cols[5:] == -1).all()
+        assert len(set(cols[:5].tolist())) == 5
+
+
+class TestNms:
+    def test_matches_greedy_oracle(self):
+        rng = np.random.RandomState(0)
+        n = 40
+        xy = rng.rand(n, 2) * 80
+        wh = rng.rand(n, 2) * 30 + 5
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+
+        def oracle(boxes, scores, thr):
+            idxs = np.argsort(-scores)
+            keep = []
+            for i in idxs:
+                ok = True
+                for j in keep:
+                    xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+                    xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+                    inter = max(0, xx2 - xx1) * max(0, yy2 - yy1)
+                    a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                    b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                    if inter / (a + b - inter) > thr:
+                        ok = False
+                        break
+                if ok:
+                    keep.append(i)
+            m = np.zeros(n, bool)
+            m[keep] = True
+            return m
+
+        for thr in (0.3, 0.5, 0.7):
+            got = np.asarray(
+                nms.nms_keep(jnp.asarray(boxes), jnp.asarray(scores),
+                             jnp.ones(n, bool), thr)
+            )
+            np.testing.assert_array_equal(got, oracle(boxes, scores, thr))
+
+    def test_padding_rows_ignored(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.1])
+        valid = jnp.asarray([True, False, True])
+        keep = np.asarray(nms.nms_keep(boxes, scores, valid, 0.5))
+        np.testing.assert_array_equal(keep, [True, False, True])
+
+
+class TestKmeans:
+    def test_clusters_blobs(self):
+        rng = np.random.RandomState(0)
+        blobs = np.concatenate([
+            rng.randn(30, 2) + [0, 0],
+            rng.randn(30, 2) + [20, 0],
+            rng.randn(30, 2) + [0, 20],
+        ]).astype(np.float32)
+        centers, assign = kmeans.kmeans_pp(
+            jax.random.PRNGKey(0), jnp.asarray(blobs), jnp.ones(90, bool), 3
+        )
+        centers = np.asarray(centers)
+        # every true blob center has a kmeans center nearby
+        for target in ([0, 0], [20, 0], [0, 20]):
+            assert np.min(np.linalg.norm(centers - target, axis=1)) < 2.0
+        # no empty clusters
+        assert len(np.unique(np.asarray(assign))) == 3
+
+    def test_masked_points(self):
+        pts = np.concatenate([np.zeros((10, 2)), np.full((10, 2), 100.0)]).astype(np.float32)
+        valid = np.array([True] * 10 + [False] * 10)
+        centers, assign = kmeans.kmeans_pp(
+            jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(valid), 2
+        )
+        assert np.all(np.abs(np.asarray(centers)) < 50)  # never uses masked pts
