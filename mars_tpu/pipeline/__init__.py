@@ -1,0 +1,1 @@
+from mars_tpu.pipeline import pir, vva, vta, filtering

@@ -1,0 +1,117 @@
+"""Proposal scoring, filtering, and merging — one batched device pass.
+
+Functional parity with the reference
+(reference: mars/components/FilteringMergingModule.py:35-221), which loops
+over proposals on the host (pooling, numpy sums, one ot.emd2 C++ call per
+proposal, AlphaCLIP in chunks of 128).  Here every proposal in the padded
+bucket is scored at once:
+
+  - pooled footprints via one batched max-pool
+  - pvv/pvt = α·mean(prior under footprint) + (1-α)·coverage, where
+    coverage = |footprint| / |union-of-proposals footprint|  (:104-123)
+  - EMD against the support footprint via the batched Sinkhorn kernel
+  - AlphaCLIP: ONE vmapped visual forward over all proposals' alpha masks
+  - min-max scale EMD & AlphaCLIP over valid rows (:125-132)
+  - final = mean of 4; merge = union of proposals above the static
+    threshold, or above dynamic·top when the top score is below it
+    (:209-221) — rank-free: thresholds only need the max score.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mars_tpu.core import imaging
+from mars_tpu.models import clip as clip_m
+from mars_tpu.ops import emd as emd_ops
+
+
+@dataclass(frozen=True)
+class FilterMergeConfig:
+    alpha: float = 0.85  # --alpha_coverage
+    static_threshold: float = 0.55
+    dynamic_threshold: float = 0.95
+    grid: int = 37
+    alpha_clip_size: int = 336
+    emd_row_bucket: int = 1024
+    emd_col_bucket: int = 512
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "cfg"))
+def alphaclip_scores(
+    params,
+    query_image: jnp.ndarray,  # (H, W, 3) raw [0,1]
+    proposal_masks: jnp.ndarray,  # (P, H, W) {0,1}
+    text_feats: jnp.ndarray,  # (1, out_dim) normalized alpha-clip text
+    model_cfg: clip_m.ClipVisualConfig,
+    cfg: FilterMergeConfig,
+) -> jnp.ndarray:
+    """Masked-region ↔ text cosine for every proposal (P,).
+
+    reference:_compute_alphaclip_vis_feats:183-207 — image resized 336
+    bicubic + CLIP norm; masks resized 336 bilinear, normalized with
+    mean 0.5 / std 0.26 (utils/backbone_loader.py:183-188).
+    """
+    s = cfg.alpha_clip_size
+    img = imaging.resize(query_image, (s, s), "bicubic")
+    img = imaging.normalize(img, imaging.CLIP_MEAN, imaging.CLIP_STD)
+    alphas = imaging.resize(proposal_masks[..., None], (s, s), "bilinear")[..., 0]
+    alphas = (alphas - 0.5) / 0.26
+
+    def one(alpha):
+        emb = clip_m.visual_cls(params, img[None], model_cfg, alpha=alpha[None])[0]
+        return emb / jnp.linalg.norm(emb)
+
+    feats = jax.lax.map(one, alphas, batch_size=32)  # (P, D) — bounded VMEM
+    return feats @ text_feats[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def score_and_merge(
+    proposal_masks: jnp.ndarray,  # (P, H, W) {0,1}
+    proposal_valid: jnp.ndarray,  # (P,) bool
+    support_fg: jnp.ndarray,  # (S·L,) bool pooled support footprint
+    cost_matrix: jnp.ndarray,  # (S·L, L)
+    vva: jnp.ndarray,  # (g, g) in [0,1]
+    vta: jnp.ndarray,  # (g, g) in [0,1]
+    aclip_scores: jnp.ndarray,  # (P,)
+    cfg: FilterMergeConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (merged mask (H, W) float {0,1}, final scores (P,))."""
+    g = cfg.grid
+    p = proposal_masks.shape[0]
+
+    pooled = imaging.pool_mask_to_grid(proposal_masks, g) > 0  # (P, g, g)
+    pooled = pooled & proposal_valid[:, None, None]
+    union = jnp.any(pooled, axis=0)  # (g, g)
+
+    fp = pooled.reshape(p, -1).astype(jnp.float32)
+    sizes = jnp.sum(fp, axis=1)
+    coverage = sizes / (1e-7 + jnp.sum(union))
+    pvv_align = fp @ vva.reshape(-1) / (1e-7 + sizes)
+    pvt_align = fp @ vta.reshape(-1) / (1e-7 + sizes)
+    pvv = cfg.alpha * pvv_align + (1 - cfg.alpha) * coverage
+    pvt = cfg.alpha * pvt_align + (1 - cfg.alpha) * coverage
+
+    emd = emd_ops.batched_emd(
+        cost_matrix, support_fg, pooled.reshape(p, -1),
+        cfg.emd_row_bucket, cfg.emd_col_bucket,
+    )
+    emd_score = 1.0 - emd
+
+    emd_n = imaging.masked_min_max_scale(emd_score, proposal_valid)
+    ac_n = imaging.masked_min_max_scale(aclip_scores, proposal_valid)
+
+    final = (emd_n + ac_n + pvv + pvt) / 4.0
+    final = jnp.where(proposal_valid, final, -jnp.inf)
+
+    top = jnp.max(final)
+    thr = jnp.where(top < cfg.static_threshold,
+                    cfg.dynamic_threshold * top, cfg.static_threshold)
+    keep = proposal_valid & (final >= thr)
+    merged = jnp.any(proposal_masks.astype(bool) & keep[:, None, None], axis=0)
+    return merged.astype(jnp.float32), final

@@ -1,0 +1,122 @@
+"""Pipeline-stage tests: PIR reference parity, filtering/merging oracle parity."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mars_tpu.core import imaging
+from mars_tpu.ops import emd as emd_ops
+from mars_tpu.pipeline import filtering, pir
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+class TestPir:
+    def test_matches_reference(self):
+        d = np.load(os.path.join(FIXTURES, "pir_tiny.npz"))
+        got = np.asarray(
+            pir.refine(jnp.asarray(d["prior"]), jnp.asarray(d["attn_mean"]), 0.4)
+        )
+        np.testing.assert_allclose(got, d["refined"], atol=1e-4, rtol=1e-3)
+
+    def test_zero_prior(self):
+        g = 6
+        prior = jnp.zeros((g, g))
+        attn = jnp.asarray(np.random.RandomState(0).rand(g * g, g * g) + 0.01, jnp.float32)
+        out = np.asarray(pir.refine(prior, attn, 0.4))
+        assert np.all(np.isfinite(out))
+
+
+class TestScoreAndMerge:
+    def _make_inputs(self, seed=0, p=6, h=74, g=37, n_shots=1):
+        rng = np.random.RandomState(seed)
+        masks = np.zeros((p, h, h), np.float32)
+        for i in range(p - 1):  # last proposal stays empty → padding row
+            y, x = rng.randint(0, h - 20, 2)
+            masks[i, y : y + rng.randint(8, 20), x : x + rng.randint(8, 20)] = 1
+        valid = np.array([True] * (p - 1) + [False])
+        L = g * g
+        support_fg = rng.rand(n_shots * L) > 0.7
+        cost = (rng.rand(n_shots * L, L) * 0.5).astype(np.float32)
+        vva = rng.rand(g, g).astype(np.float32)
+        vta = rng.rand(g, g).astype(np.float32)
+        ac = rng.rand(p).astype(np.float32)
+        return masks, valid, support_fg, cost, vva, vta, ac
+
+    def test_matches_numpy_oracle(self):
+        masks, valid, support_fg, cost, vva, vta, ac = self._make_inputs()
+        cfg = filtering.FilterMergeConfig(grid=37, emd_row_bucket=512, emd_col_bucket=256)
+        merged, final = filtering.score_and_merge(
+            jnp.asarray(masks), jnp.asarray(valid), jnp.asarray(support_fg),
+            jnp.asarray(cost), jnp.asarray(vva), jnp.asarray(vta), jnp.asarray(ac), cfg,
+        )
+        merged, final = np.asarray(merged), np.asarray(final)
+
+        # ---- numpy oracle mirroring FilteringMergingModule._score_proposals ----
+        import torch
+        import torch.nn.functional as F
+
+        g = 37
+        pooled = (
+            F.adaptive_max_pool2d(torch.from_numpy(masks), (g, g)).numpy() > 0
+        )
+        pooled = pooled & valid[:, None, None]
+        union = pooled.any(0)
+        emds, pvvs, pvts = [], [], []
+        for i in range(len(masks)):
+            if not valid[i]:
+                continue
+            fp = pooled[i]
+            coverage = fp.sum() / (1e-7 + union.sum())
+            m_pvv = vva[fp].sum() / (1e-7 + fp.sum())
+            m_pvt = vta[fp].sum() / (1e-7 + fp.sum())
+            sub = cost[support_fg][:, fp.reshape(-1)]
+            emds.append(1 - emd_ops.exact_emd_lp(sub))
+            pvvs.append(0.85 * m_pvv + 0.15 * coverage)
+            pvts.append(0.85 * m_pvt + 0.15 * coverage)
+        emds = np.array(emds)
+        acs = ac[valid]
+        emds_n = (emds - emds.min()) / (1e-7 + emds.max() - emds.min())
+        acs_n = (acs - acs.min()) / (1e-7 + acs.max() - acs.min())
+        want_final = (emds_n + acs_n + np.array(pvvs) + np.array(pvts)) / 4
+
+        np.testing.assert_allclose(final[valid], want_final, atol=5e-3)
+        # merge rule
+        top = want_final.max()
+        thr = 0.95 * top if top < 0.55 else 0.55
+        keep = want_final >= thr
+        want_merged = (masks[valid][keep].sum(0) > 0).astype(np.float32)
+        # allow merge flips only from proposals whose score sits within emd tolerance of thr
+        boundary = np.abs(want_final - thr) < 5e-3
+        if not boundary.any():
+            np.testing.assert_array_equal(merged, want_merged)
+
+    def test_merge_static_vs_dynamic(self):
+        # two proposals, scores engineered via aclip to straddle thresholds
+        h, g = 74, 37
+        masks = np.zeros((2, h, h), np.float32)
+        masks[0, :20, :20] = 1
+        masks[1, 40:, 40:] = 1
+        valid = np.ones(2, bool)
+        support_fg = np.ones(g * g, bool)
+        cost = np.zeros((g * g, g * g), np.float32)  # emd 0 → emd_score 1 → scaled 0 both
+        vva = np.ones((g, g), np.float32)
+        vta = np.ones((g, g), np.float32)
+        ac = np.array([1.0, 0.0], np.float32)
+        cfg = filtering.FilterMergeConfig(grid=g, emd_row_bucket=512, emd_col_bucket=256)
+        merged, final = filtering.score_and_merge(
+            jnp.asarray(masks), jnp.asarray(valid), jnp.asarray(support_fg),
+            jnp.asarray(cost), jnp.asarray(vva), jnp.asarray(vta), jnp.asarray(ac), cfg,
+        )
+        final = np.asarray(final)
+        # both proposals have pvv=pvt=0.85+0.15*cov; proposal0 gets aclip_n=1
+        assert final[0] > final[1]
+        merged = np.asarray(merged)
+        # top >= 0.55 → static threshold; prop1 score < 0.55? check consistency
+        if final[1] >= 0.55 or (final[0] < 0.55 and final[1] >= 0.95 * final[0]):
+            assert merged[45, 45] == 1
+        else:
+            assert merged[45, 45] == 0
+        assert merged[5, 5] == 1

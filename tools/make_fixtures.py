@@ -270,3 +270,39 @@ if __name__ == "__main__":
     make_clip()
     make_alpha_clip()
     make_sam()
+
+
+# ---------------------------------------------------------------- PIR
+def make_pir():
+    from mars.components.PriorInformationRefinementModule import (
+        PriorInformationRefinementModule,
+    )
+
+    torch.manual_seed(6)
+    g = 6
+    n_regs = 4
+    L = g * g
+    heads = 2
+    prior = torch.rand(g, g)
+    # blocky prior so thresholding yields nontrivial components
+    prior[1:3, 1:4] += 1.0
+    prior[4:, 4:] += 0.8
+    prior = (prior - prior.min()) / (prior.max() - prior.min())
+    attn_maps = [torch.rand(1, heads, L + 1 + n_regs, L + 1 + n_regs) + 0.01 for _ in range(3)]
+    pirm = PriorInformationRefinementModule(
+        box_threshold=0.4, last_n_attention_maps_for_refinement=2,
+        device="cpu", num_regs=n_regs,
+    )
+    refined = pirm.compute(prior.clone(), attn_maps)
+    stacked = torch.stack([aw[0, :, 1 + n_regs:, 1 + n_regs:] for aw in attn_maps], dim=0)[-2:]
+    attn_mean = stacked.mean(dim=(0, 1))
+    save(
+        "pir_tiny",
+        prior=prior.numpy(),
+        attn_mean=attn_mean.numpy(),
+        refined=refined.numpy(),
+    )
+
+
+if __name__ == "__main__":
+    make_pir()
