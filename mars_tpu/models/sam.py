@@ -497,10 +497,10 @@ def init_decoder_params(key, cfg: SamConfig):
         "iou_token": jax.random.normal(kk[0], (1, d), jnp.float32) * 0.02,
         "mask_tokens": jax.random.normal(kk[1], (num_mask_tokens, d), jnp.float32) * 0.02,
         "transformer": t,
-        "upscale_conv1": {"kernel": jax.random.normal(kk[2], (2, 2, d, d // 4), jnp.float32) * 0.05,
+        "upscale_conv1": {"kernel": jax.random.normal(kk[2], (2, 2, d // 4, d), jnp.float32) * 0.05,
                           "bias": jnp.zeros((d // 4,), jnp.float32)},
         "upscale_ln": L._init_ln(d // 4),
-        "upscale_conv2": {"kernel": jax.random.normal(kk[3], (2, 2, d // 4, d // 8), jnp.float32) * 0.05,
+        "upscale_conv2": {"kernel": jax.random.normal(kk[3], (2, 2, d // 8, d // 4), jnp.float32) * 0.05,
                           "bias": jnp.zeros((d // 8,), jnp.float32)},
         "hypernetworks": hyper,
         "iou_head": {

@@ -1,0 +1,205 @@
+"""Automatic mask generation (SAM AMG) as fixed-shape device batches.
+
+Functional parity with the reference's heavily-forked
+``SamAutomaticMaskGenerator`` (reference:
+segment_anything/automatic_mask_generator.py):
+  - selected-prompt batches (``_process_sel_batch`` :455-556): Matcher's
+    point/label/box/mask-input combos → batched decode, predicted-IoU
+    filter, stability filter, box-from-mask, crop-edge filter, NMS
+  - dense grid sweep (``_process_batch`` :385-453): points_per_side² grid
+  - multimask output-layer selection (:405-415, :508-518)
+
+TPU-first re-design: the image is encoded ONCE; every prompt set is a
+fixed-(K,2) row of a single (B, K) batch padded with label -1 (SAM's native
+null point); all filters become validity-mask updates; masks stay dense in
+HBM (no RLE); NMS is the O(N²) XLA kernel.  Single whole-image crop (the
+reference's default crop_n_layers=0) — the crop-edge filter is then a no-op
+(is_box_near_crop_edge with crop == image is all-False).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mars_tpu.core import masks as mask_ops
+from mars_tpu.models import sam
+from mars_tpu.ops import nms as nms_ops
+
+
+@dataclass(frozen=True)
+class AmgConfig:
+    # thresholds for selected-prompt batches (reference :147-155)
+    sel_pred_iou_thresh: float = 0.88
+    sel_stability_score_thresh: float = 0.95
+    sel_stability_score_offset: float = 1.0
+    # thresholds for the dense grid sweep
+    pred_iou_thresh: float = 0.88
+    stability_score_thresh: float = 0.95
+    stability_score_offset: float = 1.0
+    box_nms_thresh: float = 0.7
+    points_per_side: int = 32
+    # multimask selection: single-mask output unless sel_multimask_output;
+    # 0..2 → that multimask layer; 3..5 → layers (k-3).. (reference :405-415)
+    sel_multimask_output: bool = False
+    sel_output_layer: int = 3
+    multimask_output: bool = True
+    output_layer: int = 3
+    decode_batch: int = 32
+
+
+def encode_target(params, image01: jnp.ndarray, cfg: sam.SamConfig):
+    """image01: (H, W, 3) raw [0,1] → (G, G, C) embedding.
+
+    Preprocess per reference sam.py: scale longest side to cfg.img_size,
+    normalize in 0-255 space.  Square inputs → plain resize.
+    """
+    s = cfg.img_size
+    img = jax.image.resize(image01 * 255.0, (s, s, 3), "bilinear")
+    img = (img - sam.SAM_PIXEL_MEAN) / sam.SAM_PIXEL_STD
+    return sam.encode_image(params["encoder"], img[None], cfg)[0]
+
+
+def _select_layers(masks, ious, multimask: bool, output_layer: int):
+    """(B, 4, ...) decoder outputs → (B, M, ...): single-mask → slot 0;
+    multimask + layer 0..2 → that one of the 3 multimask slots;
+    multimask + layer 3..5 → slots (layer-3)..2 (reference :405-415)."""
+    if not multimask:
+        return masks[:, 0:1], ious[:, 0:1]
+    if output_layer in (0, 1, 2):
+        i = 1 + output_layer
+        return masks[:, i : i + 1], ious[:, i : i + 1]
+    layer = output_layer - 3
+    return masks[:, 1 + layer :], ious[:, 1 + layer :]
+
+
+def _pad_to_multiple(x, mult, axis=0, fill=0):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "cfg", "original_size", "use_box", "use_mask_input"))
+def decode_prompt_sets(
+    params,
+    embedding: jnp.ndarray,  # (G, G, C)
+    point_coords: jnp.ndarray,  # (B, K, 2) xy in ORIGINAL image pixels
+    point_labels: jnp.ndarray,  # (B, K) in {-1, 0, 1}; -1 = padding
+    set_valid: jnp.ndarray,  # (B,) bool
+    model_cfg: sam.SamConfig,
+    cfg: AmgConfig,
+    original_size: Tuple[int, int] = (518, 518),
+    box: Optional[jnp.ndarray] = None,  # (4,) xyxy in original pixels
+    mask_input: Optional[jnp.ndarray] = None,  # (4G, 4G) low-res logits
+    use_box: bool = False,
+    use_mask_input: bool = False,
+    dense_grid: bool = False,
+):
+    """Decode every prompt set and apply the AMG filters, all on device.
+
+    Returns dict over N = B·M fixed mask slots:
+      masks (N, H, W) bool at original size, low_res_logits (N, 4G, 4G),
+      iou (N,), stability (N,), boxes (N, 4) float original pixels,
+      valid (N,) after iou/stability/NMS, set_index (N,).
+    """
+    g = embedding.shape[0]
+    b0 = point_coords.shape[0]
+    sel = not dense_grid
+    iou_thr = cfg.sel_pred_iou_thresh if sel else cfg.pred_iou_thresh
+    st_thr = cfg.sel_stability_score_thresh if sel else cfg.stability_score_thresh
+    st_off = cfg.sel_stability_score_offset if sel else cfg.stability_score_offset
+    multimask = cfg.sel_multimask_output if sel else cfg.multimask_output
+    out_layer = cfg.sel_output_layer if sel else cfg.output_layer
+
+    coords = sam.transform_coords(point_coords, original_size, model_cfg.img_size)
+    sparse = sam.embed_points(
+        params["prompt_encoder"], coords, point_labels, (model_cfg.img_size,) * 2,
+        pad=not use_box,
+    )
+    if use_box:
+        bcoords = sam.transform_coords(box.reshape(2, 2), original_size, model_cfg.img_size)
+        bemb = sam.embed_boxes(params["prompt_encoder"], bcoords.reshape(1, 4),
+                               (model_cfg.img_size,) * 2)
+        sparse = jnp.concatenate(
+            [sparse, jnp.broadcast_to(bemb, (sparse.shape[0], 2, sparse.shape[-1]))], axis=1
+        )
+    if use_mask_input:
+        dense = sam.embed_mask_input(params["prompt_encoder"], mask_input[None])[0]
+    else:
+        dense = sam.no_mask_dense(params["prompt_encoder"], (g, g))
+    image_pe = sam.dense_pe(params["prompt_encoder"], (g, g))
+
+    nb = cfg.decode_batch
+    sparse_p = _pad_to_multiple(sparse, nb)
+    n_chunks = sparse_p.shape[0] // nb
+    sparse_c = sparse_p.reshape(n_chunks, nb, *sparse.shape[1:])
+
+    def chunk(sp):
+        lr, iou = sam.decode_masks(
+            params["decoder"], embedding, image_pe, sp,
+            jnp.broadcast_to(dense, (nb, g, g, dense.shape[-1])), model_cfg,
+        )  # (nb, 4, 4G, 4G), (nb, 4)
+        lr_sel, iou_sel = _select_layers(lr, iou, multimask, out_layer)
+        # full-res logits for parity-exact stability/boxes
+        # (reference predict_torch upscales before filtering)
+        up = sam.postprocess_masks(lr_sel, model_cfg.img_size, original_size)
+        stab = mask_ops.stability_score(up, model_cfg.mask_threshold, st_off)
+        th = up > model_cfg.mask_threshold
+        boxes = mask_ops.mask_to_box(th).astype(jnp.float32)
+        return th, lr_sel, iou_sel, stab, boxes
+
+    th, lr, iou, stab, boxes = jax.lax.map(chunk, sparse_c)
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[3:])
+
+    th, lr, iou, stab, boxes = flat(th), flat(lr), flat(iou), flat(stab), flat(boxes)
+    m = th.shape[0] // sparse_p.shape[0]
+    n0 = b0 * m
+    th, lr, iou, stab, boxes = th[:n0], lr[:n0], iou[:n0], stab[:n0], boxes[:n0]
+
+    valid = jnp.repeat(set_valid, m)
+    set_index = jnp.repeat(jnp.arange(b0), m)
+    if iou_thr > 0:
+        valid = valid & (iou > iou_thr)
+    if st_thr > 0:
+        valid = valid & (stab >= st_thr)
+    valid = valid & jnp.any(th, axis=(-1, -2))
+    # NMS is applied by the caller across ALL prompt batches of the crop
+    # (reference _process_crop :370-376 runs it once after the batch loop)
+    return {
+        "masks": th,
+        "low_res_logits": lr,
+        "iou": iou,
+        "stability": stab,
+        "boxes": boxes,
+        "valid": valid,
+        "set_index": set_index,
+    }
+
+
+def nms_filter(data: dict, box_nms_thresh: float) -> dict:
+    """Cross-batch NMS over concatenated decode results."""
+    keep = nms_ops.nms_keep(data["boxes"], data["iou"], data["valid"], box_nms_thresh)
+    return {**data, "valid": keep}
+
+
+def concat_decodes(results) -> dict:
+    return {k: jnp.concatenate([r[k] for r in results], axis=0) for k in results[0]}
+
+
+def grid_points(points_per_side: int, original_size: Tuple[int, int]) -> jnp.ndarray:
+    """The dense AMG point grid (reference utils/amg.py:179-198): n² points
+    at cell centers in normalized coords, scaled to (W, H)."""
+    offset = 1.0 / (2 * points_per_side)
+    ax = jnp.linspace(offset, 1.0 - offset, points_per_side)
+    gx, gy = jnp.meshgrid(ax, ax, indexing="xy")
+    pts = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+    return pts * jnp.asarray([original_size[1], original_size[0]], jnp.float32)

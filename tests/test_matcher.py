@@ -1,0 +1,151 @@
+"""Matcher pipeline tests: matching oracle parity, prompt sampling structure,
+end-to-end proposal generation smoke (tiny random-weight models)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mars_tpu.models import dinov2, sam
+from mars_tpu.pipeline import amg, matcher
+
+
+def reference_matching_oracle(s, fg):
+    """Replicates patch_level_matching's pair selection with scipy
+    (reference matcher/Matcher.py:436-509) → (pos query cols, sims)."""
+    from scipy.optimize import linear_sum_assignment
+
+    s_fwd = s[fg]
+    ri, ci = linear_sum_assignment(s_fwd, maximize=True)
+    sim_f = s_fwd[ri, ci]
+    fg_rows = np.nonzero(fg)[0]
+    s_rev = s.T[ci]
+    r2, c2 = linear_sum_assignment(s_rev, maximize=True)
+    retain = np.isin(c2, fg_rows)
+    if not retain.any():
+        retain = np.ones_like(retain)
+    pos_cols = ci[retain]
+    pos_sims = sim_f[retain]
+    n = len(pos_sims)
+    reduced = n // 2 if n > 40 else n
+    order = np.argsort(-pos_sims)
+    return set(pos_cols[order[:reduced]].tolist())
+
+
+class TestMatching:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_scipy_oracle(self, seed):
+        rng = np.random.RandomState(seed)
+        l = 25
+        s = rng.rand(l, l).astype(np.float32)
+        fg = rng.rand(l) > 0.6
+        if not fg.any():
+            fg[0] = True
+        cfg = matcher.MatcherConfig(grid=5, patch_size=4, input_size=20)
+        points, keep = matcher.matched_points(jnp.asarray(s), jnp.asarray(fg), cfg)
+        got_cols = set(np.nonzero(np.asarray(keep))[0].tolist())
+        want_cols = reference_matching_oracle(s, fg)
+        # auction is near-exact; allow tiny disagreement on ties
+        sym_diff = got_cols ^ want_cols
+        assert len(sym_diff) <= max(1, len(want_cols) // 10), (got_cols, want_cols)
+
+    def test_points_are_patch_centers(self):
+        rng = np.random.RandomState(2)
+        s = rng.rand(16, 16).astype(np.float32)
+        fg = np.zeros(16, bool)
+        fg[3] = True
+        cfg = matcher.MatcherConfig(grid=4, patch_size=14, input_size=56)
+        points, keep = matcher.matched_points(jnp.asarray(s), jnp.asarray(fg), cfg)
+        pts = np.asarray(points)
+        # col j → x = (j%4)*14+7, y = (j//4)*14+7
+        j = 5
+        assert pts[j, 0] == (j % 4) * 14 + 7
+        assert pts[j, 1] == (j // 4) * 14 + 7
+
+
+class TestPromptSampling:
+    def _cfg(self):
+        return matcher.MatcherConfig(sample_range=(4, 6), max_sample_iterations=30)
+
+    def test_combinations_path(self):
+        cfg = self._cfg()
+        l = 20
+        pts = np.arange(l * 2).reshape(l, 2).astype(np.float32)
+        valid = np.zeros(l, bool)
+        valid[:5] = True  # n=5 → sizes [4, 5] → C(5,4)+C(5,5) = 6 sets
+        coords, labels, set_valid = matcher.sample_prompt_sets(
+            jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(valid), cfg
+        )
+        sv = np.asarray(set_valid)
+        sizes = matcher.prompt_set_sizes(cfg)
+        assert sv.sum() == 6
+        assert set(sizes[sv].tolist()) == {4, 5}
+        # active sets only reference valid points (first 5 compacted)
+        lv = np.asarray(labels)[sv]
+        cv = np.asarray(coords)[sv]
+        n_pts = (lv == 1).sum(axis=1)
+        np.testing.assert_array_equal(np.sort(n_pts), [4, 4, 4, 4, 4, 5])
+        assert np.all(cv[lv == 1][:, 0] < 10)  # all from the first 5 points
+
+    def test_random_path(self):
+        cfg = self._cfg()
+        l = 40
+        pts = np.arange(l * 2).reshape(l, 2).astype(np.float32)
+        valid = np.ones(l, bool)  # n = 40 > 8 → 30 draws per size 4..6
+        coords, labels, set_valid = matcher.sample_prompt_sets(
+            jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(valid), cfg
+        )
+        sv = np.asarray(set_valid)
+        sizes = matcher.prompt_set_sizes(cfg)
+        assert sv.sum() == 90
+        assert np.all(sizes[sv] >= 4)
+        # no duplicate points within a set (without-replacement draws)
+        cv, lv = np.asarray(coords), np.asarray(labels)
+        for r in np.nonzero(sv)[0][:10]:
+            pts_r = cv[r][lv[r] == 1]
+            assert len({tuple(p) for p in pts_r}) == len(pts_r)
+
+
+class TestEndToEnd:
+    def test_generate_proposals_smoke(self):
+        key = jax.random.PRNGKey(0)
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        dino_params = dinov2.init_params(k1, dcfg)
+        sam_params = {
+            "encoder": sam.init_encoder_params(k2, scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(k3, scfg),
+            "decoder": sam.init_decoder_params(k4, scfg),
+        }
+        mcfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(2, 3), max_sample_iterations=4,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        acfg = amg.AmgConfig(
+            sel_pred_iou_thresh=0.0, sel_stability_score_thresh=0.0,
+            decode_batch=8,
+        )
+        s, h = 1, 56
+        sup = jax.random.uniform(k5, (s, h, h, 3))
+        qry = jax.random.uniform(jax.random.PRNGKey(9), (h, h, 3))
+        masks = jnp.zeros((s, h, h)).at[:, 10:30, 10:30].set(1.0)
+
+        out = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, jnp.ones((s,), bool), qry,
+        )
+        pm = np.asarray(out["proposal_masks"])
+        assert pm.shape[1:] == (56, 56)
+        assert np.isfinite(np.asarray(out["emd_score"])).all()
+        assert np.isfinite(np.asarray(out["merged"])).all()
+        assert np.asarray(out["merged"]).shape == (56, 56)
+        # at least one proposal should be live with zeroed thresholds
+        assert np.asarray(out["proposal_valid"]).sum() >= 1
