@@ -1,0 +1,135 @@
+"""MARS orchestrator: the end-to-end episode prediction.
+
+Functional parity with the reference orchestrator (reference:
+mars/MARS.py:14-116):
+  1. class name + definition from the support set (host VLM + WordNet)
+  2. VVA prior (DINOv2)                                [device]
+  3. VTA prior (CLIP Grad-CAM), nearest-resized to the VVA grid and
+     min-max scaled (reference :77-82)                 [device]
+  4. AlphaCLIP text "a {name}, {description}." (:84-89)
+  5. proposal scoring / filtering / merging            [device]
+
+TPU-first: stages 2-5 are jitted pure functions sharing one device graph
+per episode; the only host work is the VLM text step and tokenization.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mars_tpu.core import imaging
+from mars_tpu.core.episode import Episode, Proposals
+from mars_tpu.models import clip as clip_m, dinov2
+from mars_tpu.pipeline import filtering, vta, vva
+from mars_tpu.text import prompts as prompt_data
+from mars_tpu.text import tokenizer
+from mars_tpu.text.retriever import TextRetriever
+
+
+@dataclass(frozen=True)
+class MarsConfig:
+    vva: vva.VVAConfig = field(default_factory=vva.VVAConfig)
+    vta: vta.VTAConfig = field(default_factory=vta.VTAConfig)
+    filter_merge: filtering.FilterMergeConfig = field(default_factory=filtering.FilterMergeConfig)
+    use_multiple_prompts: bool = False
+
+
+class Mars:
+    """Holds frozen params + configs; ``predict`` runs one episode.
+
+    Models (all frozen):
+      dino:       (params, DinoV2Config)        — VVA backbone
+      clip:       (visual_params, text_params, logit_scale, vcfg, tcfg)
+      alpha_clip: (visual_params, text_params, logit_scale, vcfg, tcfg)
+      retriever:  host-side TextRetriever (VLM + WordNet), or None to use
+                  a provided class name (gt-class-name mode)
+    """
+
+    def __init__(self, dino, clip, alpha_clip, retriever: Optional[TextRetriever],
+                 cfg: MarsConfig = MarsConfig()):
+        self.dino_params, self.dino_cfg = dino
+        (self.clip_v, self.clip_t, self.clip_scale,
+         self.clip_vcfg, self.clip_tcfg) = clip
+        (self.ac_v, self.ac_t, self.ac_scale,
+         self.ac_vcfg, self.ac_tcfg) = alpha_clip
+        self.retriever = retriever
+        self.cfg = cfg
+        self.timings = {}
+
+    # ---------------- host text stage ----------------
+
+    def conceptual_information(self, episode: Episode):
+        imgs = np.asarray(
+            jnp.clip(episode.support_images * 255, 0, 255).astype(jnp.uint8)
+        )
+        masks = np.asarray(episode.support_masks)
+        n = int(np.asarray(episode.support_valid).sum())
+        return self.retriever.get_conceptual_information(
+            [imgs[i] for i in range(n)], [masks[i] for i in range(n)]
+        )
+
+    # ---------------- device stages ----------------
+
+    def _vta_text_feats(self, label: str):
+        fg, bg = prompt_data.vta_text_pair(label, self.cfg.use_multiple_prompts)
+        fg_tok = jnp.asarray(tokenizer.tokenize(fg))
+        bg_tok = jnp.asarray(tokenizer.tokenize(bg))
+        return vta.compute_text_feats(self.clip_t, self.clip_tcfg, fg_tok, bg_tok)
+
+    def _alpha_clip_text_feats(self, text: str):
+        tok = jnp.asarray(tokenizer.tokenize([text]))
+        feats = clip_m.encode_text(self.ac_t, tok, self.ac_tcfg)
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    def predict(
+        self,
+        episode: Episode,
+        proposals: Proposals,
+        class_name: Optional[str] = None,
+        class_description: str = "",
+    ) -> jnp.ndarray:
+        """→ (H, W) float mask in {0, 1} (reference MARS.predict :33-104)."""
+        t0 = time.time()
+        if class_name is None:
+            class_name, class_description = self.conceptual_information(episode)
+        t1 = time.time()
+
+        vva_prior, cost, support_fg = vva.compute(
+            self.dino_params,
+            episode.support_images, episode.support_masks, episode.support_valid,
+            episode.query_image, self.dino_cfg, self.cfg.vva,
+        )
+
+        vta_text = self._vta_text_feats(class_name)
+        vta_prior = vta.compute(
+            self.clip_v, episode.query_image, vta_text, self.clip_scale,
+            self.clip_vcfg, self.cfg.vta,
+        )
+        # nearest-resize VTA to the VVA grid + min-max (reference :77-82)
+        g = self.cfg.vva.grid
+        vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
+        vta_prior = (vta_prior - vta_prior.min()) / (1e-7 + vta_prior.max() - vta_prior.min())
+
+        ac_text = self._alpha_clip_text_feats(
+            prompt_data.alpha_clip_text(class_name, class_description)
+        )
+        ac_scores = filtering.alphaclip_scores(
+            self.ac_v, episode.query_image, proposals.masks, ac_text,
+            self.ac_vcfg, self.cfg.filter_merge,
+        )
+        merged, scores = filtering.score_and_merge(
+            proposals.masks, proposals.valid, support_fg, cost,
+            vva_prior, vta_prior, ac_scores, self.cfg.filter_merge,
+        )
+        merged.block_until_ready()
+        t2 = time.time()
+        self.timings = {
+            "total": t2 - t0,
+            "after_text_extraction": t2 - t1,
+        }
+        return merged

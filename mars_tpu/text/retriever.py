@@ -1,0 +1,204 @@
+"""Class-name/definition retrieval: visual-prompted VLM + WordNet (host-side).
+
+Functional parity with the reference's TextRetrieverModule
+(reference: mars/components/TextRetrieverModule.py:42-366):
+  - per-shot visual prompt drawn on the support image, VLM asked for the
+    class name (greedy, max 20 new tokens), majority vote over shots
+  - ensemble modes over color x zoom x prompt-type with inner majority vote
+  - a second VLM query for a >= 20-token definition
+  - WordNet synset lookup with underscore/concatenation/subword fallbacks
+    and stopword-filtered token-overlap disambiguation against the VLM
+    definition (:139-185)
+
+VLM backends:
+  - ``HFVipLlava``: ViP-LLaVA-7B via transformers (the reference's model,
+    TextRetrieverModule.py:446-490) — requires local weights.
+  - ``OracleVLM``: returns the dataset class name — the "gt class name"
+    evaluation mode (the reference conceptually supports this via
+    ClipPipeline's args.use_gt_class_names pattern, ClipPipeline.py:302).
+"""
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+from mars_tpu.text.prompts import (
+    COLORS,
+    VISUAL_PROMPTS,
+    VISUAL_PROMPTS_DESCRIPTIONS,
+    VLM_SYSTEM_TEMPLATE,
+)
+from mars_tpu.text.visual_prompts import GENERATORS
+
+
+class VLM(Protocol):
+    def generate(self, image: np.ndarray, prompt: str,
+                 max_new_tokens: int = 20, min_new_tokens: int = 0) -> str: ...
+
+
+class OracleVLM:
+    """Answers with a fixed class name/definition (gt-class-name mode and
+    tests)."""
+
+    def __init__(self, name: str, definition: str = ""):
+        self.name = name
+        self.definition = definition
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+        if "definition" in prompt:
+            return self.definition or f"a {self.name}"
+        return self.name
+
+
+class HFVipLlava:
+    """ViP-LLaVA-7B through transformers (reference :446-490).
+
+    Loads fp16 (optionally 4/8-bit when bitsandbytes is available — it is
+    not in the TPU image, so quantization silently falls back to fp16).
+    """
+
+    def __init__(self, model_path: str = "llava-hf/vip-llava-7b-hf", device_map="auto"):
+        import torch
+        from transformers import AutoProcessor, VipLlavaForConditionalGeneration
+
+        self.processor = AutoProcessor.from_pretrained(model_path)
+        self.model = VipLlavaForConditionalGeneration.from_pretrained(
+            model_path, torch_dtype=torch.float16, device_map=device_map
+        )
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+        from PIL import Image
+
+        inputs = self.processor(
+            text=prompt, images=Image.fromarray(image), return_tensors="pt"
+        ).to(self.model.device)
+        kwargs = {"max_new_tokens": max_new_tokens}
+        if min_new_tokens:
+            kwargs["min_new_tokens"] = min_new_tokens
+        out = self.model.generate(**inputs, **kwargs)
+        return self.processor.decode(
+            out[0][len(inputs["input_ids"][0]):], skip_special_tokens=True
+        )
+
+
+@dataclass(frozen=True)
+class PromptGenConfig:
+    prompt_type: str = "contour"  # scripts/coco_1shot.sh
+    color: str = "red"
+    alpha: float = 0.5
+    thickness: int = 2
+    zoom_percent: int = 50
+
+
+@dataclass(frozen=True)
+class EnsembleConfig:
+    """Which prompt dimensions to ensemble over (reference EnsambleConfig
+    :383-444 — 6 modes over prompt-type x color x zoom)."""
+
+    colors: Tuple[str, ...] = ()
+    zooms: Tuple[int, ...] = ()
+    prompt_types: Tuple[str, ...] = ()
+
+    @property
+    def active(self) -> bool:
+        return bool(self.colors or self.zooms or self.prompt_types)
+
+    def variants(self, base: PromptGenConfig):
+        colors = self.colors or (base.color,)
+        zooms = self.zooms or (base.zoom_percent,)
+        types = self.prompt_types or (base.prompt_type,)
+        for t in types:
+            for c in colors:
+                for z in zooms:
+                    yield PromptGenConfig(
+                        prompt_type=t, color=c, alpha=base.alpha,
+                        thickness=base.thickness, zoom_percent=z,
+                    )
+
+
+class TextRetriever:
+    def __init__(self, vlm: VLM, gen_cfg: PromptGenConfig = PromptGenConfig(),
+                 ensemble: EnsembleConfig = EnsembleConfig()):
+        self.vlm = vlm
+        self.gen_cfg = gen_cfg
+        self.ensemble = ensemble
+
+    def _ask_name(self, image_np, mask_np, cfg: PromptGenConfig) -> str:
+        drawn = GENERATORS[cfg.prompt_type](
+            image_np, mask_np, color=COLORS[cfg.color], alpha=cfg.alpha,
+            thickness=cfg.thickness, zoom_percent=cfg.zoom_percent,
+        )
+        prompt = VLM_SYSTEM_TEMPLATE.format(VISUAL_PROMPTS[cfg.prompt_type].format(cfg.color))
+        return self.vlm.generate(drawn, prompt, max_new_tokens=20)
+
+    def get_conceptual_information(
+        self,
+        support_images: Sequence[np.ndarray],  # (H, W, 3) uint8 per shot
+        support_masks: Sequence[np.ndarray],  # (H, W) per shot
+    ) -> Tuple[str, str]:
+        """→ (class name, WordNet definition or '')."""
+        names: List[str] = []
+        for img, mask in zip(support_images, support_masks):
+            if self.ensemble.active:
+                votes = [
+                    self._ask_name(img, mask, cfg)
+                    for cfg in self.ensemble.variants(self.gen_cfg)
+                ]
+                names.append(max(Counter(votes), key=Counter(votes).get))
+            else:
+                names.append(self._ask_name(img, mask, self.gen_cfg))
+        counts = Counter(names)
+        name = max(counts, key=counts.get)
+
+        # definition query on the LAST support shot (reference :103-122 uses
+        # the loop-final support image)
+        img, mask = support_images[-1], support_masks[-1]
+        cfg = self.gen_cfg
+        drawn = GENERATORS[cfg.prompt_type](
+            img, mask, color=COLORS[cfg.color], alpha=cfg.alpha,
+            thickness=cfg.thickness, zoom_percent=cfg.zoom_percent,
+        )
+        dprompt = VLM_SYSTEM_TEMPLATE.format(
+            VISUAL_PROMPTS_DESCRIPTIONS[cfg.prompt_type].format(name, cfg.color, name, name)
+        )
+        description = self.vlm.generate(drawn, dprompt, max_new_tokens=50, min_new_tokens=20)
+
+        synset = get_synset(name, description)
+        if synset is not None:
+            from nltk.corpus import wordnet as wn
+
+            wn_description = wn.synset(synset).definition()
+        else:
+            wn_description = ""
+        return name, wn_description
+
+
+def get_synset(class_name: str, vlm_description: str) -> Optional[str]:
+    """WordNet synset resolution (reference _get_synset :139-185)."""
+    from nltk.corpus import stopwords, wordnet as wn
+    from nltk.tokenize import word_tokenize
+
+    lower = class_name.strip().lower()
+    stop = set(stopwords.words("english"))
+    synsets = list(wn.synsets(lower.replace(" ", "_"), pos=wn.NOUN))
+    if not synsets:
+        synsets = list(wn.synsets(lower.replace(" ", ""), pos=wn.NOUN))
+    if not synsets:
+        for word in lower.split():
+            synsets += wn.synsets(word.strip(), pos=wn.NOUN)
+    if not synsets:
+        return None
+    if len(synsets) == 1:
+        return synsets[0].name()
+    desc_tokens = set(word_tokenize(vlm_description.lower())) - stop
+    best, best_overlap = None, 0
+    for s in synsets:
+        def_tokens = set(word_tokenize(s.definition().lower())) - stop
+        overlap = len(desc_tokens & def_tokens)
+        if overlap > best_overlap:
+            best_overlap = overlap
+            best = s
+    return best.name() if best else None

@@ -1,0 +1,119 @@
+"""Data substrate + evaluation tests, and the full-MARS integration test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mars_tpu.core.episode import pad_proposals
+from mars_tpu.data import build_dataset, to_device_episode
+from mars_tpu.data.base import resized_gt
+from mars_tpu.utils import evaluation
+
+
+class TestSynthetic:
+    def test_episode_shapes(self):
+        ds = build_dataset("synthetic", shot=2, size=128, num_episodes=4)
+        rec = ds[0]
+        assert rec.query_img.shape == (128, 128, 3)
+        assert len(rec.support_imgs) == 2
+        assert rec.query_mask.sum() > 0
+        # deterministic
+        rec2 = ds[0]
+        np.testing.assert_array_equal(rec.query_img, rec2.query_img)
+
+    def test_to_device_episode_padding(self):
+        ds = build_dataset("synthetic", shot=1, size=100, num_episodes=2)
+        ep = to_device_episode(ds[0], size=56, max_shots=3)
+        assert ep.support_images.shape == (3, 56, 56, 3)
+        assert np.asarray(ep.support_valid).tolist() == [True, False, False]
+        assert ep.query_image.shape == (56, 56, 3)
+        assert float(ep.query_image.max()) <= 1.0
+
+
+class TestEvaluator:
+    def test_classify_prediction(self):
+        pred = np.zeros((10, 10))
+        gt = np.zeros((10, 10))
+        pred[:5] = 1
+        gt[:, :5] = 1
+        inter, union = evaluation.classify_prediction(pred, gt)
+        # fg: inter 25, pred 50, gt 50 → union 75
+        assert inter[1] == 25 and union[1] == 75
+        # bg: inter 25, union 75
+        assert inter[0] == 25 and union[0] == 75
+
+    def test_ignore_mask(self):
+        pred = np.ones((4, 4))
+        gt = np.ones((4, 4))
+        ig = np.zeros((4, 4))
+        ig[0] = 1  # ignore first row
+        inter, union = evaluation.classify_prediction(pred, gt, ig)
+        assert inter[1] == 12 and union[1] == 12
+
+    def test_meter_miou(self):
+        m = evaluation.AverageMeter("synthetic", [0, 1])
+        m.update(np.array([10.0, 50.0]), np.array([20.0, 100.0]), 0)  # cls0 fg IoU .5
+        m.update(np.array([10.0, 25.0]), np.array([20.0, 100.0]), 1)  # cls1 fg IoU .25
+        miou, fb, per = m.compute_iou()
+        np.testing.assert_allclose(miou, 37.5)
+        assert per.shape == (2,)
+
+
+class TestMarsIntegration:
+    def test_full_predict_tiny(self):
+        """End-to-end MARS.predict on a tiny synthetic episode with
+        random-weight tiny backbones + OracleVLM."""
+        from mars_tpu.models import clip as clip_m, dinov2
+        from mars_tpu.pipeline import filtering, mars, vta, vva
+        from mars_tpu.text.retriever import OracleVLM, TextRetriever
+
+        size, g = 56, 4
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        cvcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=3, num_heads=1, output_dim=16, pos_embed_grid=2
+        )
+        ctcfg = clip_m.ClipTextConfig(width=16, depth=2, num_heads=2, output_dim=16)
+        avcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=2, num_heads=1, output_dim=16,
+            pos_embed_grid=2, alpha_channel=True,
+        )
+        atcfg = ctcfg
+
+        ks = jax.random.split(jax.random.PRNGKey(0), 6)
+        model = mars.Mars(
+            dino=(dinov2.init_params(ks[0], dcfg), dcfg),
+            clip=(clip_m.init_visual_params(ks[1], cvcfg),
+                  clip_m.init_text_params(ks[2], ctcfg),
+                  jnp.float32(np.log(1 / 0.07)), cvcfg, ctcfg),
+            alpha_clip=(clip_m.init_visual_params(ks[3], avcfg),
+                        clip_m.init_text_params(ks[4], atcfg),
+                        jnp.float32(np.log(1 / 0.07)), avcfg, atcfg),
+            retriever=TextRetriever(OracleVLM("square")),
+            cfg=mars.MarsConfig(
+                vva=vva.VVAConfig(grid=g, attn_tap_last_n=2),
+                vta=vta.VTAConfig(input_size=64, grid=4, attn_tap_last_n=2),
+                filter_merge=filtering.FilterMergeConfig(
+                    grid=g, alpha_clip_size=32,
+                    emd_row_bucket=16, emd_col_bucket=16,
+                ),
+            ),
+        )
+        ds = build_dataset("synthetic", shot=1, size=size, num_episodes=1)
+        rec = ds[0]
+        ep = to_device_episode(rec, size=size, max_shots=1)
+        # proposals: gt-ish + junk
+        gt, _ = resized_gt(rec, size)
+        junk = np.zeros_like(gt)
+        junk[:10, :10] = 1
+        props = pad_proposals(jnp.asarray(np.stack([gt, junk])), 4)
+
+        pred = model.predict(ep, props, class_name="square")
+        pred = np.asarray(pred)
+        assert pred.shape == (size, size)
+        assert set(np.unique(pred)).issubset({0.0, 1.0})
+        assert model.timings["total"] > 0
+        inter, union = evaluation.classify_prediction(pred, gt)
+        assert np.isfinite(inter).all()

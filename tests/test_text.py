@@ -1,0 +1,86 @@
+"""Text subsystem tests: BPE tokenizer parity, retriever/wordnet, drawing."""
+import numpy as np
+import pytest
+
+from mars_tpu.text import prompts, tokenizer
+from mars_tpu.text.retriever import OracleVLM, PromptGenConfig, TextRetriever, get_synset
+
+
+class TestTokenizer:
+    def test_parity_with_reference_fixture(self):
+        """Token ids for canonical strings (generated once from the
+        reference clip tokenizer; hard-coded so the test is standalone)."""
+        tok = tokenizer.get_tokenizer()
+        # reference SimpleTokenizer().encode("a photo of a dog.")
+        assert tok.encode("a photo of a dog.") == [320, 1125, 539, 320, 1929, 269]
+        assert tok.encode("a photo without aeroplane.")[:3] == [320, 1125, 2193]
+
+    def test_tokenize_shape_and_eot(self):
+        out = tokenizer.tokenize(["a cat.", "a photo of a very big dog."])
+        assert out.shape == (2, 77)
+        tok = tokenizer.get_tokenizer()
+        sot, eot = tok.encoder["<|startoftext|>"], tok.encoder["<|endoftext|>"]
+        assert out[0, 0] == sot
+        assert eot in out[0]
+        # eot is argmax (property the text encoder pooling relies on)
+        assert out[0].argmax() == list(out[0]).index(eot)
+
+    def test_truncation(self):
+        long = "dog " * 200
+        out = tokenizer.tokenize([long])
+        tok = tokenizer.get_tokenizer()
+        assert out[0, -1] == tok.encoder["<|endoftext|>"]
+
+
+class TestPrompts:
+    def test_vta_pair(self):
+        fg, bg = prompts.vta_text_pair("dog")
+        assert fg == ["a photo of dog."]
+        assert bg == ["a photo without dog."]
+
+    def test_alpha_clip_text(self):
+        assert prompts.alpha_clip_text("dog", "") == "a dog."
+        assert prompts.alpha_clip_text("dog", "a canine") == "a dog, a canine."
+
+
+def _nltk_ready():
+    try:
+        from nltk.corpus import wordnet as wn
+
+        wn.synsets("dog")
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _nltk_ready(), reason="wordnet corpus not available")
+class TestRetriever:
+    def test_oracle_flow(self):
+        img = np.zeros((64, 64, 3), np.uint8)
+        mask = np.zeros((64, 64), np.float32)
+        mask[20:40, 20:40] = 1
+        tr = TextRetriever(OracleVLM("dog", "a domesticated canine"))
+        name, desc = tr.get_conceptual_information([img], [mask])
+        assert name == "dog"
+        assert "canis" in desc.lower() or "domestic" in desc.lower()
+
+    def test_get_synset_multiword(self):
+        s = get_synset("potted plant", "a plant in a pot")
+        assert s is not None
+
+    def test_get_synset_none(self):
+        assert get_synset("zzzqqqxx", "nothing") is None
+
+
+class TestDrawing:
+    @pytest.mark.parametrize("kind", ["mask", "bb", "contour", "ellipse"])
+    def test_draw_shapes(self, kind):
+        from mars_tpu.text.visual_prompts import GENERATORS
+
+        img = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+        mask = np.zeros((64, 64), np.float32)
+        mask[10:30, 10:30] = 1
+        out = GENERATORS[kind](img, mask, color=(255, 0, 0), zoom_percent=50)
+        assert out.shape == img.shape
+        assert out.dtype == np.uint8
+        assert not np.array_equal(out, img)  # something was drawn/zoomed
