@@ -1,0 +1,118 @@
+"""Benchmark: MARS episode-ranking throughput on one chip.
+
+Measures the device ranking path of one episode at full model scale
+(the reference's per-episode "ranking time after text extraction",
+main_MARS.py:76-89): DINOv2 ViT-L/14 VVA prior (features + attention tap in
+one pass), CLIP ViT-B/16 Grad-CAM VTA prior, AlphaCLIP ViT-L/14@336 over a
+128-proposal bucket, batched Sinkhorn EMD + score fusion + merge.
+
+Weights are random (throughput is weight-independent); shapes/configs match
+the shipped evaluation scripts (scripts/coco_1shot.sh).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline``: speedup vs the torch reference's per-episode ranking time
+measured on CPU and scaled to A100 (see BASELINE.md; currently the
+documented 2.0 s/episode estimate for a single A100).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated single-A100 torch reference per-episode ranking latency (s).
+# The repo publishes no numbers (BASELINE.md); refined in later rounds.
+BASELINE_EPISODE_SECONDS = 2.0
+
+PROPOSAL_BUCKET = 128
+
+
+def main():
+    from mars_tpu.core.episode import pad_proposals
+    from mars_tpu.data import build_dataset, to_device_episode
+    from mars_tpu.models import clip as clip_m, dinov2
+    from mars_tpu.pipeline import filtering, vta as vta_m, vva as vva_m
+
+    dcfg = dinov2.DINOV2_VARIANTS["vit_large"]
+    cvcfg = clip_m.CLIP_B16_VISUAL
+    avcfg = clip_m.ALPHA_CLIP_L14_336_VISUAL
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    dino_params = dinov2.init_params(ks[0], dcfg)
+    clip_v = clip_m.init_visual_params(ks[1], cvcfg)
+    ac_v = clip_m.init_visual_params(ks[2], avcfg)
+    logit_scale = jnp.float32(np.log(1 / 0.07))
+
+    vva_cfg = vva_m.VVAConfig()
+    vta_cfg = vta_m.VTAConfig()
+    fm_cfg = filtering.FilterMergeConfig()
+
+    ds = build_dataset("synthetic", shot=1, size=518, num_episodes=2)
+    rec = ds[0]
+    ep = to_device_episode(rec, size=518, max_shots=1)
+    rng = np.random.RandomState(0)
+    prop_np = np.zeros((PROPOSAL_BUCKET, 518, 518), np.float32)
+    for i in range(PROPOSAL_BUCKET):
+        y, x = rng.randint(0, 400, 2)
+        prop_np[i, y : y + rng.randint(40, 118), x : x + rng.randint(40, 118)] = 1
+    props = pad_proposals(jnp.asarray(prop_np), PROPOSAL_BUCKET)
+    vta_text = jnp.asarray(rng.rand(2, cvcfg.output_dim).astype(np.float32))
+    ac_text = jnp.asarray(rng.rand(1, avcfg.output_dim).astype(np.float32))
+    ac_text = ac_text / jnp.linalg.norm(ac_text)
+
+    from mars_tpu.core import imaging
+
+    g = vva_cfg.grid
+
+    # the four device stages, jitted separately (matching the orchestrator;
+    # one mega-graph compiles far slower for no steady-state gain)
+    def episode_rank(ep, props, vta_text, ac_text):
+        vva_prior, cost, support_fg = vva_m.compute(
+            dino_params, ep.support_images, ep.support_masks, ep.support_valid,
+            ep.query_image, dcfg, vva_cfg,
+        )
+        vta_prior = vta_m.compute(
+            clip_v, ep.query_image, vta_text, logit_scale, cvcfg, vta_cfg
+        )
+        vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
+        vta_prior = (vta_prior - vta_prior.min()) / (1e-7 + vta_prior.max() - vta_prior.min())
+        ac_scores = filtering.alphaclip_scores(
+            ac_v, ep.query_image, props.masks, ac_text, avcfg, fm_cfg
+        )
+        merged, scores = filtering.score_and_merge(
+            props.masks, props.valid, support_fg, cost, vva_prior, vta_prior,
+            ac_scores, fm_cfg,
+        )
+        return merged
+
+    t_compile0 = time.time()
+    out = episode_rank(ep, props, vta_text, ac_text)
+    _ = float(out[0, 0])  # force completion (block_until_ready is lazy on axon)
+    compile_s = time.time() - t_compile0
+
+    n_iter = 5
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = episode_rank(ep, props, vta_text, ac_text)
+        _ = float(out[0, 0])
+    per_episode = (time.time() - t0) / n_iter
+    eps_per_sec = 1.0 / per_episode
+
+    print(
+        json.dumps(
+            {
+                "metric": "episode_ranking_throughput",
+                "value": round(eps_per_sec, 4),
+                "unit": "episodes/sec/chip",
+                "vs_baseline": round(eps_per_sec * BASELINE_EPISODE_SECONDS, 3),
+                "per_episode_ms": round(per_episode * 1000, 1),
+                "compile_s": round(compile_s, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Model zoo assembly: checkpoint loading + full-model construction.
+
+Loads the reference's checkpoint set (reference models/README.md:4-10 —
+SAM ViT-H, DINOv2 ViT-L/14 reg4, CLIP ViT-B/16 (JIT archive), AlphaCLIP
+ViT-L/14@336 GRIT-20M) and converts to the functional param pytrees.
+Falls back to seeded random params when a checkpoint file is absent, so the
+full pipeline stays runnable (at random-weight accuracy) without weights.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mars_tpu.models import clip as clip_m
+from mars_tpu.models import convert, dinov2, sam
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """torch .pth/.pt → flat name→numpy dict (host-side; handles both plain
+    state_dicts and TorchScript archives like OpenAI CLIP's)."""
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        obj = torch.jit.load(path, map_location="cpu")
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}
+
+
+def build_dinov2(models_path: Optional[str] = None, variant: str = "vit_large",
+                 num_register_tokens: int = 4, seed: int = 0):
+    cfg = dinov2.DINOV2_VARIANTS[variant]
+    cfg = type(cfg)(**{**cfg.__dict__, "num_register_tokens": num_register_tokens})
+    name = {
+        "vit_large": "dinov2_vitl14_reg4_pretrain.pth" if num_register_tokens else "dinov2_vitl14_pretrain.pth",
+        "vit_small": "dinov2_vits14_reg4_pretrain.pth",
+        "vit_base": "dinov2_vitb14_reg4_pretrain.pth",
+        "vit_giant2": "dinov2_vitg14_reg4_pretrain.pth",
+    }[variant]
+    path = os.path.join(models_path, name) if models_path else None
+    if path and os.path.exists(path):
+        sd = load_torch_state_dict(path)
+        params = convert.dinov2_to_flax(sd, cfg.depth, cfg.num_register_tokens)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        params = dinov2.init_params(jax.random.PRNGKey(seed), cfg)
+    return params, cfg
+
+
+def build_clip_b16(models_path: Optional[str] = None, seed: int = 1):
+    vcfg, tcfg = clip_m.CLIP_B16_VISUAL, clip_m.CLIP_B16_TEXT
+    path = os.path.join(models_path, "ViT-B-16.pt") if models_path else None
+    if path and os.path.exists(path):
+        sd = load_torch_state_dict(path)
+        vp = jax.tree.map(jnp.asarray, convert.clip_visual_to_flax(sd, vcfg.depth))
+        tp = jax.tree.map(jnp.asarray, convert.clip_text_to_flax(sd, tcfg.depth))
+        scale = jnp.asarray(convert.clip_logit_scale(sd))
+    else:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        vp = clip_m.init_visual_params(k1, vcfg)
+        tp = clip_m.init_text_params(k2, tcfg)
+        scale = jnp.float32(np.log(1 / 0.07))
+    return vp, tp, scale, vcfg, tcfg
+
+
+def build_alpha_clip(models_path: Optional[str] = None, seed: int = 2):
+    """AlphaCLIP ViT-L/14@336: base CLIP weights with the GRIT-20M visual
+    override (reference alpha_clip/alpha_clip.py:94-150 split load)."""
+    vcfg, tcfg = clip_m.ALPHA_CLIP_L14_336_VISUAL, clip_m.ALPHA_CLIP_L14_TEXT
+    base = os.path.join(models_path, "ViT-L-14-336px.pt") if models_path else None
+    alpha = os.path.join(models_path, "clip_l14_336_grit_20m_4xe.pth") if models_path else None
+    if base and os.path.exists(base):
+        sd = load_torch_state_dict(base)
+        if alpha and os.path.exists(alpha):
+            asd = load_torch_state_dict(alpha)
+            # alpha checkpoint carries visual.* weights incl. conv1_alpha and
+            # in_proj Linear naming
+            sd = {**sd, **{k if k.startswith("visual.") else f"visual.{k}": v
+                           for k, v in asd.items()}}
+        # the base JIT archive uses MultiheadAttention in_proj_weight naming;
+        # the alpha override uses Linear in_proj.weight — normalize to Linear
+        norm_sd = {}
+        for k, v in sd.items():
+            nk = k.replace("attn.in_proj_weight", "attn.in_proj.weight")
+            nk = nk.replace("attn.in_proj_bias", "attn.in_proj.bias")
+            norm_sd[nk] = v
+        vp = jax.tree.map(jnp.asarray, convert.alpha_clip_visual_to_flax(norm_sd, vcfg.depth))
+        tp = jax.tree.map(jnp.asarray, convert.clip_text_to_flax(norm_sd, tcfg.depth))
+        scale = jnp.asarray(convert.clip_logit_scale(norm_sd))
+    else:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        vp = clip_m.init_visual_params(k1, vcfg)
+        tp = clip_m.init_text_params(k2, tcfg)
+        scale = jnp.float32(np.log(1 / 0.07))
+    return vp, tp, scale, vcfg, tcfg
+
+
+def build_sam(models_path: Optional[str] = None, variant: str = "vit_h", seed: int = 3):
+    cfg = sam.SAM_VARIANTS[variant]
+    name = {"vit_b": "sam_vit_b_01ec64.pth", "vit_l": "sam_vit_l_0b3195.pth",
+            "vit_h": "sam_vit_h_4b8939.pth"}[variant]
+    path = os.path.join(models_path, name) if models_path else None
+    if path and os.path.exists(path):
+        sd = load_torch_state_dict(path)
+        params = {
+            "encoder": convert.sam_encoder_to_flax(sd, cfg.depth),
+            "prompt_encoder": convert.sam_prompt_encoder_to_flax(sd),
+            "decoder": convert.sam_decoder_to_flax(sd),
+        }
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        params = {
+            "encoder": sam.init_encoder_params(ks[0], cfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(ks[1], cfg),
+            "decoder": sam.init_decoder_params(ks[2], cfg),
+        }
+    return params, cfg
