@@ -1,0 +1,104 @@
+"""First-party native (C++) host solvers — exact oracles & fallbacks.
+
+Builds ``mars_native.cpp`` on first import (g++ -O2 -shared; cached next to
+the source) and binds it via ctypes.  See the .cpp header for what each
+solver replaces from the reference's third-party native deps (SURVEY §2.4).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "mars_native.cpp")
+_LIB = os.path.join(_DIR, "libmars_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+        check=True,
+    )
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        lib.emd_uniform.restype = ctypes.c_double
+        lib.emd_uniform.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.lsa_maximize.restype = None
+        lib.lsa_maximize.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.rle_encode.restype = ctypes.c_int
+        lib.rle_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.rle_decode.restype = None
+        lib.rle_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _lib = lib
+    return _lib
+
+
+def emd_exact(cost: np.ndarray) -> float:
+    """Exact EMD with uniform marginals (== reference ot.emd2 with
+    a=1/t, b=1/c; FilteringMergingModule.py:160-169)."""
+    c = np.ascontiguousarray(cost, np.float64)
+    t, n = c.shape
+    return float(
+        get_lib().emd_uniform(c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), t, n)
+    )
+
+
+def assignment_exact(score: np.ndarray) -> np.ndarray:
+    """Exact maximize linear assignment: col per row (t <= n), matching
+    scipy.optimize.linear_sum_assignment's optimum."""
+    s = np.ascontiguousarray(score, np.float64)
+    t, n = s.shape
+    assert t <= n
+    out = np.empty(t, np.int32)
+    get_lib().lsa_maximize(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), t, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out
+
+
+def rle_encode(mask: np.ndarray) -> dict:
+    """COCO-style uncompressed RLE {'size': [h, w], 'counts': [...]}
+    (column-major, matching segment_anything/utils/amg.py:107-136)."""
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    h, w = m.shape
+    out = np.empty(h * w + 1, np.uint32)
+    n = get_lib().rle_encode(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return {"size": [h, w], "counts": out[:n].tolist()}
+
+
+def rle_decode(rle: dict) -> np.ndarray:
+    h, w = rle["size"]
+    counts = np.asarray(rle["counts"], np.uint32)
+    out = np.zeros((h, w), np.uint8)
+    get_lib().rle_decode(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(counts), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

@@ -1,0 +1,75 @@
+"""Native C++ solver tests: exact EMD, exact assignment, RLE codec."""
+import numpy as np
+import pytest
+
+from mars_tpu import native
+from mars_tpu.ops import emd as emd_ops
+
+
+class TestEmdExact:
+    @pytest.mark.parametrize("seed,t,c", [(0, 8, 5), (1, 12, 12), (2, 5, 20), (3, 30, 17)])
+    def test_matches_lp(self, seed, t, c):
+        rng = np.random.RandomState(seed)
+        cost = rng.rand(t, c)
+        got = native.emd_exact(cost)
+        want = emd_ops.exact_emd_lp(cost.astype(np.float32))
+        assert abs(got - want) < 1e-6, (got, want)
+
+    def test_large_instance_runs(self):
+        rng = np.random.RandomState(4)
+        cost = rng.rand(200, 120)
+        got = native.emd_exact(cost)
+        assert 0 <= got <= 1
+
+    def test_validates_device_sinkhorn(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(5)
+        cost = (rng.rand(60, 40) * 0.5).astype(np.float32)
+        exact = native.emd_exact(cost)
+        approx = float(
+            emd_ops.batched_emd(
+                jnp.asarray(cost), jnp.ones(60, bool), jnp.ones((1, 40), bool),
+                row_bucket=64, col_bucket=64,
+            )[0]
+        )
+        assert abs(approx - exact) < 5e-3
+
+
+class TestAssignmentExact:
+    @pytest.mark.parametrize("seed,t,n", [(0, 10, 10), (1, 15, 40), (2, 60, 80)])
+    def test_matches_scipy(self, seed, t, n):
+        from scipy.optimize import linear_sum_assignment
+
+        rng = np.random.RandomState(seed)
+        s = rng.rand(t, n)
+        cols = native.assignment_exact(s)
+        assert len(set(cols.tolist())) == t
+        ri, ci = linear_sum_assignment(s, maximize=True)
+        np.testing.assert_allclose(
+            s[np.arange(t), cols].sum(), s[ri, ci].sum(), rtol=1e-12
+        )
+
+
+class TestRle:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        mask = (rng.rand(37, 53) > 0.6).astype(np.uint8)
+        rle = native.rle_encode(mask)
+        back = native.rle_decode(rle)
+        np.testing.assert_array_equal(back, mask)
+        assert sum(rle["counts"]) == 37 * 53
+
+    def test_column_major_semantics(self):
+        # first run counts zeros in column-major order
+        mask = np.zeros((4, 3), np.uint8)
+        mask[0, 1] = 1  # flat col-major index 4
+        rle = native.rle_encode(mask)
+        assert rle["counts"][0] == 4
+        assert rle["counts"][1] == 1
+
+    def test_empty_and_full(self):
+        z = np.zeros((5, 5), np.uint8)
+        assert native.rle_encode(z)["counts"] == [25]
+        f = np.ones((5, 5), np.uint8)
+        assert native.rle_encode(f)["counts"] == [0, 25]
