@@ -68,6 +68,18 @@ def conv_patch_embed(p, images, patch_size: int):
     return y.reshape(b, gh * gw, d)
 
 
+# When True, tapped self-attention uses the fused Pallas kernel
+# (ops.flash_attention) instead of materializing per-head probs in HBM.
+# Enable on TPU via set_attention_impl("pallas").
+_ATTENTION_IMPL = "xla"
+
+
+def set_attention_impl(impl: str):
+    global _ATTENTION_IMPL
+    assert impl in ("xla", "pallas", "pallas_interpret")
+    _ATTENTION_IMPL = impl
+
+
 def mha(p, x, num_heads: int, return_attn: bool = False, mask=None):
     """Multi-head self-attention with optional head-averaged prob tap.
 
@@ -78,6 +90,13 @@ def mha(p, x, num_heads: int, return_attn: bool = False, mask=None):
     b, l, d = x.shape
     head_dim = d // num_heads
     qkv = dense(p["qkv"], x).reshape(b, l, 3, num_heads, head_dim)
+    if return_attn and mask is None and _ATTENTION_IMPL != "xla":
+        from mars_tpu.ops import flash_attention
+
+        out, attn = flash_attention.mha_pallas(
+            qkv, num_heads, interpret=_ATTENTION_IMPL == "pallas_interpret"
+        )
+        return dense(p["proj"], out), attn
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, hd)
     q = q * (head_dim ** -0.5)
     logits = jnp.einsum("blhd,bmhd->bhlm", q, k)
