@@ -86,7 +86,7 @@ def _pad_to_multiple(x, mult, axis=0, fill=0):
     return jnp.pad(x, widths, constant_values=fill)
 
 
-@partial(jax.jit, static_argnames=("model_cfg", "cfg", "original_size", "use_box", "use_mask_input"))
+@partial(jax.jit, static_argnames=("model_cfg", "cfg", "original_size", "use_box", "use_mask_input", "dense_grid"))
 def decode_prompt_sets(
     params,
     embedding: jnp.ndarray,  # (G, G, C)
@@ -203,3 +203,23 @@ def grid_points(points_per_side: int, original_size: Tuple[int, int]) -> jnp.nda
     gx, gy = jnp.meshgrid(ax, ax, indexing="xy")
     pts = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
     return pts * jnp.asarray([original_size[1], original_size[0]], jnp.float32)
+
+
+def generate_dense(
+    params,
+    embedding: jnp.ndarray,
+    model_cfg,
+    cfg: AmgConfig,
+    original_size: Tuple[int, int] = (518, 518),
+) -> dict:
+    """The classic grid AMG sweep (reference _process_crop dense_pred branch
+    :326-330 + _process_batch :385-453): points_per_side² single-point
+    prompts, decoded in batches, filtered, NMS'd.  Returns the same dict as
+    ``decode_prompt_sets`` (already NMS-filtered)."""
+    pts = grid_points(cfg.points_per_side, original_size)[:, None, :]  # (n², 1, 2)
+    labels = jnp.ones((pts.shape[0], 1), jnp.int32)
+    data = decode_prompt_sets(
+        params, embedding, pts, labels, jnp.ones((pts.shape[0],), bool),
+        model_cfg, cfg, original_size=original_size, dense_grid=True,
+    )
+    return nms_filter(data, cfg.box_nms_thresh)

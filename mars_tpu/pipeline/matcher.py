@@ -51,6 +51,10 @@ class MatcherConfig:
     sample_range: Tuple[int, int] = (4, 6)
     max_sample_iterations: int = 30
     use_box: bool = False
+    # negative priors (reference :304-417,643-660)
+    use_negative_priors_from_discarded: bool = False
+    use_negative_priors_from_cost: bool = False
+    merge_prompt_types: bool = False
     # mask scoring (reference :719-720): score = α·emd + β·purity·coverage^exp
     alpha: float = 1.0
     beta: float = 0.0
@@ -86,6 +90,8 @@ def bidirectional_match(s_mat: jnp.ndarray, support_fg: jnp.ndarray):
                    (with the all-discarded fallback keeping everything,
                    reference :486-498)
       sim:         similarity of the forward pair
+      retained_raw: retained before the fallback (negative-prior source,
+                   reference :304-348)
     """
     r, l = s_mat.shape
     t = jnp.sum(support_fg)
@@ -115,11 +121,11 @@ def bidirectional_match(s_mat: jnp.ndarray, support_fg: jnp.ndarray):
 
     # reverse: matched query columns compete for support patches (all R cols)
     rev = assignment.auction_assignment(s_mat.T, pair_valid)  # (L,) → row in R
-    retained = pair_valid & support_fg[jnp.clip(rev, 0, r - 1)] & (rev >= 0)
+    retained_raw = pair_valid & support_fg[jnp.clip(rev, 0, r - 1)] & (rev >= 0)
     retained = jax.lax.cond(
-        jnp.any(retained), lambda: retained, lambda: pair_valid
+        jnp.any(retained_raw), lambda: retained_raw, lambda: pair_valid
     )
-    return matched_row, pair_valid, retained, sim
+    return matched_row, pair_valid, retained, sim, retained_raw
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -130,7 +136,7 @@ def matched_points(s_mat, support_fg, cfg: MatcherConfig):
     """
     l = s_mat.shape[1]
     g = cfg.grid
-    _, _, retained, sim = bidirectional_match(s_mat, support_fg)
+    _, _, retained, sim, _ = bidirectional_match(s_mat, support_fg)
 
     n_pos = jnp.sum(retained)
     reduced = jnp.where(n_pos > 40, n_pos // 2, n_pos)
@@ -143,6 +149,91 @@ def matched_points(s_mat, support_fg, cfg: MatcherConfig):
     y = (j // g) * cfg.patch_size + cfg.patch_size // 2
     points = jnp.stack([x, y], axis=-1).astype(jnp.float32)
     return points, keep
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def negative_points_from_discarded(s_mat, support_fg, cfg: MatcherConfig):
+    """Negative priors = forward pairs whose reverse match fell OUTSIDE the
+    support mask, keeping the (half of the) LEAST similar ones (reference
+    sample_negative_points_from_discarded :304-348).
+
+    Returns (points (L, 2), neg_valid (L,))."""
+    l = s_mat.shape[1]
+    g = cfg.grid
+    _, pair_valid, _, sim, retained_raw = bidirectional_match(s_mat, support_fg)
+    # the raw (pre-fallback) discarded set: reference uses isin(..., invert)
+    discarded = pair_valid & ~retained_raw
+    n = jnp.sum(discarded)
+    reduced = jnp.where(n > 40, n // 2, n)
+    order = jnp.argsort(jnp.where(discarded, sim, jnp.inf))  # ascending sim
+    rank = jnp.zeros((l,), jnp.int32).at[order].set(jnp.arange(l, dtype=jnp.int32))
+    keep = discarded & (rank < reduced)
+    j = jnp.arange(l, dtype=jnp.int32)
+    pts = jnp.stack([(j % g) * cfg.patch_size + cfg.patch_size // 2,
+                     (j // g) * cfg.patch_size + cfg.patch_size // 2], -1).astype(jnp.float32)
+    return pts, keep
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def negative_points_from_cost(cost, support_fg, cfg: MatcherConfig):
+    """Negative priors from maximizing the COST matrix: most-dissimilar
+    forward matches whose reverse match is outside the mask, top-half by
+    cost descending (reference sample_negative_points_from_cost :350-417)."""
+    l = cost.shape[1]
+    g = cfg.grid
+    r = cost.shape[0]
+    cols = assignment.auction_assignment(cost, jnp.ones((r,), bool))
+    tgt = jnp.where(cols >= 0, cols, l)
+    matched_row = jnp.full((l,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(r, dtype=jnp.int32), mode="drop")
+    pair_valid = matched_row >= 0
+    cost_f = jnp.where(pair_valid, cost[jnp.clip(matched_row, 0, r - 1), jnp.arange(l)], -jnp.inf)
+    rev = assignment.auction_assignment(cost.T, pair_valid)
+    outside = pair_valid & ~support_fg[jnp.clip(rev, 0, r - 1)]
+    # reference keeps ALL matched pairs' costs but filters to `outside` when
+    # any exist; the top-half is then taken over the FULL matched set
+    # (indices_forward_neg_f, :388-396) — mirror that quirk
+    n = jnp.sum(pair_valid)
+    reduced = jnp.where(n > 40, n // 2, n)
+    order = jnp.argsort(jnp.where(pair_valid, -cost_f, jnp.inf))
+    rank = jnp.zeros((l,), jnp.int32).at[order].set(jnp.arange(l, dtype=jnp.int32))
+    keep = pair_valid & (rank < reduced)
+    j = jnp.arange(l, dtype=jnp.int32)
+    pts = jnp.stack([(j % g) * cfg.patch_size + cfg.patch_size // 2,
+                     (j // g) * cfg.patch_size + cfg.patch_size // 2], -1).astype(jnp.float32)
+    return pts, keep
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def co_sample_negatives(key, set_valid, neg_points, neg_valid, cfg: MatcherConfig):
+    """For each prompt set, draw as many negative points as its size
+    (reference :1243-1267: without replacement when >8 negatives exist,
+    with replacement otherwise).  Returns (coords (B, K, 2), labels (B, K))
+    with label 0, padded with -1; sizes follow prompt_set_sizes."""
+    sizes = jnp.asarray(prompt_set_sizes(cfg))
+    b = sizes.shape[0]
+    k = cfg.sample_range[1]
+    l = neg_points.shape[0]
+    n_neg = jnp.sum(neg_valid)
+    order = jnp.argsort(~neg_valid, stable=True)
+    pts_c = neg_points[order]
+
+    kb = jax.random.split(key, b)
+
+    def draw(kk):
+        g = jax.random.gumbel(kk, (l,))
+        g = jnp.where(jnp.arange(l) < n_neg, g, -jnp.inf)
+        wo = jnp.argsort(-g)[:k]  # without replacement
+        wr = jax.random.categorical(
+            kk, jnp.where(jnp.arange(l) < n_neg, 0.0, -jnp.inf), shape=(k,)
+        )  # with replacement
+        return jnp.where(n_neg > 8, wo, wr)
+
+    idx = jax.vmap(draw)(kb)  # (B, K)
+    in_set = jnp.arange(k)[None, :] < sizes[:, None]
+    coords = jnp.where(in_set[..., None], pts_c[idx], 0.0)
+    labels = jnp.where(in_set & (n_neg > 0), 0, -1).astype(jnp.int32)
+    return coords, labels
 
 
 # ---------------------------------------------------------------------------
@@ -396,6 +487,30 @@ def generate_proposals(
 
     coords, labels, set_valid = sample_prompt_sets(k2, prompt_pts, prompt_valid, cfg)
 
+    # negative priors: per prompt set, co-sample an equal number of label-0
+    # points from each active negative source (reference :643-660); with
+    # merge_prompt_types the plain positive sets are decoded as well
+    use_negs = cfg.use_negative_priors_from_discarded or cfg.use_negative_priors_from_cost
+    groups = []  # (coords, labels, valid) per prompt family
+    if use_negs:
+        neg_sources = []
+        if cfg.use_negative_priors_from_discarded:
+            neg_sources.append(negative_points_from_discarded(s_mat, support_fg, cfg))
+        if cfg.use_negative_priors_from_cost:
+            neg_sources.append(negative_points_from_cost(cost, support_fg, cfg))
+        for si, (neg_pts, neg_valid) in enumerate(neg_sources):
+            key, kn = jax.random.split(key)
+            ncoords, nlabels = co_sample_negatives(kn, set_valid, neg_pts, neg_valid, cfg)
+            groups.append((
+                jnp.concatenate([coords, ncoords], axis=1),
+                jnp.concatenate([labels, nlabels], axis=1),
+                set_valid,
+            ))
+        if cfg.merge_prompt_types:
+            groups.append((coords, labels, set_valid))
+    else:
+        groups.append((coords, labels, set_valid))
+
     box = None
     if cfg.use_box:
         xv = jnp.where(point_valid, points[:, 0], jnp.inf)
@@ -410,19 +525,26 @@ def generate_proposals(
     embedding = amg.encode_target(sam_params, query_image, sam_cfg)
 
     # decode size-homogeneous groups so each prompt set carries exactly i
-    # points + SAM's single pad point, matching the reference's per-size
-    # batches (reference :1276-1295, _process_sel_batch)
+    # positive (+ i negative) points + SAM's single pad point, matching the
+    # reference's per-size batches (reference :1276-1295, _process_sel_batch)
     sizes_np = prompt_set_sizes(cfg)
+    kmax = cfg.sample_range[1]
     results = []
-    for i in sorted(set(sizes_np.tolist())):
-        rows = np.nonzero(sizes_np == i)[0]
-        dec_i = amg.decode_prompt_sets(
-            sam_params, embedding, coords[rows][:, :i], labels[rows][:, :i],
-            set_valid[rows], sam_cfg, amg_cfg,
-            original_size=(cfg.input_size, cfg.input_size),
-            box=box, use_box=cfg.use_box,
-        )
-        results.append(dec_i)
+    for gcoords, glabels, gvalid in groups:
+        with_negs = gcoords.shape[1] > kmax
+        for i in sorted(set(sizes_np.tolist())):
+            rows = np.nonzero(sizes_np == i)[0]
+            cols_sel = list(range(i)) + (
+                list(range(kmax, kmax + i)) if with_negs else []
+            )
+            dec_i = amg.decode_prompt_sets(
+                sam_params, embedding,
+                gcoords[rows][:, cols_sel], glabels[rows][:, cols_sel],
+                gvalid[rows], sam_cfg, amg_cfg,
+                original_size=(cfg.input_size, cfg.input_size),
+                box=box, use_box=cfg.use_box,
+            )
+            results.append(dec_i)
     dec = amg.concat_decodes(results)
     dec = amg.nms_filter(dec, amg_cfg.box_nms_thresh)
 
@@ -448,4 +570,17 @@ def generate_proposals(
         "support_fg": support_fg,
         "points": points,
         "point_valid": point_valid,
+        # internal-state telemetry (reference Matcher getters :1039-1095)
+        "telemetry": {
+            "n_support_patches": jnp.sum(support_fg),
+            "n_matched_points": jnp.sum(point_valid),
+            "n_prompt_sets": jnp.sum(set_valid) * len(groups),
+            "n_proposals": jnp.sum(dec["valid"]),
+            "n_merged": jnp.sum(chosen),
+            "positive_points_inside_mask": jnp.sum(
+                point_valid
+                & (merged[jnp.clip(points[:, 1].astype(jnp.int32), 0, merged.shape[0] - 1),
+                          jnp.clip(points[:, 0].astype(jnp.int32), 0, merged.shape[1] - 1)] > 0)
+            ),
+        },
     }

@@ -149,3 +149,113 @@ class TestEndToEnd:
         assert np.asarray(out["merged"]).shape == (56, 56)
         # at least one proposal should be live with zeroed thresholds
         assert np.asarray(out["proposal_valid"]).sum() >= 1
+
+
+class TestNegativePriors:
+    def test_negatives_disjoint_from_positives(self):
+        rng = np.random.RandomState(3)
+        l = 25
+        s = rng.rand(l, l).astype(np.float32)
+        fg = rng.rand(l) > 0.5
+        cfg = matcher.MatcherConfig(grid=5, patch_size=4, input_size=20)
+        _, pos = matcher.matched_points(jnp.asarray(s), jnp.asarray(fg), cfg)
+        _, neg = matcher.negative_points_from_discarded(
+            jnp.asarray(s), jnp.asarray(fg), cfg
+        )
+        # discarded-negatives are forward pairs NOT retained → can't overlap
+        # with the retained-positive set unless the fallback fired
+        overlap = np.asarray(pos) & np.asarray(neg)
+        if np.asarray(neg).any():
+            assert not overlap.any()
+
+    def test_cost_negatives_shape(self):
+        rng = np.random.RandomState(4)
+        l = 16
+        cost = rng.rand(l, l).astype(np.float32) * 0.5
+        fg = rng.rand(l) > 0.5
+        cfg = matcher.MatcherConfig(grid=4, patch_size=4, input_size=16)
+        pts, keep = matcher.negative_points_from_cost(
+            jnp.asarray(cost), jnp.asarray(fg), cfg
+        )
+        assert pts.shape == (l, 2)
+        assert np.asarray(keep).dtype == bool
+
+    def test_co_sample_negatives(self):
+        cfg = matcher.MatcherConfig(sample_range=(2, 3), max_sample_iterations=4)
+        l = 20
+        neg_pts = np.arange(l * 2).reshape(l, 2).astype(np.float32)
+        neg_valid = np.zeros(l, bool)
+        neg_valid[:5] = True
+        sizes = matcher.prompt_set_sizes(cfg)
+        coords, labels = matcher.co_sample_negatives(
+            jax.random.PRNGKey(0), jnp.ones(len(sizes), bool),
+            jnp.asarray(neg_pts), jnp.asarray(neg_valid), cfg,
+        )
+        lv = np.asarray(labels)
+        assert coords.shape == (len(sizes), 3, 2)
+        for r in range(len(sizes)):
+            assert (lv[r] == 0).sum() == sizes[r]
+        # all drawn negatives come from the valid pool (first 5 points)
+        cv = np.asarray(coords)
+        assert cv[lv == 0].max() < 10
+
+
+class TestDenseGrid:
+    def test_generate_dense_smoke(self):
+        key = jax.random.PRNGKey(0)
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        ks = jax.random.split(key, 3)
+        params = {
+            "encoder": sam.init_encoder_params(ks[0], scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(ks[1], scfg),
+            "decoder": sam.init_decoder_params(ks[2], scfg),
+        }
+        acfg = amg.AmgConfig(points_per_side=4, pred_iou_thresh=0.0,
+                             stability_score_thresh=0.0, decode_batch=8)
+        img = jax.random.uniform(ks[2], (56, 56, 3))
+        emb = amg.encode_target(params, img, scfg)
+        out = amg.generate_dense(params, emb, scfg, acfg, original_size=(56, 56))
+        assert out["masks"].shape[0] == 48  # 4x4 grid x 3 multimask slots
+        assert np.isfinite(np.asarray(out["iou"])).all()
+
+
+class TestNegativeEndToEnd:
+    def test_generate_with_negative_priors(self):
+        key = jax.random.PRNGKey(0)
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        dino_params = dinov2.init_params(k1, dcfg)
+        sam_params = {
+            "encoder": sam.init_encoder_params(k2, scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(k3, scfg),
+            "decoder": sam.init_decoder_params(k4, scfg),
+        }
+        mcfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(2, 3), max_sample_iterations=2,
+            emd_row_bucket=16, emd_col_bucket=16,
+            use_negative_priors_from_discarded=True, merge_prompt_types=True,
+        )
+        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
+                             sel_stability_score_thresh=0.0, decode_batch=8)
+        sup = jax.random.uniform(k5, (1, 56, 56, 3))
+        qry = jax.random.uniform(jax.random.PRNGKey(9), (56, 56, 3))
+        masks = jnp.zeros((1, 56, 56)).at[:, 10:30, 10:30].set(1.0)
+        out = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, jnp.ones((1,), bool), qry,
+        )
+        assert np.isfinite(np.asarray(out["merged"])).all()
+        assert int(out["telemetry"]["n_prompt_sets"]) >= 0
