@@ -94,6 +94,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     np.random.seed(args.seed)
+    if args.mask_proposals_path and not os.path.isdir(args.mask_proposals_path):
+        raise SystemExit(
+            f"--mask-proposals-path does not exist: {args.mask_proposals_path}"
+        )
     ds = build_dataset(args.benchmark, args.datapath, args.fold, "test", args.nshot,
                        args.seed)
     model = build_model(args)

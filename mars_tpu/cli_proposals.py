@@ -1,0 +1,85 @@
+"""Offline proposal generation: the Matcher → proposal-dump step.
+
+The reference evaluation flow consumes precomputed proposal stacks
+('{fold}_{idx}.pt', main_MARS.py:62,116 — "unmerged_unfiltered" =
+Matcher.unfiltered_generated_masks, Matcher.py:728-729) but ships NO driver
+for producing them (SURVEY §1 L4).  This CLI is that missing driver: it runs
+the TPU Matcher over a benchmark fold and writes one compressed .npz per
+episode with the post-NMS proposal stack + metadata.
+
+  python -m mars_tpu.cli_proposals --benchmark synthetic --episodes 4 \
+      --out /tmp/props
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mars_tpu.data import build_dataset, to_device_episode
+from mars_tpu.models import zoo
+from mars_tpu.pipeline import amg, matcher
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("mars_tpu offline proposal generation")
+    p.add_argument("--benchmark", default="synthetic")
+    p.add_argument("--datapath", default="")
+    p.add_argument("--models-path", default=None)
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--nshot", type=int, default=1)
+    p.add_argument("--input-size", type=int, default=518)
+    p.add_argument("--episodes", type=int, default=0)
+    p.add_argument("--sam-size", default="vit_h")
+    p.add_argument("--dino-backbone", default="vit_large")
+    p.add_argument("--num-regs", type=int, default=4)
+    p.add_argument("--use-centers", action="store_true")
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    ds = build_dataset(args.benchmark, args.datapath, args.fold, "test",
+                       args.nshot, args.seed)
+    dino_params, dino_cfg = zoo.build_dinov2(args.models_path, args.dino_backbone,
+                                             args.num_regs)
+    sam_params, sam_cfg = zoo.build_sam(args.models_path, args.sam_size)
+    g = args.input_size // dino_cfg.patch_size
+    mcfg = matcher.MatcherConfig(
+        input_size=args.input_size, grid=g,
+        patch_size=dino_cfg.patch_size,
+        use_points_or_centers=not args.use_centers,
+    )
+    acfg = amg.AmgConfig()
+    os.makedirs(args.out, exist_ok=True)
+
+    key = jax.random.PRNGKey(args.seed)
+    n = args.episodes or len(ds)
+    for idx in range(n):
+        rec = ds[idx]
+        ep = to_device_episode(rec, args.input_size, args.nshot)
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        out = matcher.generate_proposals(
+            k, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
+            ep.support_images, ep.support_masks, ep.support_valid, ep.query_image,
+        )
+        valid = np.asarray(out["proposal_valid"])
+        masks = np.asarray(out["proposal_masks"])[valid]
+        np.savez_compressed(
+            os.path.join(args.out, f"{args.fold}_{idx}.npz"),
+            masks=masks.astype(np.uint8),
+            iou=np.asarray(out["iou"])[valid],
+            stability=np.asarray(out["stability"])[valid],
+            emd=np.asarray(out["emd_score"])[valid],
+            merged=np.asarray(out["merged"]).astype(np.uint8),
+            class_id=rec.class_id,
+        )
+        print(f"[{idx + 1}/{n}] {valid.sum()} proposals  {time.time() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,36 @@ def load_torch_state_dict(path: str) -> dict:
     return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}
 
 
+def save_params(params, path: str) -> None:
+    """Persist a converted param pytree with orbax (conversion runs once;
+    subsequent loads skip torch entirely)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def _cached_convert(cache_dir: Optional[str], name: str, convert_fn):
+    """orbax-cache wrapper around a torch→flax conversion."""
+    if cache_dir:
+        cache = os.path.join(cache_dir, name)
+        if os.path.exists(cache):
+            return load_params(cache)
+    params = convert_fn()
+    if cache_dir and params is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        save_params(params, os.path.join(cache_dir, name))
+    return params
+
+
 def build_dinov2(models_path: Optional[str] = None, variant: str = "vit_large",
                  num_register_tokens: int = 4, seed: int = 0):
     cfg = dinov2.DINOV2_VARIANTS[variant]

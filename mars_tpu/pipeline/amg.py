@@ -51,6 +51,7 @@ class AmgConfig:
     decode_batch: int = 32
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def encode_target(params, image01: jnp.ndarray, cfg: sam.SamConfig):
     """image01: (H, W, 3) raw [0,1] → (G, G, C) embedding.
 
@@ -59,7 +60,7 @@ def encode_target(params, image01: jnp.ndarray, cfg: sam.SamConfig):
     """
     s = cfg.img_size
     img = jax.image.resize(image01 * 255.0, (s, s, 3), "bilinear")
-    img = (img - sam.SAM_PIXEL_MEAN) / sam.SAM_PIXEL_STD
+    img = (img - jnp.asarray(sam.SAM_PIXEL_MEAN)) / jnp.asarray(sam.SAM_PIXEL_STD)
     return sam.encode_image(params["encoder"], img[None], cfg)[0]
 
 

@@ -15,6 +15,7 @@ per episode; the only host work is the VLM text step and tokenization.
 from __future__ import annotations
 
 import time
+from functools import partial
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -83,8 +84,17 @@ class Mars:
 
     def _alpha_clip_text_feats(self, text: str):
         tok = jnp.asarray(tokenizer.tokenize([text]))
-        feats = clip_m.encode_text(self.ac_t, tok, self.ac_tcfg)
-        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+        # jitted: eager op-by-op execution is pathological on remote-attached
+        # devices (every op is a host round trip)
+        @jax.jit
+        def enc(params, tok):
+            feats = clip_m.encode_text(params, tok, self.ac_tcfg)
+            return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+        if not hasattr(self, "_ac_text_jit"):
+            self._ac_text_jit = enc
+        return self._ac_text_jit(self.ac_t, tok)
 
     def predict(
         self,
@@ -112,8 +122,15 @@ class Mars:
         )
         # nearest-resize VTA to the VVA grid + min-max (reference :77-82)
         g = self.cfg.vva.grid
-        vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
-        vta_prior = (vta_prior - vta_prior.min()) / (1e-7 + vta_prior.max() - vta_prior.min())
+
+        @partial(jax.jit, static_argnames=("g",))
+        def _resize_scale(x, g):
+            x = imaging.interpolate_2d(x, (g, g), "nearest")
+            return (x - x.min()) / (1e-7 + x.max() - x.min())
+
+        if not hasattr(self, "_resize_scale_jit"):
+            self._resize_scale_jit = _resize_scale
+        vta_prior = self._resize_scale_jit(vta_prior, g)
 
         ac_text = self._alpha_clip_text_feats(
             prompt_data.alpha_clip_text(class_name, class_description)

@@ -429,27 +429,13 @@ def filter_and_merge(
 # end-to-end proposal generation
 # ---------------------------------------------------------------------------
 
-def generate_proposals(
-    key,
-    dino_params,
-    dino_cfg: dinov2.DinoV2Config,
-    sam_params,  # {"encoder","prompt_encoder","decoder"}
-    sam_cfg: sam.SamConfig,
-    amg_cfg: amg.AmgConfig,
-    cfg: MatcherConfig,
-    support_images: jnp.ndarray,  # (S, H, W, 3) raw [0,1]
-    support_masks: jnp.ndarray,  # (S, H, W)
-    support_valid: jnp.ndarray,  # (S,)
-    query_image: jnp.ndarray,  # (H, W, 3) raw [0,1]
-):
-    """Full Matcher flow (reference Matcher.predict :216-249).
-
-    Returns dict with proposal masks (N, H, W) bool + valid, scores,
-    merged prediction, and the cost matrix / support footprint (reusable
-    by the MARS ranking stage).
-    """
-    g = cfg.grid
-    # empty-support fallback: centered 14x14 square (reference :141-154)
+@partial(jax.jit, static_argnames=("dino_cfg", "grid"))
+def _features_and_matrices(dino_params, support_images, support_masks,
+                           support_valid, query_image, dino_cfg, grid):
+    """Feature extraction + similarity/cost matrices + pooled support mask,
+    in one compiled graph (reference extract_img_feats :251-302 + the
+    empty-support fallback :141-154 and avg-pool>0 :173-180)."""
+    # empty-support fallback: centered 14x14 square
     empty = jnp.sum(support_masks) == 0
     h, w = support_masks.shape[-2:]
     square = jnp.zeros_like(support_masks).at[
@@ -465,10 +451,35 @@ def generate_proposals(
     s_mat = jnp.matmul(sup, qry.T, precision=_P)
     cost = (1.0 - s_mat) / 2.0
 
-    pooled = imaging.pool_mask_to_grid(support_masks, g) > 0
+    pooled = imaging.pool_mask_to_grid(support_masks, grid) > 0
     pooled = pooled & support_valid[:, None, None]
-    support_fg = pooled.reshape(-1)
+    return s_mat, cost, pooled.reshape(-1)
 
+def generate_proposals(
+    key,
+    dino_params,
+    dino_cfg: dinov2.DinoV2Config,
+    sam_params,  # {"encoder","prompt_encoder","decoder"}
+    sam_cfg: sam.SamConfig,
+    amg_cfg: amg.AmgConfig,
+    cfg: MatcherConfig,
+    support_images: jnp.ndarray,  # (S, H, W, 3) raw [0,1]
+    support_masks: jnp.ndarray,  # (S, H, W)
+    support_valid: jnp.ndarray,  # (S,)
+    query_image: jnp.ndarray,  # (H, W, 3) raw [0,1]
+    target_mask_low_res: Optional[jnp.ndarray] = None,  # (4G, 4G) cascade
+):
+    """Full Matcher flow (reference Matcher.predict :216-249).
+
+    Returns dict with proposal masks (N, H, W) bool + valid, scores,
+    merged prediction, and the cost matrix / support footprint (reusable
+    by the MARS ranking stage).
+    """
+    g = cfg.grid
+    s_mat, cost, support_fg = _features_and_matrices(
+        dino_params, support_images, support_masks, support_valid, query_image,
+        dino_cfg, g,
+    )
     points, point_valid = matched_points(s_mat, support_fg, cfg)
 
     key, k1, k2 = jax.random.split(key, 3)
@@ -548,6 +559,30 @@ def generate_proposals(
     dec = amg.concat_decodes(results)
     dec = amg.nms_filter(dec, amg_cfg.box_nms_thresh)
 
+    if target_mask_low_res is not None:
+        # cascaded post-refinement (reference: Matcher target_mask plumbing
+        # :216,675 + AMG select_mask_input/stored-feature cache
+        # automatic_mask_generator.py:157,312-317,490-495): re-decode the
+        # same prompt sets conditioned on the previous prediction's low-res
+        # logits, reusing the cached image embedding.
+        results = []
+        for gcoords, glabels, gvalid in groups:
+            with_negs = gcoords.shape[1] > kmax
+            for i in sorted(set(sizes_np.tolist())):
+                rows = np.nonzero(sizes_np == i)[0]
+                cols_sel = list(range(i)) + (
+                    list(range(kmax, kmax + i)) if with_negs else []
+                )
+                results.append(amg.decode_prompt_sets(
+                    sam_params, embedding,
+                    gcoords[rows][:, cols_sel], glabels[rows][:, cols_sel],
+                    gvalid[rows], sam_cfg, amg_cfg,
+                    original_size=(cfg.input_size, cfg.input_size),
+                    box=box, use_box=cfg.use_box,
+                    mask_input=target_mask_low_res, use_mask_input=True,
+                ))
+        dec = amg.nms_filter(amg.concat_decodes(results), amg_cfg.box_nms_thresh)
+
     emd_score, purity, coverage = score_masks(
         dec["masks"], dec["valid"], points, point_valid, support_fg, cost, cfg
     )
@@ -568,6 +603,7 @@ def generate_proposals(
         "chosen": chosen,
         "cost_matrix": cost,
         "support_fg": support_fg,
+        "embedding": embedding,  # reusable for cascaded refinement
         "points": points,
         "point_valid": point_valid,
         # internal-state telemetry (reference Matcher getters :1039-1095)

@@ -74,6 +74,7 @@ def compute(
     return pir.refine(cam, attn_mean[0], cfg.refinement_box_threshold)
 
 
+@partial(jax.jit, static_argnames=("text_cfg",))
 def compute_text_feats(text_params, text_cfg, fg_tokens, bg_tokens):
     """Template-averaged fg/bg prompt features
     (reference SoftmaxGradCAM.compute_text_feats:63-109).
