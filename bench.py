@@ -44,6 +44,18 @@ def main():
     ac_v = clip_m.init_visual_params(ks[2], avcfg)
     logit_scale = jnp.float32(np.log(1 / 0.07))
 
+    # production precision: bf16 tower weights (the reference runs fp16 on
+    # GPU); LN/softmax/PIR/EMD stay f32 by construction (models.precision)
+    import os as _os
+
+    dtype_name = _os.environ.get("MARS_BENCH_DTYPE", "bfloat16")
+    if dtype_name == "bfloat16":
+        from mars_tpu.models.precision import cast_floating
+
+        dino_params = cast_floating(dino_params)
+        clip_v = cast_floating(clip_v)
+        ac_v = cast_floating(ac_v)
+
     vva_cfg = vva_m.VVAConfig()
     vta_cfg = vta_m.VTAConfig()
     fm_cfg = filtering.FilterMergeConfig()

@@ -90,6 +90,9 @@ def main(argv=None):
                    help="use dataset class names instead of the VLM")
     p.add_argument("--vlm-path", default="llava-hf/vip-llava-7b-hf")
     p.add_argument("--log-path", default="output")
+    p.add_argument("--bad-preds-path", default=None,
+                   help="per-fold known-bad episode index list (one idx per "
+                        "line, reference datasets/COCO2014/fold{f}_badPredsIdxs.txt)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -105,6 +108,11 @@ def main(argv=None):
     os.makedirs(args.log_path, exist_ok=True)
     timing_rows = []
     rng = np.random.RandomState(args.seed)
+    # curated hard-case regression subset (reference mars/utils/logger.py:80-127)
+    bad_idxs = set()
+    if args.bad_preds_path and os.path.exists(args.bad_preds_path):
+        with open(args.bad_preds_path) as f:
+            bad_idxs = {int(x) for x in f.read().split() if x.strip()}
 
     n = args.episodes or len(ds)
     for idx in range(n):
@@ -119,6 +127,8 @@ def main(argv=None):
         gt, ig = resized_gt(rec, args.input_size)
         inter, union = evaluation.classify_prediction(pred, gt, ig)
         meter.update(inter, union, rec.class_id)
+        if idx in bad_idxs:
+            meter.update_bad_preds(inter, union, rec.class_id)
         timing_rows.append(
             [idx, model.timings["total"], model.timings["after_text_extraction"],
              int(np.asarray(props.valid).sum())]
@@ -135,6 +145,9 @@ def main(argv=None):
     miou, fb, per_class = meter.compute_iou()
     avg_t = float(np.mean([r[1] for r in timing_rows]))
     print(f"\n*** mIoU: {miou:.2f}  FB-IoU: {fb:.2f}  avg time/img: {avg_t:.3f}s ***")
+    if meter.bad_class_ids:
+        bmiou, bfb, _ = meter.compute_iou_bad_preds()
+        print(f"*** known-bad subset — mIoU: {bmiou:.2f}  FB-IoU: {bfb:.2f} ***")
     return miou, fb
 
 

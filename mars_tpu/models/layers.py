@@ -54,9 +54,10 @@ def dense(p, x):
 
 def conv_patch_embed(p, images, patch_size: int):
     """(B, H, W, C) → (B, gh*gw, D) via a stride-p convolution (MXU-friendly:
-    lowered by XLA to one big matmul over p*p*C patches)."""
+    lowered by XLA to one big matmul over p*p*C patches).  Images follow the
+    kernel dtype, so bf16-cast params make the whole tower bf16."""
     y = jax.lax.conv_general_dilated(
-        images,
+        images.astype(p["kernel"].dtype),
         p["kernel"],
         window_strides=(patch_size, patch_size),
         padding="VALID",
@@ -94,16 +95,20 @@ def mha(p, x, num_heads: int, return_attn: bool = False, mask=None):
         from mars_tpu.ops import flash_attention
 
         out, attn = flash_attention.mha_pallas(
-            qkv, num_heads, interpret=_ATTENTION_IMPL == "pallas_interpret"
+            qkv.astype(jnp.float32), num_heads,
+            interpret=_ATTENTION_IMPL == "pallas_interpret",
         )
-        return dense(p["proj"], out), attn
+        return dense(p["proj"], out.astype(x.dtype)), attn
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, hd)
     q = q * (head_dim ** -0.5)
-    logits = jnp.einsum("blhd,bmhd->bhlm", q, k)
+    # logits/softmax in f32 regardless of tower dtype (bf16-safe; the probs
+    # also feed the PIR statistics which must stay f32)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                        preferred_element_type=jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b, l, d)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(x.dtype), v).reshape(b, l, d)
     out = dense(p["proj"], out)
     if return_attn:
         return out, jnp.mean(probs, axis=1)

@@ -86,8 +86,8 @@ def batched_emd(
     col_masks: jnp.ndarray,  # (P, L) bool — per-proposal pooled footprints
     row_bucket: int = 1024,
     col_bucket: int = 512,
-    eps_schedule=(0.2, 0.1, 0.05, 0.02, 0.01, 0.005),
-    iters_per_eps: int = 30,
+    eps_schedule=(0.2, 0.05, 0.012, 0.005),
+    iters_per_eps: int = 25,
 ) -> jnp.ndarray:
     """EMD of every proposal against the support footprint → (P,) float32.
 

@@ -37,6 +37,7 @@ class FilterMergeConfig:
     dynamic_threshold: float = 0.95
     grid: int = 37
     alpha_clip_size: int = 336
+    alpha_clip_batch: int = 32
     emd_row_bucket: int = 1024
     emd_col_bucket: int = 512
 
@@ -59,14 +60,24 @@ def alphaclip_scores(
     s = cfg.alpha_clip_size
     img = imaging.resize(query_image, (s, s), "bicubic")
     img = imaging.normalize(img, imaging.CLIP_MEAN, imaging.CLIP_STD)
-    alphas = imaging.resize(proposal_masks[..., None], (s, s), "bilinear")[..., 0]
+    # torchvision's tensor Resize does NOT antialias (reference
+    # backbone_loader mask_transforms) — and the antialiased 518→336 down-
+    # sample is also ~10x more expensive
+    p = proposal_masks.shape[0]
+    alphas = jax.image.resize(
+        proposal_masks[..., None], (p, s, s, 1), "bilinear", antialias=False
+    )[..., 0]
     alphas = (alphas - 0.5) / 0.26
 
-    def one(alpha):
-        emb = clip_m.visual_cls(params, img[None], model_cfg, alpha=alpha[None])[0]
-        return emb / jnp.linalg.norm(emb)
+    nb = cfg.alpha_clip_batch
+    alphas = alphas.reshape(p // nb, nb, s, s) if p % nb == 0 else alphas[None]
 
-    feats = jax.lax.map(one, alphas, batch_size=32)  # (P, D) — bounded VMEM
+    def chunk(alpha):
+        imgs = jnp.broadcast_to(img[None], (alpha.shape[0],) + img.shape)
+        emb = clip_m.visual_cls(params, imgs, model_cfg, alpha=alpha)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    feats = jax.lax.map(chunk, alphas).reshape(p, -1)
     return feats @ text_feats[0]
 
 

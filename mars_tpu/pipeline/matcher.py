@@ -448,7 +448,7 @@ def _features_and_matrices(dino_params, support_images, support_masks,
     out_q = dinov2.forward_features(dino_params, norm(query_image)[None], dino_cfg)
     sup = dinov2.patch_features(out_s, dino_cfg.num_register_tokens)
     qry = dinov2.patch_features(out_q, dino_cfg.num_register_tokens)
-    s_mat = jnp.matmul(sup, qry.T, precision=_P)
+    s_mat = jnp.matmul(sup.astype(jnp.float32), qry.T.astype(jnp.float32), precision=_P)
     cost = (1.0 - s_mat) / 2.0
 
     pooled = imaging.pool_mask_to_grid(support_masks, grid) > 0

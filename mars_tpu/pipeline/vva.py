@@ -58,7 +58,7 @@ def compute(
     sup = dinov2.patch_features(out_s, model_cfg.num_register_tokens)  # (S*L, D)
     qry = dinov2.patch_features(out_q, model_cfg.num_register_tokens)  # (L, D)
 
-    s_mat = jnp.matmul(sup, qry.T, precision=_P)  # (S*L, L)
+    s_mat = jnp.matmul(sup.astype(jnp.float32), qry.T.astype(jnp.float32), precision=_P)  # (S*L, L)
     cost = (1.0 - s_mat) / 2.0
 
     pooled = imaging.pool_mask_to_grid(support_masks, g) > 0  # (S, g, g)

@@ -117,3 +117,43 @@ class TestMarsIntegration:
         assert model.timings["total"] > 0
         inter, union = evaluation.classify_prediction(pred, gt)
         assert np.isfinite(inter).all()
+
+
+class TestMultiShot:
+    def test_vva_two_shots_with_padding(self):
+        """2 real shots + 1 padded shot: padded shot contributes nothing."""
+        from mars_tpu.models import dinov2
+        from mars_tpu.pipeline import vva
+
+        cfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+        vcfg = vva.VVAConfig(grid=4, attn_tap_last_n=2)
+        sup3 = jax.random.uniform(jax.random.PRNGKey(1), (3, 56, 56, 3))
+        qry = jax.random.uniform(jax.random.PRNGKey(2), (56, 56, 3))
+        masks = jnp.zeros((3, 56, 56)).at[:, 10:40, 10:40].set(1.0)
+        valid2 = jnp.asarray([True, True, False])
+        p2, c2, fg2 = vva.compute(params, sup3, masks, valid2, qry, cfg, vcfg)
+        # changing the PADDED shot's content must not change the prior
+        sup3b = sup3.at[2].set(0.12345)
+        p2b, _, fg2b = vva.compute(params, sup3b, masks, valid2, qry, cfg, vcfg)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p2b), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fg2), np.asarray(fg2b))
+        # padded shot's rows are all background-excluded
+        assert not np.asarray(fg2).reshape(3, -1)[2].any()
+
+
+class TestOrbaxCache:
+    def test_save_load_roundtrip(self, tmp_path):
+        from mars_tpu.models import zoo
+
+        params = {"block0": {"attn": {"qkv": {"kernel": jnp.arange(12.0).reshape(3, 4)}}},
+                  "scale": jnp.float32(2.5)}
+        zoo.save_params(params, str(tmp_path / "ck"))
+        back = zoo.load_params(str(tmp_path / "ck"))
+        np.testing.assert_allclose(
+            np.asarray(back["block0"]["attn"]["qkv"]["kernel"]),
+            np.arange(12.0).reshape(3, 4),
+        )

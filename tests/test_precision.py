@@ -1,0 +1,44 @@
+"""bf16 tower path: numerics stay close to f32 (LN/softmax/PIR are f32)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mars_tpu.models import dinov2
+from mars_tpu.models.precision import cast_floating
+from mars_tpu.pipeline import vva
+
+
+def test_dinov2_bf16_close_to_f32():
+    cfg = dinov2.DinoV2Config(
+        patch_size=14, embed_dim=64, depth=3, num_heads=2,
+        num_register_tokens=4, pos_embed_grid=4,
+    )
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 56, 56, 3))
+    ref = dinov2.forward_features(params, x, cfg, attn_tap_last_n=2)
+    out = dinov2.forward_features(cast_floating(params), x, cfg, attn_tap_last_n=2)
+    rel = np.abs(np.asarray(out["x_prenorm"], np.float32) - np.asarray(ref["x_prenorm"])).max()
+    scale = np.abs(np.asarray(ref["x_prenorm"])).max()
+    assert rel / scale < 0.05, (rel, scale)
+    # attn stats stay f32
+    assert out["attn_mean"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out["attn_mean"]), np.asarray(ref["attn_mean"]), atol=0.02
+    )
+
+
+def test_vva_bf16_pipeline():
+    cfg = dinov2.DinoV2Config(
+        patch_size=14, embed_dim=64, depth=2, num_heads=2,
+        num_register_tokens=4, pos_embed_grid=4,
+    )
+    params = cast_floating(dinov2.init_params(jax.random.PRNGKey(0), cfg))
+    vcfg = vva.VVAConfig(grid=4, attn_tap_last_n=2)
+    sup = jax.random.uniform(jax.random.PRNGKey(1), (1, 56, 56, 3))
+    qry = jax.random.uniform(jax.random.PRNGKey(2), (56, 56, 3))
+    masks = jnp.zeros((1, 56, 56)).at[:, 10:40, 10:40].set(1.0)
+    prior, cost, fg = vva.compute(params, sup, masks, jnp.ones(1, bool), qry, cfg, vcfg)
+    assert prior.dtype == jnp.float32
+    assert cost.dtype == jnp.float32
+    assert np.isfinite(np.asarray(prior)).all()
+    assert 0.0 <= float(prior.min()) and float(prior.max()) <= 1.0
