@@ -117,3 +117,66 @@ class TestTrain:
                 t, e, c, l, g, cfg, train_lib.TrainConfig())
         )(tr_sh, *args)
         np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-3)
+
+
+class TestBatchedRanker:
+    def test_episode_parallel_matches_loop(self):
+        """vmapped+sharded ranking == per-episode loop."""
+        from mars_tpu.models import clip as clip_m, dinov2
+        from mars_tpu.parallel import runner
+        from mars_tpu.pipeline import filtering, vta, vva
+
+        g = 4
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        cvcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=3, num_heads=1, output_dim=16,
+            pos_embed_grid=2,
+        )
+        avcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=2, num_heads=1, output_dim=16,
+            pos_embed_grid=2, alpha_channel=True,
+        )
+        vcfg = vva.VVAConfig(grid=g, attn_tap_last_n=2)
+        tcfg = vta.VTAConfig(input_size=64, grid=4, attn_tap_last_n=2)
+        fcfg = filtering.FilterMergeConfig(
+            grid=g, alpha_clip_size=32, alpha_clip_batch=4,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        params = {
+            "dino": dinov2.init_params(ks[0], dcfg),
+            "clip_v": clip_m.init_visual_params(ks[1], cvcfg),
+            "ac_v": clip_m.init_visual_params(ks[2], avcfg),
+            "logit_scale": jnp.float32(1.0),
+        }
+        b, s_img, p = 4, 56, 4
+        sup_i = jax.random.uniform(ks[3], (b, 1, s_img, s_img, 3))
+        sup_m = jnp.zeros((b, 1, s_img, s_img)).at[:, :, 10:40, 10:40].set(1.0)
+        sup_v = jnp.ones((b, 1), bool)
+        qry = jax.random.uniform(ks[4], (b, s_img, s_img, 3))
+        prop_m = (jax.random.uniform(ks[5], (b, p, s_img, s_img)) > 0.7).astype(jnp.float32)
+        prop_v = jnp.ones((b, p), bool)
+        vta_text = jax.random.normal(ks[6], (b, 2, 16))
+        ac_text = jax.random.normal(ks[7], (b, 1, 16))
+        ac_text = ac_text / jnp.linalg.norm(ac_text, axis=-1, keepdims=True)
+
+        m = mesh_lib.make_mesh(n_data=4, n_model=2)
+        ranker = runner.make_batched_ranker(dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg, mesh=m)
+        args = runner.shard_batch(
+            (sup_i, sup_m, sup_v, qry, prop_m, prop_v, vta_text, ac_text), m
+        )
+        merged, scores = ranker(params, *args)
+        assert merged.shape == (b, s_img, s_img)
+
+        # reference: unsharded per-episode loop
+        ranker1 = runner.make_batched_ranker(dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg)
+        merged_ref, scores_ref = ranker1(
+            params, sup_i, sup_m, sup_v, qry, prop_m, prop_v, vta_text, ac_text
+        )
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(merged_ref), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(scores_ref), atol=1e-3
+        )
