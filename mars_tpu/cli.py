@@ -34,6 +34,12 @@ def build_model(args) -> "mars_lib.Mars":
     dino = zoo.build_dinov2(args.models_path, args.dino_backbone, args.num_regs)
     clip = zoo.build_clip_b16(args.models_path)
     ac = zoo.build_alpha_clip(args.models_path)
+    if args.bf16:
+        from mars_tpu.models.precision import cast_floating
+
+        dino = (cast_floating(dino[0]), dino[1])
+        clip = (cast_floating(clip[0]),) + clip[1:]
+        ac = (cast_floating(ac[0]),) + ac[1:]
     retriever = None
     if not args.gt_class_names:
         from mars_tpu.text.retriever import HFVipLlava
@@ -93,6 +99,8 @@ def main(argv=None):
     p.add_argument("--bad-preds-path", default=None,
                    help="per-fold known-bad episode index list (one idx per "
                         "line, reference datasets/COCO2014/fold{f}_badPredsIdxs.txt)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 tower weights (the reference's fp16 analogue)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 

@@ -38,6 +38,7 @@ def main(argv=None):
     p.add_argument("--dino-backbone", default="vit_large")
     p.add_argument("--num-regs", type=int, default=4)
     p.add_argument("--use-centers", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -47,6 +48,11 @@ def main(argv=None):
     dino_params, dino_cfg = zoo.build_dinov2(args.models_path, args.dino_backbone,
                                              args.num_regs)
     sam_params, sam_cfg = zoo.build_sam(args.models_path, args.sam_size)
+    if args.bf16:
+        from mars_tpu.models.precision import cast_floating
+
+        dino_params = cast_floating(dino_params)
+        sam_params = cast_floating(sam_params)
     g = args.input_size // dino_cfg.patch_size
     mcfg = matcher.MatcherConfig(
         input_size=args.input_size, grid=g,
