@@ -19,6 +19,65 @@ from mars_tpu.models import clip as clip_m
 from mars_tpu.models import convert, dinov2, sam
 
 
+def _on_host(init_fn, *args, seed: int = 0):
+    """Fast random init for benchmark/test runs without checkpoints.
+
+    Three pitfalls shape this implementation:
+      - the jax.random-based inits are ~350 threefry ops: eager on a
+        remote-attached TPU that's ~74 s of round trips, and jitting them
+        directly compiles for minutes (huge threefry graph);
+      - building params in numpy pays this sandbox's pathological
+        fresh-page cost (~30 MB/s first touch → ~50 s for 1.2 GB).
+    So: eval_shape the init, then ONE jitted device program draws a single
+    flat uniform buffer and slices/reshapes it into every kernel leaf
+    (norm scales = ones, biases = zeros).  Random weights only back
+    benchmarks, so the distribution is irrelevant.
+    """
+    key, static = args[0], args[1:]  # configs are static, not arrays
+    shapes = jax.eval_shape(lambda k: init_fn(k, *static), key)
+
+    leaf_kinds = []
+
+    def classify(path, leaf):
+        name = ""
+        for k in path:
+            name = getattr(k, "key", getattr(k, "name", str(k)))
+        dtype = np.dtype(leaf.dtype)
+        if name in ("scale", "gamma"):
+            kind = "ones"
+        elif name == "bias" or not np.issubdtype(dtype, np.floating):
+            kind = "zeros"
+        else:
+            kind = "rand"
+        leaf_kinds.append((kind, leaf.shape, dtype))
+        return kind
+
+    kinds_tree = jax.tree_util.tree_map_with_path(classify, shapes)
+    total_rand = sum(int(np.prod(s)) for k, s, _ in leaf_kinds if k == "rand")
+
+    @jax.jit
+    def build(k):
+        flat = jax.random.uniform(k, (max(total_rand, 1),),
+                                  minval=-0.035, maxval=0.035)
+        out = []
+        off = 0
+        for kind, shape, dtype in leaf_kinds:
+            n = int(np.prod(shape))
+            if kind == "ones":
+                out.append(jnp.ones(shape, dtype))
+            elif kind == "zeros":
+                out.append(jnp.zeros(shape, dtype))
+            else:
+                out.append(jax.lax.dynamic_slice(flat, (off,), (n,))
+                           .reshape(shape).astype(dtype))
+                off += n
+        return out
+
+    leaves = build(jax.random.PRNGKey(seed))
+    treedef = jax.tree_util.tree_structure(shapes)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_torch_state_dict(path: str) -> dict:
     """torch .pth/.pt → flat name→numpy dict (host-side; handles both plain
     state_dicts and TorchScript archives like OpenAI CLIP's)."""
@@ -81,7 +140,7 @@ def build_dinov2(models_path: Optional[str] = None, variant: str = "vit_large",
         params = convert.dinov2_to_flax(sd, cfg.depth, cfg.num_register_tokens)
         params = jax.tree.map(jnp.asarray, params)
     else:
-        params = dinov2.init_params(jax.random.PRNGKey(seed), cfg)
+        params = _on_host(dinov2.init_params, jax.random.PRNGKey(seed), cfg)
     return params, cfg
 
 
@@ -95,8 +154,8 @@ def build_clip_b16(models_path: Optional[str] = None, seed: int = 1):
         scale = jnp.asarray(convert.clip_logit_scale(sd))
     else:
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        vp = clip_m.init_visual_params(k1, vcfg)
-        tp = clip_m.init_text_params(k2, tcfg)
+        vp = _on_host(clip_m.init_visual_params, k1, vcfg)
+        tp = _on_host(clip_m.init_text_params, k2, tcfg)
         scale = jnp.float32(np.log(1 / 0.07))
     return vp, tp, scale, vcfg, tcfg
 
@@ -127,8 +186,8 @@ def build_alpha_clip(models_path: Optional[str] = None, seed: int = 2):
         scale = jnp.asarray(convert.clip_logit_scale(norm_sd))
     else:
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        vp = clip_m.init_visual_params(k1, vcfg)
-        tp = clip_m.init_text_params(k2, tcfg)
+        vp = _on_host(clip_m.init_visual_params, k1, vcfg)
+        tp = _on_host(clip_m.init_text_params, k2, tcfg)
         scale = jnp.float32(np.log(1 / 0.07))
     return vp, tp, scale, vcfg, tcfg
 
@@ -149,8 +208,8 @@ def build_sam(models_path: Optional[str] = None, variant: str = "vit_h", seed: i
     else:
         ks = jax.random.split(jax.random.PRNGKey(seed), 3)
         params = {
-            "encoder": sam.init_encoder_params(ks[0], cfg),
-            "prompt_encoder": sam.init_prompt_encoder_params(ks[1], cfg),
-            "decoder": sam.init_decoder_params(ks[2], cfg),
+            "encoder": _on_host(sam.init_encoder_params, ks[0], cfg),
+            "prompt_encoder": _on_host(sam.init_prompt_encoder_params, ks[1], cfg),
+            "decoder": _on_host(sam.init_decoder_params, ks[2], cfg),
         }
     return params, cfg
