@@ -157,3 +157,58 @@ class TestOrbaxCache:
             np.asarray(back["block0"]["attn"]["qkv"]["kernel"]),
             np.arange(12.0).reshape(3, 4),
         )
+
+
+class TestVisualize:
+    def test_plot_episode(self, tmp_path):
+        from mars_tpu.utils import visualize
+
+        rng = np.random.RandomState(0)
+        path = visualize.plot_episode(
+            str(tmp_path / "ep.png"),
+            query_img=rng.randint(0, 255, (64, 64, 3), dtype=np.uint8),
+            support_img=rng.randint(0, 255, (64, 64, 3), dtype=np.uint8),
+            support_mask=(rng.rand(64, 64) > 0.8).astype(np.float32),
+            points=rng.rand(10, 2) * 64,
+            point_valid=np.ones(10, bool),
+            vva=rng.rand(4, 4),
+            vta=rng.rand(4, 4),
+            proposals=(rng.rand(3, 64, 64) > 0.7).astype(np.float32),
+            proposal_valid=np.ones(3, bool),
+            scores=rng.rand(3),
+            merged=(rng.rand(64, 64) > 0.5).astype(np.float32),
+            gt=(rng.rand(64, 64) > 0.5).astype(np.float32),
+            title="test",
+        )
+        import os
+
+        assert os.path.getsize(path) > 1000
+
+
+class TestUtils:
+    def test_stage_timers(self):
+        from mars_tpu.utils.profiling import StageTimers
+
+        t = StageTimers()
+        with t.span("a"):
+            pass
+        with t.span("a"):
+            pass
+        assert t.counts["a"] == 2
+        assert "a=" in t.report()
+
+    def test_logging(self, tmp_path):
+        from mars_tpu.utils import logging as mlog
+
+        logger = mlog.initialize(str(tmp_path), "exp")
+        logger.info("hello")
+        import os
+
+        logpath = logger.logpath
+        with open(os.path.join(logpath, "log.txt")) as f:
+            assert "hello" in f.read()
+        w = mlog.ScalarWriter(logpath)
+        w.write(1, miou=50.0)
+        w.close()
+        with open(w.path) as f:
+            assert "miou" in f.read()
