@@ -38,6 +38,9 @@ class MarsConfig:
     vta: vta.VTAConfig = field(default_factory=vta.VTAConfig)
     filter_merge: filtering.FilterMergeConfig = field(default_factory=filtering.FilterMergeConfig)
     use_multiple_prompts: bool = False
+    # per-stage wall-clock spans (forces a device sync per stage — costs a
+    # few tunnel round trips, so opt-in)
+    profile_stages: bool = False
 
 
 class Mars:
@@ -61,6 +64,9 @@ class Mars:
         self.retriever = retriever
         self.cfg = cfg
         self.timings = {}
+        from mars_tpu.utils.profiling import StageTimers
+
+        self.stage_timers = StageTimers()
 
     # ---------------- host text stage ----------------
 
@@ -109,17 +115,27 @@ class Mars:
             class_name, class_description = self.conceptual_information(episode)
         t1 = time.time()
 
-        vva_prior, cost, support_fg = vva.compute(
-            self.dino_params,
-            episode.support_images, episode.support_masks, episode.support_valid,
-            episode.query_image, self.dino_cfg, self.cfg.vva,
-        )
+        with self.stage_timers.span("vva", None):
+            vva_prior, cost, support_fg = vva.compute(
+                self.dino_params,
+                episode.support_images, episode.support_masks, episode.support_valid,
+                episode.query_image, self.dino_cfg, self.cfg.vva,
+            )
+            if self.cfg.profile_stages:
+                from mars_tpu.utils.profiling import force_sync
 
-        vta_text = self._vta_text_feats(class_name)
-        vta_prior = vta.compute(
-            self.clip_v, episode.query_image, vta_text, self.clip_scale,
-            self.clip_vcfg, self.cfg.vta,
-        )
+                force_sync(vva_prior)
+
+        with self.stage_timers.span("vta", None):
+            vta_text = self._vta_text_feats(class_name)
+            vta_prior = vta.compute(
+                self.clip_v, episode.query_image, vta_text, self.clip_scale,
+                self.clip_vcfg, self.cfg.vta,
+            )
+            if self.cfg.profile_stages:
+                from mars_tpu.utils.profiling import force_sync
+
+                force_sync(vta_prior)
         # nearest-resize VTA to the VVA grid + min-max (reference :77-82)
         g = self.cfg.vva.grid
 
@@ -135,10 +151,15 @@ class Mars:
         ac_text = self._alpha_clip_text_feats(
             prompt_data.alpha_clip_text(class_name, class_description)
         )
-        ac_scores = filtering.alphaclip_scores(
-            self.ac_v, episode.query_image, proposals.masks, ac_text,
-            self.ac_vcfg, self.cfg.filter_merge,
-        )
+        with self.stage_timers.span("alphaclip", None):
+            ac_scores = filtering.alphaclip_scores(
+                self.ac_v, episode.query_image, proposals.masks, ac_text,
+                self.ac_vcfg, self.cfg.filter_merge,
+            )
+            if self.cfg.profile_stages:
+                from mars_tpu.utils.profiling import force_sync
+
+                force_sync(ac_scores)
         merged, scores = filtering.score_and_merge(
             proposals.masks, proposals.valid, support_fg, cost,
             vva_prior, vta_prior, ac_scores, self.cfg.filter_merge,
