@@ -8,10 +8,22 @@ def build_dataset(benchmark: str, datapath: str = "", fold: int = 0,
         from mars_tpu.data.coco import DatasetCOCO20i
 
         return DatasetCOCO20i(datapath, fold, split, shot, seed)
-    if benchmark in ("pascal", "pascal5i"):
+    if benchmark == "pascal5i":
         from mars_tpu.data.pascal5i import DatasetPascal5i
 
         return DatasetPascal5i(datapath, fold, split, shot, seed)
+    if benchmark == "pascal":
+        from mars_tpu.data.pascal import DatasetPascal
+
+        return DatasetPascal(datapath, fold, split, shot, seed)
+    if benchmark == "paco_part":
+        from mars_tpu.data.parts import DatasetPacoPart
+
+        return DatasetPacoPart(datapath, fold, split, shot, seed, **kwargs)
+    if benchmark == "pascal_part":
+        from mars_tpu.data.parts import DatasetPascalPart
+
+        return DatasetPascalPart(datapath, fold, split, shot, seed, **kwargs)
     if benchmark == "fss":
         from mars_tpu.data.fss import DatasetFSS
 

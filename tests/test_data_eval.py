@@ -212,3 +212,70 @@ class TestUtils:
         w.close()
         with open(w.path) as f:
             assert "miou" in f.read()
+
+
+class TestDatasetSplitLogic:
+    """Fold/split math without data on disk."""
+
+    def test_coco_fold_classes(self):
+        from mars_tpu.data.coco import DatasetCOCO20i
+
+        ids = DatasetCOCO20i.__new__(DatasetCOCO20i)
+        ids.split, ids.fold = "val", 2
+        assert ids.build_class_ids() == [2 + 4 * v for v in range(20)]
+        ids.split = "trn"
+        trn = ids.build_class_ids()
+        assert len(trn) == 60 and 2 not in trn
+
+    def test_pascal_plain_fold_classes(self, tmp_path):
+        import os
+
+        from mars_tpu.data.pascal import DatasetPascal
+
+        # minimal split files
+        base = tmp_path / "VOC2012" / "splits" / "val"
+        os.makedirs(base)
+        (base / "fold1.txt").write_text("img_a__6\nimg_b__7\n")
+        ds = DatasetPascal(str(tmp_path), fold=1, split="val", shot=1)
+        assert ds.class_ids == [5, 6, 7, 8, 9]
+        assert ds.img_metadata == [("img_a", 5), ("img_b", 6)]
+
+    def test_parts_episode_with_synthetic_pkls(self, tmp_path):
+        import os
+        import pickle
+
+        import numpy as np
+        from PIL import Image
+
+        from mars_tpu.data.parts import DatasetPacoPart
+
+        base = tmp_path / "PACO-Part"
+        os.makedirs(base / "paco")
+        os.makedirs(base / "coco" / "val")
+        # two images of class 5, each with one object of two part polygons
+        img2anno, cid2img = {}, {5: []}
+        for i in range(3):
+            name = f"val/im{i}.jpg"
+            Image.fromarray(
+                np.random.RandomState(i).randint(0, 255, (40, 40, 3), np.uint8)
+            ).save(base / "coco" / f"val/im{i}.jpg")
+            cid2img[5].append({100 + i: name})
+            img2anno[100 + i] = [
+                {"category_id": 5, "obj_ann_id": 1, "obj_bbox": [5, 5, 25, 25],
+                 "segmentation": [[6, 6, 20, 6, 20, 20]]},
+                {"category_id": 5, "obj_ann_id": 1, "obj_bbox": [5, 5, 25, 25],
+                 "segmentation": [[6, 22, 20, 22, 20, 28]]},
+            ]
+        anno = {"cid2img": cid2img, "img2anno": img2anno}
+        for name in ("paco_part_train.pkl", "paco_part_val.pkl"):
+            with open(base / "paco" / name, "wb") as f:
+                pickle.dump(anno, f)
+
+        # nclass check bypass: patch class count to the synthetic set
+        DatasetPacoPart.nclass = 4
+        DatasetPacoPart.nfolds = 4
+        ds = DatasetPacoPart(str(tmp_path), fold=0, split="val", shot=1, box_crop=True)
+        rec = ds[0]
+        assert rec.query_mask.sum() > 0
+        assert rec.query_img.shape[:2] == rec.query_mask.shape
+        assert len(rec.support_imgs) == 1

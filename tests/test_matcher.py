@@ -259,3 +259,50 @@ class TestNegativeEndToEnd:
         )
         assert np.isfinite(np.asarray(out["merged"])).all()
         assert int(out["telemetry"]["n_prompt_sets"]) >= 0
+
+
+class TestCascade:
+    def test_cascaded_refinement(self):
+        """Second decode pass conditioned on a previous low-res prediction."""
+        key = jax.random.PRNGKey(0)
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        dino_params = dinov2.init_params(k1, dcfg)
+        sam_params = {
+            "encoder": sam.init_encoder_params(k2, scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(k3, scfg),
+            "decoder": sam.init_decoder_params(k4, scfg),
+        }
+        mcfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(2, 3), max_sample_iterations=2,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
+                             sel_stability_score_thresh=0.0, decode_batch=8)
+        sup = jax.random.uniform(k5, (1, 56, 56, 3))
+        qry = jax.random.uniform(jax.random.PRNGKey(9), (56, 56, 3))
+        masks = jnp.zeros((1, 56, 56)).at[:, 10:30, 10:30].set(1.0)
+        prev = jax.random.normal(jax.random.PRNGKey(11), (16, 16))
+        out = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, jnp.ones((1,), bool), qry,
+            target_mask_low_res=prev,
+        )
+        assert np.isfinite(np.asarray(out["merged"])).all()
+        out0 = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, jnp.ones((1,), bool), qry,
+        )
+        # conditioning on a mask input must change the decoded logits
+        assert not np.allclose(
+            np.asarray(out["low_res_logits"]), np.asarray(out0["low_res_logits"])
+        )
