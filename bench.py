@@ -38,10 +38,12 @@ def main():
     cvcfg = clip_m.CLIP_B16_VISUAL
     avcfg = clip_m.ALPHA_CLIP_L14_336_VISUAL
 
+    from mars_tpu.models import zoo
+
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    dino_params = dinov2.init_params(ks[0], dcfg)
-    clip_v = clip_m.init_visual_params(ks[1], cvcfg)
-    ac_v = clip_m.init_visual_params(ks[2], avcfg)
+    dino_params = zoo._on_host(dinov2.init_params, ks[0], dcfg)
+    clip_v = zoo._on_host(clip_m.init_visual_params, ks[1], cvcfg)
+    ac_v = zoo._on_host(clip_m.init_visual_params, ks[2], avcfg)
     logit_scale = jnp.float32(np.log(1 / 0.07))
 
     # production precision: bf16 tower weights (the reference runs fp16 on
@@ -103,12 +105,16 @@ def main():
     _ = float(out[0, 0])  # force completion (block_until_ready is lazy on axon)
     compile_s = time.time() - t_compile0
 
-    n_iter = 5
-    t0 = time.time()
+    # per-iteration sync + min-of-N: the tunnel-attached device shows ±15%
+    # run-to-run variance; the min is the sustainable per-episode rate
+    n_iter = 8
+    times = []
     for _ in range(n_iter):
+        t0 = time.time()
         out = episode_rank(ep, props, vta_text, ac_text)
         _ = float(out[0, 0])
-    per_episode = (time.time() - t0) / n_iter
+        times.append(time.time() - t0)
+    per_episode = min(times)
     eps_per_sec = 1.0 / per_episode
 
     print(
