@@ -1,0 +1,345 @@
+"""ViP-LLaVA (vision-language model) in pure-function JAX.
+
+The reference queries ViP-LLaVA-7B through HF transformers on a second GPU
+(reference: mars/components/TextRetrieverModule.py:446-490) for class names
+and definitions.  This is the TPU-native port of the same architecture
+(mirroring ``VipLlavaForConditionalGeneration``):
+
+  - HF-CLIP vision tower (pre-layernorm dialect: separate q/k/v/out
+    projections, position-id embedding table, quick-gelu MLP) with
+    per-layer hidden-state taps
+  - ViP-LLaVA feature selection: hidden states of ``vision_feature_layers``
+    with CLS dropped, concatenated over channels, then the
+    LayerNorm → Linear → GELU → Linear projector
+  - LLaMA decoder: RMSNorm, rotary position embeddings (half-rotation),
+    grouped-query attention, SwiGLU MLP, causal mask
+  - fixed-shape greedy decoding with a KV cache driven by ``lax.scan``
+
+Weights convert from the HF checkpoint (``convert_hf``); parity is tested
+against transformers on a tiny random-weight config.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mars_tpu.models import layers as L
+
+
+@dataclass(frozen=True)
+class VipLlavaConfig:
+    # vision (CLIP-L/14@336 for the real model)
+    v_hidden: int = 1024
+    v_intermediate: int = 4096
+    v_layers: int = 24
+    v_heads: int = 16
+    image_size: int = 336
+    patch_size: int = 14
+    vision_feature_layers: Tuple[int, ...] = (-2, -5, -8, -11, 6)
+    # text (LLaMA-7B)
+    hidden: int = 4096
+    intermediate: int = 11008
+    layers: int = 32
+    heads: int = 32
+    kv_heads: int = 32
+    vocab: int = 32064
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    image_token_index: int = 32000
+
+
+TINY = VipLlavaConfig(
+    v_hidden=32, v_intermediate=64, v_layers=4, v_heads=2, image_size=56,
+    patch_size=14, vision_feature_layers=(-2, -4),
+    hidden=32, intermediate=64, layers=2, heads=4, kv_heads=2, vocab=128,
+    image_token_index=100,
+)
+
+
+# --------------------------------------------------------------------------
+# vision tower (HF CLIP dialect)
+# --------------------------------------------------------------------------
+
+def vision_hidden_states(p, pixel_values, cfg: VipLlavaConfig):
+    """(B, H, W, 3) → list of (B, 1+P, D) hidden states (len = layers + 1:
+    the embeddings output followed by each encoder layer's output)."""
+    b = pixel_values.shape[0]
+    x = L.conv_patch_embed(p["patch_embed"], pixel_values, cfg.patch_size)
+    cls = jnp.broadcast_to(p["class_embedding"], (b, 1, cfg.v_hidden))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["position_embedding"][None]
+    x = L.layer_norm(p["pre_layernorm"], x)  # hidden_states[0]
+    states = [x]
+    for i in range(cfg.v_layers):
+        lp = p[f"layer{i}"]
+        h = L.layer_norm(lp["ln1"], x)
+        h, _ = _hf_attn(lp["attn"], h, cfg.v_heads)
+        x = x + h
+        h = L.layer_norm(lp["ln2"], x)
+        h = L.dense(lp["mlp"]["fc2"], L.quick_gelu(L.dense(lp["mlp"]["fc1"], h)))
+        x = x + h
+        states.append(x)
+    return states
+
+
+def _hf_attn(p, x, num_heads, mask=None):
+    b, l, d = x.shape
+    hd = d // num_heads
+    q = L.dense(p["q"], x).reshape(b, l, num_heads, hd)
+    k = L.dense(p["k"], x).reshape(b, l, num_heads, hd)
+    v = L.dense(p["v"], x).reshape(b, l, num_heads, hd)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q * (hd ** -0.5), k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b, l, d)
+    return L.dense(p["out"], out), probs
+
+
+def image_features(p, pixel_values, cfg: VipLlavaConfig):
+    """ViP-LLaVA multi-layer feature selection + projector
+    (VipLlavaModel.get_image_features + VipLlavaMultiModalProjector)."""
+    states = vision_hidden_states(p["vision"], pixel_values, cfg)
+    feats = jnp.concatenate(
+        [states[i][:, 1:] for i in cfg.vision_feature_layers], axis=-1
+    )
+    mp = p["projector"]
+    h = L.layer_norm(mp["ln"], feats)
+    h = L.dense(mp["linear_1"], h)
+    h = jax.nn.gelu(h, approximate=False)
+    return L.dense(mp["linear_2"], h)
+
+
+# --------------------------------------------------------------------------
+# LLaMA decoder
+# --------------------------------------------------------------------------
+
+def _rms_norm(w, x, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rope(x, positions, theta):
+    """HF half-rotation RoPE: x (B, L, H, hd), positions (B, L)."""
+    hd = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = positions[..., None].astype(jnp.float32) * inv  # (B, L, hd/2)
+    cos = jnp.cos(ang)[..., None, :]
+    sin = jnp.sin(ang)[..., None, :]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
+    """Self-attention with RoPE + GQA.  With kv_cache=(K, V) of shape
+    (B, MAX, KVH, hd) the new keys/values are written at cache_pos and
+    attention runs over the cache (masked beyond current length)."""
+    b, l, d = x.shape
+    hd = d // cfg.heads
+    q = L.dense(p["q"], x).reshape(b, l, cfg.heads, hd)
+    k = L.dense(p["k"], x).reshape(b, l, cfg.kv_heads, hd)
+    v = L.dense(p["v"], x).reshape(b, l, cfg.kv_heads, hd)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    if kv_cache is None:
+        keys, values = k, v
+        kv_positions = positions
+    else:
+        ck, cv = kv_cache
+        keys = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
+        values = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        kv_positions = jnp.arange(keys.shape[1])[None]
+        kv_cache = (keys, values)
+
+    rep = cfg.heads // cfg.kv_heads
+    if rep > 1:
+        keys_r = jnp.repeat(keys, rep, axis=2)
+        values_r = jnp.repeat(values, rep, axis=2)
+    else:
+        keys_r, values_r = keys, values
+
+    logits = jnp.einsum("blhd,bmhd->bhlm", q * (hd ** -0.5), keys_r,
+                        preferred_element_type=jnp.float32)
+    # causal over absolute positions
+    qpos = positions[:, None, :, None]
+    kpos = kv_positions[:, None, None, :]
+    valid = kpos <= qpos
+    if kv_cache is not None:
+        valid = valid & (kpos <= (cache_pos + l - 1))
+    logits = jnp.where(valid, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs, values_r).reshape(b, l, d)
+    return L.dense(p["o"], out), kv_cache
+
+
+def _llama_layer(p, x, positions, cfg, kv_cache=None, cache_pos=None):
+    h = _rms_norm(p["input_ln"], x, cfg.rms_eps)
+    h, kv_cache = _llama_attention(p["attn"], h, positions, cfg, kv_cache, cache_pos)
+    x = x + h
+    h = _rms_norm(p["post_ln"], x, cfg.rms_eps)
+    gate = jax.nn.silu(L.dense(p["mlp"]["gate"], h))
+    up = L.dense(p["mlp"]["up"], h)
+    x = x + L.dense(p["mlp"]["down"], gate * up)
+    return x, kv_cache
+
+
+def llama_forward(p, embeds, positions, cfg, kv_caches=None, cache_pos=None):
+    """embeds (B, L, D) → (logits (B, L, V), new kv_caches)."""
+    x = embeds
+    new_caches = []
+    for i in range(cfg.layers):
+        cache = None if kv_caches is None else kv_caches[i]
+        x, cache = _llama_layer(p[f"layer{i}"], x, positions, cfg, cache, cache_pos)
+        new_caches.append(cache)
+    x = _rms_norm(p["norm"], x, cfg.rms_eps)
+    logits = x @ p["lm_head"]
+    return logits, (new_caches if kv_caches is not None else None)
+
+
+# --------------------------------------------------------------------------
+# multimodal assembly + greedy decoding
+# --------------------------------------------------------------------------
+
+def embed_multimodal(p, input_ids, pixel_values, cfg: VipLlavaConfig):
+    """Token embeddings with image-token slots replaced by projected image
+    features (VipLlavaModel.forward's merge).  input_ids must contain
+    exactly (image_size/patch)² image tokens per image."""
+    embeds = p["language"]["embed_tokens"][input_ids]
+    feats = image_features(p, pixel_values, cfg)  # (B, P, D)
+    b, l, d = embeds.shape
+    is_img = input_ids == cfg.image_token_index  # (B, L)
+    # scatter: for each position, its image-slot ordinal
+    ordinal = jnp.cumsum(is_img, axis=1) - 1
+    gathered = jnp.take_along_axis(
+        feats, jnp.clip(ordinal, 0, feats.shape[1] - 1)[..., None], axis=1
+    )
+    return jnp.where(is_img[..., None], gathered.astype(embeds.dtype), embeds)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
+                    max_new_tokens: int = 20):
+    """Greedy decode (the reference uses greedy generate with
+    max_new_tokens=20/50, TextRetrieverModule.py:76,118).
+
+    input_ids: (B, L) prompt with image tokens; returns (B, max_new_tokens).
+    """
+    b, l0 = input_ids.shape
+    embeds = embed_multimodal(p, input_ids, pixel_values, cfg)
+    positions = jnp.broadcast_to(jnp.arange(l0)[None], (b, l0))
+
+    max_len = l0 + max_new_tokens
+    hd = cfg.hidden // cfg.heads
+    caches = [
+        (jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype),
+         jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype))
+        for _ in range(cfg.layers)
+    ]
+    logits, caches = llama_forward(p["language"], embeds, positions, cfg,
+                                   caches, 0)
+    next_tok = jnp.argmax(logits[:, -1], axis=-1)
+
+    def step(carry, i):
+        tok, caches = carry
+        pos = l0 + i
+        emb = p["language"]["embed_tokens"][tok][:, None]
+        positions = jnp.full((b, 1), pos)
+        logits, caches = llama_forward(p["language"], emb, positions, cfg,
+                                       caches, pos)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        return (nxt, caches), tok
+
+    (_, _), toks = jax.lax.scan(step, (next_tok, caches),
+                                jnp.arange(max_new_tokens))
+    return jnp.swapaxes(toks, 0, 1)  # (B, max_new_tokens)
+
+
+def forward_logits(p, input_ids, pixel_values, cfg: VipLlavaConfig):
+    """Full-sequence logits (parity testing)."""
+    embeds = embed_multimodal(p, input_ids, pixel_values, cfg)
+    b, l = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
+    logits, _ = llama_forward(p["language"], embeds, positions, cfg)
+    return logits
+
+
+# --------------------------------------------------------------------------
+# HF checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_hf(sd: dict, cfg: VipLlavaConfig) -> dict:
+    """HF VipLlavaForConditionalGeneration state_dict (numpy) → params."""
+    def t(w):
+        return np.ascontiguousarray(w.T)
+
+    def pre(prefix, k):
+        return sd[prefix + k]
+
+    v = "model.vision_tower.vision_model."
+    vision = {
+        "patch_embed": {"kernel": np.transpose(
+            sd[v + "embeddings.patch_embedding.weight"], (2, 3, 1, 0))},
+        "class_embedding": sd[v + "embeddings.class_embedding"],
+        "position_embedding": sd[v + "embeddings.position_embedding.weight"],
+        "pre_layernorm": {"scale": sd[v + "pre_layrnorm.weight"],
+                          "bias": sd[v + "pre_layrnorm.bias"]},
+    }
+    for i in range(cfg.v_layers):
+        b = f"{v}encoder.layers.{i}."
+        vision[f"layer{i}"] = {
+            "ln1": {"scale": sd[b + "layer_norm1.weight"], "bias": sd[b + "layer_norm1.bias"]},
+            "ln2": {"scale": sd[b + "layer_norm2.weight"], "bias": sd[b + "layer_norm2.bias"]},
+            "attn": {
+                "q": {"kernel": t(sd[b + "self_attn.q_proj.weight"]), "bias": sd[b + "self_attn.q_proj.bias"]},
+                "k": {"kernel": t(sd[b + "self_attn.k_proj.weight"]), "bias": sd[b + "self_attn.k_proj.bias"]},
+                "v": {"kernel": t(sd[b + "self_attn.v_proj.weight"]), "bias": sd[b + "self_attn.v_proj.bias"]},
+                "out": {"kernel": t(sd[b + "self_attn.out_proj.weight"]), "bias": sd[b + "self_attn.out_proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": t(sd[b + "mlp.fc1.weight"]), "bias": sd[b + "mlp.fc1.bias"]},
+                "fc2": {"kernel": t(sd[b + "mlp.fc2.weight"]), "bias": sd[b + "mlp.fc2.bias"]},
+            },
+        }
+
+    mp = "model.multi_modal_projector."
+    projector = {
+        "ln": {"scale": sd[mp + "projector_layernorm.weight"],
+               "bias": sd[mp + "projector_layernorm.bias"]},
+        "linear_1": {"kernel": t(sd[mp + "linear_1.weight"]), "bias": sd[mp + "linear_1.bias"]},
+        "linear_2": {"kernel": t(sd[mp + "linear_2.weight"]), "bias": sd[mp + "linear_2.bias"]},
+    }
+
+    lm = "model.language_model."
+    language = {
+        "embed_tokens": sd[lm + "embed_tokens.weight"],
+        "norm": sd[lm + "norm.weight"],
+        "lm_head": t(sd["lm_head.weight"]),
+    }
+    for i in range(cfg.layers):
+        b = f"{lm}layers.{i}."
+        language[f"layer{i}"] = {
+            "input_ln": sd[b + "input_layernorm.weight"],
+            "post_ln": sd[b + "post_attention_layernorm.weight"],
+            "attn": {
+                "q": {"kernel": t(sd[b + "self_attn.q_proj.weight"])},
+                "k": {"kernel": t(sd[b + "self_attn.k_proj.weight"])},
+                "v": {"kernel": t(sd[b + "self_attn.v_proj.weight"])},
+                "o": {"kernel": t(sd[b + "self_attn.o_proj.weight"])},
+            },
+            "mlp": {
+                "gate": {"kernel": t(sd[b + "mlp.gate_proj.weight"])},
+                "up": {"kernel": t(sd[b + "mlp.up_proj.weight"])},
+                "down": {"kernel": t(sd[b + "mlp.down_proj.weight"])},
+            },
+        }
+    return {"vision": vision, "projector": projector, "language": language}

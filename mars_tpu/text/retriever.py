@@ -84,6 +84,55 @@ class HFVipLlava:
         )
 
 
+class JaxVipLlava:
+    """ViP-LLaVA running ON the TPU via the JAX port (models.vip_llava).
+
+    Uses the HF processor for tokenization/image preprocessing (host-side)
+    and the jitted multimodal greedy decoder for generation — the VLM stops
+    being a second-GPU side-car (reference TextRetrieverModule.py:449) and
+    joins the device pipeline.
+    """
+
+    def __init__(self, model_path: str = "llava-hf/vip-llava-7b-hf",
+                 params=None, cfg=None, dtype=None):
+        from transformers import AutoProcessor
+
+        from mars_tpu.models import vip_llava as vl
+
+        self.processor = AutoProcessor.from_pretrained(model_path)
+        self.cfg = cfg or vl.VipLlavaConfig()
+        if params is None:
+            from mars_tpu.models import zoo
+
+            sd = zoo.load_torch_state_dict(model_path)
+            params = vl.convert_hf(sd, self.cfg)
+        if dtype is not None:
+            from mars_tpu.models.precision import cast_floating
+
+            params = cast_floating(params, dtype)
+        self.params = params
+        self._vl = vl
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+        import jax.numpy as jnp
+        import numpy as np
+        from PIL import Image
+
+        inputs = self.processor(text=prompt, images=Image.fromarray(image),
+                                return_tensors="np")
+        ids = jnp.asarray(inputs["input_ids"])
+        pixels = jnp.asarray(np.transpose(inputs["pixel_values"], (0, 2, 3, 1)))
+        toks = self._vl.generate_greedy(
+            self.params, ids, pixels, self.cfg,
+            max_new_tokens=max(max_new_tokens, min_new_tokens),
+        )
+        toks = np.asarray(toks)[0]
+        eos = getattr(self.processor.tokenizer, "eos_token_id", None)
+        if eos is not None and eos in toks:
+            toks = toks[: list(toks).index(eos)]
+        return self.processor.tokenizer.decode(toks, skip_special_tokens=True).strip()
+
+
 @dataclass(frozen=True)
 class PromptGenConfig:
     prompt_type: str = "contour"  # scripts/coco_1shot.sh

@@ -306,3 +306,47 @@ def make_pir():
 
 if __name__ == "__main__":
     make_pir()
+
+
+# ---------------------------------------------------------------- ViP-LLaVA
+def make_vip_llava():
+    from transformers import (CLIPVisionConfig, LlamaConfig, VipLlavaConfig,
+                              VipLlavaForConditionalGeneration)
+
+    torch.manual_seed(7)
+    cfg = VipLlavaConfig(
+        vision_config=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+            num_attention_heads=2, image_size=56, patch_size=14),
+        text_config=LlamaConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+            max_position_embeddings=128),
+        vision_feature_layers=[-2, -4],
+        image_token_index=100,
+    )
+    model = VipLlavaForConditionalGeneration(cfg).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+
+    pixels = torch.randn(1, 3, 56, 56)
+    # prompt: 3 text tokens, 16 image tokens, 4 text tokens
+    ids = torch.tensor([[5, 9, 2] + [100] * 16 + [7, 3, 11, 4]])
+    with torch.no_grad():
+        out = model(input_ids=ids, pixel_values=pixels,
+                    attention_mask=torch.ones_like(ids))
+        gen = model.generate(ids, pixel_values=pixels, max_new_tokens=6,
+                             do_sample=False)
+    save(
+        "vip_llava_tiny",
+        input_ids=ids.numpy(),
+        pixels=pixels.numpy(),
+        logits=out.logits.numpy(),
+        generated=gen[:, ids.shape[1]:].numpy(),
+        **flat("sd.", sd_to_np(model)),
+    )
+
+
+if __name__ == "__main__":
+    make_vip_llava()
