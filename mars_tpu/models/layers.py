@@ -46,7 +46,12 @@ def layer_norm(p, x, eps: float = 1e-5):
 
 
 def dense(p, x):
-    y = x @ p["kernel"]
+    k = p["kernel"]
+    if isinstance(k, dict):  # weight-only quantized (models.quantization)
+        from mars_tpu.models.quantization import quantized_dense
+
+        return quantized_dense(p, x)
+    y = x @ k
     if "bias" in p:
         y = y + p["bias"]
     return y

@@ -1,0 +1,71 @@
+"""Weight-only quantization for the frozen towers (VLM especially).
+
+The reference runs ViP-LLaVA-7B 4/8-bit through bitsandbytes CUDA kernels
+(reference: TextRetrieverModule.py:468-471).  The TPU-native equivalent is
+weight-only int8/int4 with per-output-channel scales: kernels are stored
+quantized in HBM (2-4x less weight traffic — the dominant cost of
+autoregressive decoding) and dequantized on the fly; with per-column scales
+the scale multiplies AFTER the matmul, so XLA keeps the int8 operand feeding
+the MXU directly.
+
+``layers.dense`` understands the quantized leaf format, so quantized params
+drop into every model in the zoo unchanged.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_kernel(w: jnp.ndarray, bits: int = 8):
+    """(in, out) kernel → {"q": intN (in, out), "scale": f32 (out,)}."""
+    assert bits in (4, 8)
+    maxq = 127.0 if bits == 8 else 7.0
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    scale = absmax / maxq
+    q = jnp.round(w / jnp.maximum(scale, 1e-12)[None, :])
+    q = jnp.clip(q, -maxq, maxq)
+    dtype = jnp.int8 if bits == 8 else jnp.int4
+    return {"q": q.astype(dtype), "scale": scale.astype(jnp.float32)}
+
+
+def dequantize_kernel(p) -> jnp.ndarray:
+    return p["q"].astype(jnp.float32) * p["scale"][None, :]
+
+
+def quantized_dense(p, x):
+    """x @ W for a quantized kernel: int matmul + per-column rescale."""
+    y = jnp.einsum(
+        "...i,io->...o", x, p["kernel"]["q"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y * p["kernel"]["scale"]).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def quantize_params(params, bits: int = 8, min_size: int = 1 << 14):
+    """Quantize every 2-D floating kernel with ≥ min_size elements.
+
+    Leaves biases, norms, embeddings (1-D/3-D+) untouched.  Returns a pytree
+    layers.dense consumes transparently.
+    """
+
+    def q(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        leaf_name = names[-1] if names else ""
+        if (
+            leaf_name == "kernel"
+            and hasattr(leaf, "ndim")
+            and leaf.ndim == 2
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and leaf.size >= min_size
+        ):
+            return quantize_kernel(jnp.asarray(leaf), bits)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(
+        q, params, is_leaf=lambda x: not isinstance(x, dict)
+    )
