@@ -224,3 +224,27 @@ def generate_dense(
         model_cfg, cfg, original_size=original_size, dense_grid=True,
     )
     return nms_filter(data, cfg.box_nms_thresh)
+
+
+@partial(jax.jit, static_argnames=("min_area", "nms_thresh"))
+def postprocess_small_regions(data: dict, min_area: int, nms_thresh: float) -> dict:
+    """Remove small disconnected regions / fill small holes, then re-NMS
+    (reference automatic_mask_generator.py:558-607 + utils/amg.py:274-299).
+
+    Masks whose cleanup changed them get NMS score 0 (the reference's
+    "prefer unchanged masks" rule); boxes are recomputed from the cleaned
+    masks.  Fixed-shape: every slot processed, validity preserved.
+    """
+    from mars_tpu.ops import components as comp
+
+    def clean(mask):
+        m = mask.astype(bool)
+        m1, ch_holes = comp.remove_small_regions(m, float(min_area), True)
+        m2, ch_islands = comp.remove_small_regions(m1, float(min_area), False)
+        return m2, ch_holes | ch_islands
+
+    masks, changed = jax.vmap(clean)(data["masks"])
+    boxes = mask_ops.mask_to_box(masks).astype(jnp.float32)
+    scores = jnp.where(changed, 0.0, 1.0)
+    keep = nms_ops.nms_keep(boxes, scores, data["valid"], nms_thresh)
+    return {**data, "masks": masks, "boxes": boxes, "valid": keep}

@@ -104,3 +104,16 @@ def plot_matcher_state(out_path: str, query_img, generate_out: dict, title: str 
         merged=np.asarray(g["merged"]),
         title=title,
     )
+
+
+def pca_feature_map(patch_features: np.ndarray, grid: int, n_components: int = 3) -> np.ndarray:
+    """(P, D) patch features → (grid, grid, 3) PCA false-color map
+    (the reference's torch PCA feature visualization, utils/misc.py:221-360)."""
+    x = np.asarray(patch_features, np.float64)
+    x = x - x.mean(0, keepdims=True)
+    # SVD-based PCA (features are small: 1369 x 1024)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    proj = x @ vt[:n_components].T  # (P, 3)
+    lo, hi = proj.min(0), proj.max(0)
+    rgb = (proj - lo) / np.maximum(hi - lo, 1e-9)
+    return rgb.reshape(grid, grid, n_components).astype(np.float32)

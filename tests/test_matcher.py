@@ -306,3 +306,27 @@ class TestCascade:
         assert not np.allclose(
             np.asarray(out["low_res_logits"]), np.asarray(out0["low_res_logits"])
         )
+
+
+class TestPostprocessSmallRegions:
+    def test_cleanup_and_renms(self):
+        h = 32
+        masks = np.zeros((2, h, h), bool)
+        masks[0, 4:20, 4:20] = True
+        masks[0, 8, 8] = False          # small hole → filled
+        masks[0, 28, 28] = True         # small island → removed
+        masks[1, 22:30, 2:10] = True    # untouched
+        data = {
+            "masks": jnp.asarray(masks),
+            "boxes": jnp.zeros((2, 4), jnp.float32),
+            "iou": jnp.asarray([0.9, 0.8]),
+            "valid": jnp.ones(2, bool),
+        }
+        out = amg.postprocess_small_regions(data, min_area=4, nms_thresh=0.7)
+        m = np.asarray(out["masks"])
+        assert m[0, 8, 8]          # hole filled
+        assert not m[0, 28, 28]    # island gone
+        assert np.asarray(out["valid"]).all()
+        np.testing.assert_array_equal(
+            np.asarray(out["boxes"][0]), [4, 4, 20, 20]
+        )
