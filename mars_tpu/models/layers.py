@@ -106,13 +106,13 @@ def mha(p, x, num_heads: int, return_attn: bool = False, mask=None):
         return dense(p["proj"], out.astype(x.dtype)), attn
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, hd)
     q = q * (head_dim ** -0.5)
-    # logits/softmax in f32 regardless of tower dtype (bf16-safe; the probs
-    # also feed the PIR statistics which must stay f32)
-    logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                        preferred_element_type=jnp.float32)
+    # logits follow the tower dtype (bf16 towers keep the big (B,H,L,L)
+    # tensor half-width — measured 1.7x on the AlphaCLIP stage); the softmax
+    # itself and the PIR statistics compute in f32
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k)
     if mask is not None:
         logits = jnp.where(mask, logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(x.dtype), v).reshape(b, l, d)
     out = dense(p["proj"], out)
     if return_attn:

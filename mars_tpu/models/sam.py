@@ -108,7 +108,7 @@ def _grid_attention(p, x, num_heads, use_rel_pos=True):
     hd = c // num_heads
     qkv = L.dense(p["qkv"], x).reshape(b, h * w, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, HW, nh, hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)  # tower dtype
     if use_rel_pos:
         rh = _rel_pos_table(p["rel_pos_h"], h, h)  # (h, h, hd)
         rw = _rel_pos_table(p["rel_pos_w"], w, w)  # (w, w, hd)
@@ -120,7 +120,7 @@ def _grid_attention(p, x, num_heads, use_rel_pos=True):
             + bias_h[..., :, None]
             + bias_w[..., None, :]
         ).reshape(b, num_heads, h * w, h * w)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, h, w, c)
     return L.dense(p["proj"], out)
 

@@ -93,11 +93,10 @@ def _hf_attn(p, x, num_heads, mask=None):
     q = L.dense(p["q"], x).reshape(b, l, num_heads, hd)
     k = L.dense(p["k"], x).reshape(b, l, num_heads, hd)
     v = L.dense(p["v"], x).reshape(b, l, num_heads, hd)
-    logits = jnp.einsum("blhd,bmhd->bhlm", q * (hd ** -0.5), k,
-                        preferred_element_type=jnp.float32)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q * (hd ** -0.5), k)
     if mask is not None:
         logits = jnp.where(mask, logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b, l, d)
     return L.dense(p["out"], out), probs
 
@@ -168,8 +167,7 @@ def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
     else:
         keys_r, values_r = keys, values
 
-    logits = jnp.einsum("blhd,bmhd->bhlm", q * (hd ** -0.5), keys_r,
-                        preferred_element_type=jnp.float32)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q * (hd ** -0.5), keys_r)
     # causal over absolute positions
     qpos = positions[:, None, :, None]
     kpos = kv_positions[:, None, None, :]
@@ -177,7 +175,7 @@ def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
     if kv_cache is not None:
         valid = valid & (kpos <= (cache_pos + l - 1))
     logits = jnp.where(valid, logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhlm,bmhd->blhd", probs, values_r).reshape(b, l, d)
     return L.dense(p["o"], out), kv_cache
 
