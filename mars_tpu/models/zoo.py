@@ -213,3 +213,19 @@ def build_sam(models_path: Optional[str] = None, variant: str = "vit_h", seed: i
             "decoder": _on_host(sam.init_decoder_params, ks[2], cfg),
         }
     return params, cfg
+
+
+def build_resnet(models_path: Optional[str] = None, variant: str = "resnet101",
+                 seed: int = 4):
+    """Alternative Matcher encoder (reference utils/backbone_loader.py:100-151;
+    torchvision weights convert via resnet.convert_torchvision)."""
+    from mars_tpu.models import resnet as rn
+
+    cfg = rn.ResNetConfig(layers=rn.BOTTLENECK_LAYERS[variant])
+    path = os.path.join(models_path, f"{variant}.pth") if models_path else None
+    if path and os.path.exists(path):
+        sd = load_torch_state_dict(path)
+        params = jax.tree.map(jnp.asarray, rn.convert_torchvision(sd, cfg))
+    else:
+        params = rn.init_params(jax.random.PRNGKey(seed), cfg)
+    return params, cfg

@@ -86,8 +86,8 @@ def batched_emd(
     col_masks: jnp.ndarray,  # (P, L) bool — per-proposal pooled footprints
     row_bucket: int = 1024,
     col_bucket: int = 512,
-    eps_schedule=(0.2, 0.05, 0.012, 0.005),
-    iters_per_eps: int = 25,
+    eps_schedule=(0.15, 0.03, 0.006),
+    iters_per_eps: int = 22,
 ) -> jnp.ndarray:
     """EMD of every proposal against the support footprint → (P,) float32.
 
