@@ -41,10 +41,12 @@ def compact_indices(mask: jnp.ndarray, bucket: int) -> Tuple[jnp.ndarray, jnp.nd
     return idx.astype(jnp.int32), valid, count
 
 
-def _sinkhorn_uniform(cost, row_valid, col_valid, eps_schedule, iters_per_eps):
+def _sinkhorn_uniform(cost, row_valid, col_valid, eps_schedule, iters_schedule):
     """Log-domain Sinkhorn with uniform marginals on masked (T, C) costs.
 
-    Returns the UNregularized transport cost <P, C> of the final plan.
+    ``eps_schedule``/``iters_schedule``: per-level ε and iteration counts —
+    convergence error dominates entropic bias at small ε, so the fine level
+    gets most of the budget.  Returns the UNregularized cost <P, C>.
     """
     t, c = cost.shape
     nr = jnp.maximum(jnp.sum(row_valid), 1)
@@ -56,38 +58,33 @@ def _sinkhorn_uniform(cost, row_valid, col_valid, eps_schedule, iters_per_eps):
     f = jnp.zeros((t,), jnp.float32)
     g = jnp.zeros((c,), jnp.float32)
 
-    def eps_step(carry, eps):
-        f, g = carry
+    for eps, n_it in zip(eps_schedule, iters_schedule):
         mlogk = (-cost) / eps + cmask  # (T, C) log kernel + mask
 
-        def it(_, fg):
+        def it(_, fg, eps=eps, mlogk=mlogk):
             f, g = fg
-            # f_i = eps * (log a_i - logsumexp_j (mlogk_ij + g_j/eps))
             f = eps * (log_a - jax.nn.logsumexp(mlogk + (g / eps)[None, :], axis=1))
             f = jnp.where(row_valid, f, 0.0)
             g = eps * (log_b - jax.nn.logsumexp(mlogk + (f / eps)[:, None], axis=0))
             g = jnp.where(col_valid, g, 0.0)
             return f, g
 
-        f, g = jax.lax.fori_loop(0, iters_per_eps, it, (f, g))
-        return (f, g), None
-
-    (f, g), _ = jax.lax.scan(eps_step, (f, g), eps_schedule)
+        f, g = jax.lax.fori_loop(0, n_it, it, (f, g))
     eps_last = eps_schedule[-1]
     logp = (f[:, None] + g[None, :] - cost) / eps_last + cmask
     plan = jnp.exp(jnp.clip(logp, -80.0, 80.0))
     return jnp.sum(plan * cost)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def batched_emd(
     cost_matrix: jnp.ndarray,  # (R, L) full cost matrix, rows=support patches
     row_mask: jnp.ndarray,  # (R,) bool — support-mask pooled footprint
     col_masks: jnp.ndarray,  # (P, L) bool — per-proposal pooled footprints
     row_bucket: int = 1024,
     col_bucket: int = 512,
-    eps_schedule=(0.15, 0.03, 0.006),
-    iters_per_eps: int = 22,
+    eps_schedule=(0.15, 0.03, 0.008, 0.0025),
+    iters_schedule=(10, 20, 40, 90),
 ) -> jnp.ndarray:
     """EMD of every proposal against the support footprint → (P,) float32.
 
@@ -96,12 +93,11 @@ def batched_emd(
     """
     ridx, rvalid, _ = compact_indices(row_mask, row_bucket)
     sub_rows = cost_matrix[ridx]  # (T, L)
-    eps_arr = jnp.asarray(eps_schedule, jnp.float32)
 
     def one(col_mask):
         cidx, cvalid, ccount = compact_indices(col_mask, col_bucket)
         sub = sub_rows[:, cidx]  # (T, C)
-        emd = _sinkhorn_uniform(sub, rvalid, cvalid, eps_arr, iters_per_eps)
+        emd = _sinkhorn_uniform(sub, rvalid, cvalid, eps_schedule, iters_schedule)
         return jnp.where(ccount > 0, emd, 0.0)
 
     return jax.vmap(one)(col_masks)
