@@ -279,3 +279,59 @@ class TestDatasetSplitLogic:
         assert rec.query_mask.sum() > 0
         assert rec.query_img.shape[:2] == rec.query_mask.shape
         assert len(rec.support_imgs) == 1
+
+
+class TestServing:
+    def test_server_roundtrip_and_queue(self):
+        from mars_tpu.models import clip as clip_m, dinov2
+        from mars_tpu.pipeline import filtering, mars, vta, vva
+        from mars_tpu.serving import MarsServer, PredictRequest
+        from mars_tpu.text.retriever import OracleVLM, TextRetriever
+
+        size, g = 56, 4
+        dcfg = dinov2.DinoV2Config(patch_size=14, embed_dim=32, depth=2,
+                                   num_heads=2, num_register_tokens=4,
+                                   pos_embed_grid=4)
+        cvcfg = clip_m.ClipVisualConfig(patch_size=16, width=64, depth=3,
+                                        num_heads=1, output_dim=16, pos_embed_grid=2)
+        ctcfg = clip_m.ClipTextConfig(width=16, depth=2, num_heads=2, output_dim=16)
+        avcfg = clip_m.ClipVisualConfig(patch_size=16, width=64, depth=2,
+                                        num_heads=1, output_dim=16,
+                                        pos_embed_grid=2, alpha_channel=True)
+        ks = jax.random.split(jax.random.PRNGKey(0), 6)
+        model = mars.Mars(
+            dino=(dinov2.init_params(ks[0], dcfg), dcfg),
+            clip=(clip_m.init_visual_params(ks[1], cvcfg),
+                  clip_m.init_text_params(ks[2], ctcfg),
+                  jnp.float32(1.0), cvcfg, ctcfg),
+            alpha_clip=(clip_m.init_visual_params(ks[3], avcfg),
+                        clip_m.init_text_params(ks[4], ctcfg),
+                        jnp.float32(1.0), avcfg, ctcfg),
+            retriever=TextRetriever(OracleVLM("square")),
+            cfg=mars.MarsConfig(
+                vva=vva.VVAConfig(grid=g, attn_tap_last_n=2),
+                vta=vta.VTAConfig(input_size=64, grid=4, attn_tap_last_n=2),
+                filter_merge=filtering.FilterMergeConfig(
+                    grid=g, alpha_clip_size=32, alpha_clip_batch=4,
+                    emd_row_bucket=16, emd_col_bucket=16),
+            ),
+        )
+        ds = build_dataset("synthetic", shot=1, size=size, num_episodes=2)
+        rec = ds[0]
+        gt, _ = resized_gt(rec, size)
+        props = np.stack([gt, np.zeros_like(gt)])
+        server = MarsServer(model, input_size=size, max_shots=1, proposal_bucket=4)
+
+        # synchronous
+        res = server.predict(PredictRequest(rec, props, class_name="square"))
+        assert res.mask.shape == (size, size)
+        assert res.timings["total"] > 0
+
+        # queued
+        results = []
+        server.start(results.append)
+        for i in range(2):
+            server.submit(PredictRequest(ds[i], props, class_name="square",
+                                         request_id=i))
+        server.stop()
+        assert sorted(r.request_id for r in results) == [0, 1]
