@@ -52,7 +52,7 @@ def _on_host(init_fn, *args, seed: int = 0):
         leaf_kinds.append((kind, leaf.shape, dtype))
         return kind
 
-    kinds_tree = jax.tree_util.tree_map_with_path(classify, shapes)
+    jax.tree_util.tree_map_with_path(classify, shapes)
     total_rand = sum(int(np.prod(s)) for k, s, _ in leaf_kinds if k == "rand")
 
     @jax.jit
@@ -125,7 +125,8 @@ def _cached_convert(cache_dir: Optional[str], name: str, convert_fn):
 
 
 def build_dinov2(models_path: Optional[str] = None, variant: str = "vit_large",
-                 num_register_tokens: int = 4, seed: int = 0):
+                 num_register_tokens: int = 4, seed: int = 0,
+                 cache_dir: Optional[str] = None):
     cfg = dinov2.DINOV2_VARIANTS[variant]
     cfg = type(cfg)(**{**cfg.__dict__, "num_register_tokens": num_register_tokens})
     name = {
@@ -136,9 +137,11 @@ def build_dinov2(models_path: Optional[str] = None, variant: str = "vit_large",
     }[variant]
     path = os.path.join(models_path, name) if models_path else None
     if path and os.path.exists(path):
-        sd = load_torch_state_dict(path)
-        params = convert.dinov2_to_flax(sd, cfg.depth, cfg.num_register_tokens)
-        params = jax.tree.map(jnp.asarray, params)
+        params = _cached_convert(
+            cache_dir, f"dinov2_{variant}",
+            lambda: jax.tree.map(jnp.asarray, convert.dinov2_to_flax(
+                load_torch_state_dict(path), cfg.depth, cfg.num_register_tokens)),
+        )
     else:
         params = _on_host(dinov2.init_params, jax.random.PRNGKey(seed), cfg)
     return params, cfg

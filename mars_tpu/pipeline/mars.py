@@ -30,6 +30,7 @@ from mars_tpu.pipeline import filtering, vta, vva
 from mars_tpu.text import prompts as prompt_data
 from mars_tpu.text import tokenizer
 from mars_tpu.text.retriever import TextRetriever
+from mars_tpu.utils.profiling import StageTimers, force_sync
 
 
 @dataclass(frozen=True)
@@ -64,8 +65,6 @@ class Mars:
         self.retriever = retriever
         self.cfg = cfg
         self.timings = {}
-        from mars_tpu.utils.profiling import StageTimers
-
         self.stage_timers = StageTimers()
 
     # ---------------- host text stage ----------------
@@ -122,8 +121,6 @@ class Mars:
                 episode.query_image, self.dino_cfg, self.cfg.vva,
             )
             if self.cfg.profile_stages:
-                from mars_tpu.utils.profiling import force_sync
-
                 force_sync(vva_prior)
 
         with self.stage_timers.span("vta", None):
@@ -133,8 +130,6 @@ class Mars:
                 self.clip_vcfg, self.cfg.vta,
             )
             if self.cfg.profile_stages:
-                from mars_tpu.utils.profiling import force_sync
-
                 force_sync(vta_prior)
         # nearest-resize VTA to the VVA grid + min-max (reference :77-82)
         g = self.cfg.vva.grid
@@ -157,8 +152,6 @@ class Mars:
                 self.ac_vcfg, self.cfg.filter_merge,
             )
             if self.cfg.profile_stages:
-                from mars_tpu.utils.profiling import force_sync
-
                 force_sync(ac_scores)
         merged, scores = filtering.score_and_merge(
             proposals.masks, proposals.valid, support_fg, cost,

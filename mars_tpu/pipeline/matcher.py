@@ -24,7 +24,7 @@ re-designed fixed-shape for TPU:
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
 
