@@ -122,7 +122,9 @@ def image_features(p, pixel_values, cfg: VipLlavaConfig):
 def _rms_norm(w, x, eps):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    # normalize and scale in f32, return in the tower dtype (a f32 ``w``
+    # must not promote bf16 activations)
+    return ((xf * jax.lax.rsqrt(var + eps)) * w).astype(x.dtype)
 
 
 def _rope(x, positions, theta):
