@@ -147,14 +147,20 @@ def build_dinov2(models_path: Optional[str] = None, variant: str = "vit_large",
     return params, cfg
 
 
-def build_clip_b16(models_path: Optional[str] = None, seed: int = 1):
+def build_clip_b16(models_path: Optional[str] = None, seed: int = 1,
+                   cache_dir: Optional[str] = None):
     vcfg, tcfg = clip_m.CLIP_B16_VISUAL, clip_m.CLIP_B16_TEXT
     path = os.path.join(models_path, "ViT-B-16.pt") if models_path else None
     if path and os.path.exists(path):
-        sd = load_torch_state_dict(path)
-        vp = jax.tree.map(jnp.asarray, convert.clip_visual_to_flax(sd, vcfg.depth))
-        tp = jax.tree.map(jnp.asarray, convert.clip_text_to_flax(sd, tcfg.depth))
-        scale = jnp.asarray(convert.clip_logit_scale(sd))
+        def _cv():
+            sd = load_torch_state_dict(path)
+            return {
+                "visual": jax.tree.map(jnp.asarray, convert.clip_visual_to_flax(sd, vcfg.depth)),
+                "text": jax.tree.map(jnp.asarray, convert.clip_text_to_flax(sd, tcfg.depth)),
+                "logit_scale": jnp.asarray(convert.clip_logit_scale(sd)),
+            }
+        bundle = _cached_convert(cache_dir, "clip_b16", _cv)
+        vp, tp, scale = bundle["visual"], bundle["text"], bundle["logit_scale"]
     else:
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         vp = _on_host(clip_m.init_visual_params, k1, vcfg)
@@ -195,19 +201,21 @@ def build_alpha_clip(models_path: Optional[str] = None, seed: int = 2):
     return vp, tp, scale, vcfg, tcfg
 
 
-def build_sam(models_path: Optional[str] = None, variant: str = "vit_h", seed: int = 3):
+def build_sam(models_path: Optional[str] = None, variant: str = "vit_h", seed: int = 3,
+              cache_dir: Optional[str] = None):
     cfg = sam.SAM_VARIANTS[variant]
     name = {"vit_b": "sam_vit_b_01ec64.pth", "vit_l": "sam_vit_l_0b3195.pth",
             "vit_h": "sam_vit_h_4b8939.pth"}[variant]
     path = os.path.join(models_path, name) if models_path else None
     if path and os.path.exists(path):
-        sd = load_torch_state_dict(path)
-        params = {
-            "encoder": convert.sam_encoder_to_flax(sd, cfg.depth),
-            "prompt_encoder": convert.sam_prompt_encoder_to_flax(sd),
-            "decoder": convert.sam_decoder_to_flax(sd),
-        }
-        params = jax.tree.map(jnp.asarray, params)
+        def _cv():
+            sd = load_torch_state_dict(path)
+            return jax.tree.map(jnp.asarray, {
+                "encoder": convert.sam_encoder_to_flax(sd, cfg.depth),
+                "prompt_encoder": convert.sam_prompt_encoder_to_flax(sd),
+                "decoder": convert.sam_decoder_to_flax(sd),
+            })
+        params = _cached_convert(cache_dir, f"sam_{variant}", _cv)
     else:
         ks = jax.random.split(jax.random.PRNGKey(seed), 3)
         params = {
