@@ -330,3 +330,70 @@ class TestPostprocessSmallRegions:
         np.testing.assert_array_equal(
             np.asarray(out["boxes"][0]), [4, 4, 20, 20]
         )
+
+
+class TestMultiShotMatcher:
+    def test_generate_proposals_two_shots(self):
+        key = jax.random.PRNGKey(0)
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        dino_params = dinov2.init_params(k1, dcfg)
+        sam_params = {
+            "encoder": sam.init_encoder_params(k2, scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(k3, scfg),
+            "decoder": sam.init_decoder_params(k4, scfg),
+        }
+        mcfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(2, 3), max_sample_iterations=2,
+            emd_row_bucket=32, emd_col_bucket=16,
+        )
+        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
+                             sel_stability_score_thresh=0.0, decode_batch=8)
+        # 2 real shots + 1 padded; large masks force T > L (fwd_cols branch)
+        sup = jax.random.uniform(k5, (3, 56, 56, 3))
+        masks = jnp.zeros((3, 56, 56)).at[:2].set(1.0)
+        valid = jnp.asarray([True, True, False])
+        qry = jax.random.uniform(jax.random.PRNGKey(9), (56, 56, 3))
+        out = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, valid, qry,
+        )
+        assert np.isfinite(np.asarray(out["merged"])).all()
+        # T = 2*16 = 32 > L = 16 → every query column matched via transpose
+        assert int(out["telemetry"]["n_support_patches"]) == 32
+
+
+class TestSamBackend:
+    def test_backend_protocol(self):
+        from mars_tpu.pipeline.backends import SamBackend
+
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        params = {
+            "encoder": sam.init_encoder_params(ks[0], scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(ks[1], scfg),
+            "decoder": sam.init_decoder_params(ks[2], scfg),
+        }
+        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
+                             sel_stability_score_thresh=0.0, decode_batch=8)
+        backend = SamBackend(params, scfg, acfg)
+        emb = backend.encode(jax.random.uniform(ks[2], (56, 56, 3)))
+        coords = jnp.asarray([[[20.0, 20.0], [40.0, 30.0]]])
+        labels = jnp.ones((1, 2), jnp.int32)
+        out = backend.decode(emb, coords, labels, jnp.ones(1, bool), (56, 56))
+        assert out["masks"].shape[-2:] == (56, 56)
+        dense = backend.dense_sweep(emb, (56, 56))
+        assert dense["masks"].shape[0] == acfg.points_per_side ** 2 * 3
