@@ -34,8 +34,10 @@ def main(argv=None):
     p.add_argument("--nshot", type=int, default=1)
     p.add_argument("--input-size", type=int, default=518)
     p.add_argument("--episodes", type=int, default=0)
-    p.add_argument("--sam-size", default="vit_h")
-    p.add_argument("--dino-backbone", default="vit_large")
+    p.add_argument("--sam-size", default="vit_h",
+                   choices=("vit_b", "vit_l", "vit_h"))
+    p.add_argument("--dino-backbone", default="vit_large",
+                   choices=("vit_small", "vit_base", "vit_large", "vit_giant2"))
     p.add_argument("--num-regs", type=int, default=4)
     p.add_argument("--use-centers", action="store_true")
     p.add_argument("--bf16", action="store_true")
@@ -78,9 +80,11 @@ def main(argv=None):
         np.savez_compressed(
             os.path.join(args.out, f"{args.fold}_{idx}.npz"),
             masks=masks.astype(np.uint8),
-            iou=np.asarray(out["iou"])[valid],
-            stability=np.asarray(out["stability"])[valid],
-            emd=np.asarray(out["emd_score"])[valid],
+            # f32 cast: under --bf16 np.savez would otherwise store raw
+            # bfloat16 as an unreadable void dtype (V2)
+            iou=np.asarray(out["iou"], np.float32)[valid],
+            stability=np.asarray(out["stability"], np.float32)[valid],
+            emd=np.asarray(out["emd_score"], np.float32)[valid],
             merged=np.asarray(out["merged"]).astype(np.uint8),
             class_id=rec.class_id,
         )

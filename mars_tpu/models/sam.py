@@ -128,10 +128,12 @@ def _grid_attention(p, x, num_heads, use_rel_pos=True):
 def _layer_norm_2d(p, x, eps=1e-6):
     """Channel LayerNorm without learned stats over spatial (reference
     common.py LayerNorm2d); in NHWC this is LN over the channel axis with
-    biased variance."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    biased variance.  Stats in f32 so bf16 towers stay stable."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def encode_image(params, images, cfg: SamConfig):
@@ -178,10 +180,12 @@ def encode_image(params, images, cfg: SamConfig):
 
 def _pe_encoding(gauss, coords01):
     """Random-Fourier features of [0,1]-normalized coords (reference
-    prompt_encoder.py:186-194)."""
-    c = (2.0 * coords01 - 1.0) @ gauss
+    prompt_encoder.py:186-194).  sin/cos computed in f32 (bf16 phase wraps
+    badly), result cast back to the parameter dtype so bf16 towers stay
+    bf16 downstream."""
+    c = (2.0 * coords01.astype(jnp.float32) - 1.0) @ gauss.astype(jnp.float32)
     c = 2.0 * jnp.pi * c
-    return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
+    return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1).astype(gauss.dtype)
 
 
 def dense_pe(params, grid_hw: Tuple[int, int]):
