@@ -397,3 +397,76 @@ class TestSamBackend:
         assert out["masks"].shape[-2:] == (56, 56)
         dense = backend.dense_sweep(emb, (56, 56))
         assert dense["masks"].shape[0] == acfg.points_per_side ** 2 * 3
+
+
+class TestMatcherOss:
+    """Semantic-SAM-variant driver (matcher_oss) on the SAM adapter."""
+
+    def _models(self):
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        dino_params = dinov2.init_params(ks[0], dcfg)
+        sam_params = {
+            "encoder": sam.init_encoder_params(ks[1], scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(ks[2], scfg),
+            "decoder": sam.init_decoder_params(ks[3], scfg),
+        }
+        return dcfg, dino_params, scfg, sam_params
+
+    def test_oss_flow(self):
+        from mars_tpu.pipeline import matcher_oss
+
+        dcfg, dino_params, scfg, sam_params = self._models()
+        cfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(1, 2), max_sample_iterations=2,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        backend = matcher_oss.SamPointBackend(sam_params, scfg, decode_batch=8)
+        sup = jax.random.uniform(jax.random.PRNGKey(2), (1, 56, 56, 3))
+        masks = jnp.zeros((1, 56, 56)).at[:, 10:40, 10:40].set(1.0)
+        qry = jax.random.uniform(jax.random.PRNGKey(3), (56, 56, 3))
+        out = matcher_oss.generate_proposals_oss(
+            jax.random.PRNGKey(4), dino_params, dcfg, backend, cfg,
+            sup, masks, jnp.ones(1, bool), qry,
+        )
+        assert out["merged"].shape == (56, 56)
+        assert np.isfinite(np.asarray(out["emd_score"])).all()
+        # 3 granularity masks per prompt set
+        assert out["proposal_masks"].shape[0] == 3 * (
+            out["chosen"].shape[0] // 3) == out["chosen"].shape[0]
+        # embedding cache: second call on the same query reuses the encode
+        emb1 = backend._embed_cache[1]
+        matcher_oss.generate_proposals_oss(
+            jax.random.PRNGKey(5), dino_params, dcfg, backend, cfg,
+            sup, masks, jnp.ones(1, bool), qry,
+        )
+        assert backend._embed_cache[1] is emb1
+
+    def test_oss_clustering_path(self):
+        from mars_tpu.pipeline import matcher_oss
+
+        dcfg, dino_params, scfg, sam_params = self._models()
+        cfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(1, 2), max_sample_iterations=2,
+            emd_row_bucket=16, emd_col_bucket=16,
+            use_points_or_centers=False, num_centers=3,
+        )
+        backend = matcher_oss.SamPointBackend(sam_params, scfg, decode_batch=8)
+        sup = jax.random.uniform(jax.random.PRNGKey(6), (1, 56, 56, 3))
+        masks = jnp.ones((1, 56, 56))
+        qry = jax.random.uniform(jax.random.PRNGKey(7), (56, 56, 3))
+        out = matcher_oss.generate_proposals_oss(
+            jax.random.PRNGKey(8), dino_params, dcfg, backend, cfg,
+            sup, masks, jnp.ones(1, bool), qry,
+        )
+        assert np.isfinite(float(out["final_score"]))
