@@ -40,6 +40,15 @@ def build_model(args) -> "mars_lib.Mars":
         dino = (cast_floating(dino[0]), dino[1])
         clip = (cast_floating(clip[0]),) + clip[1:]
         ac = (cast_floating(ac[0]),) + ac[1:]
+    if args.int8_towers:
+        # weight-only int8: ~2x less HBM for tower weights (308MB vs 609MB
+        # for DINOv2-L alone) and ~5% faster forwards; frees headroom for
+        # co-resident ViP-LLaVA on the same chip
+        from mars_tpu.models.quantization import quantize_params
+
+        dino = (quantize_params(dino[0]), dino[1])
+        clip = (quantize_params(clip[0]),) + clip[1:]
+        ac = (quantize_params(ac[0]),) + ac[1:]
     retriever = None
     if not args.gt_class_names:
         if args.jax_vlm:
@@ -112,6 +121,8 @@ def main(argv=None):
                         "line, reference datasets/COCO2014/fold{f}_badPredsIdxs.txt)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 tower weights (the reference's fp16 analogue)")
+    p.add_argument("--int8-towers", action="store_true",
+                   help="weight-only int8 tower kernels (combine with --bf16)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 

@@ -42,3 +42,25 @@ def test_vva_bf16_pipeline():
     assert cost.dtype == jnp.float32
     assert np.isfinite(np.asarray(prior)).all()
     assert 0.0 <= float(prior.min()) and float(prior.max()) <= 1.0
+
+
+def test_dinov2_int8_weights_close_to_f32():
+    from mars_tpu.models.quantization import quantize_params
+
+    cfg = dinov2.DinoV2Config(
+        patch_size=14, embed_dim=64, depth=3, num_heads=2,
+        num_register_tokens=4, pos_embed_grid=4,
+    )
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 56, 56, 3))
+    ref = dinov2.forward_features(params, x, cfg, attn_tap_last_n=2)
+    # min_size=0: tiny test kernels must still quantize
+    qp = quantize_params(params, bits=8, min_size=0)
+    out = dinov2.forward_features(qp, x, cfg, attn_tap_last_n=2)
+    rel = np.abs(np.asarray(out["x_prenorm"], np.float32)
+                 - np.asarray(ref["x_prenorm"])).max()
+    scale = np.abs(np.asarray(ref["x_prenorm"])).max()
+    assert rel / scale < 0.08, (rel, scale)
+    np.testing.assert_allclose(
+        np.asarray(out["attn_mean"]), np.asarray(ref["attn_mean"]), atol=0.03
+    )
