@@ -92,7 +92,8 @@ def main():
         vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
         vta_prior = (vta_prior - vta_prior.min()) / (1e-7 + vta_prior.max() - vta_prior.min())
         ac_scores = filtering.alphaclip_scores(
-            ac_v, ep.query_image, props.masks, ac_text, avcfg, fm_cfg
+            ac_v, ep.query_image, props.masks, ac_text, avcfg, fm_cfg,
+            proposal_valid=props.valid,
         )
         merged, scores = filtering.score_and_merge(
             props.masks, props.valid, support_fg, cost, vva_prior, vta_prior,

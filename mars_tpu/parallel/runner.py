@@ -43,7 +43,8 @@ def make_batched_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg, vta_cfg, fm_cfg,
         vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
         vta_prior = (vta_prior - vta_prior.min()) / (1e-7 + vta_prior.max() - vta_prior.min())
         ac_scores = filtering.alphaclip_scores(
-            params["ac_v"], qry, prop_m, ac_text, ac_vcfg, fm_cfg
+            params["ac_v"], qry, prop_m, ac_text, ac_vcfg, fm_cfg,
+            proposal_valid=prop_v,
         )
         return filtering.score_and_merge(
             prop_m, prop_v, support_fg, cost, vva_prior, vta_prior, ac_scores, fm_cfg

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,12 +50,19 @@ def alphaclip_scores(
     text_feats: jnp.ndarray,  # (1, out_dim) normalized alpha-clip text
     model_cfg: clip_m.ClipVisualConfig,
     cfg: FilterMergeConfig,
+    proposal_valid: Optional[jnp.ndarray] = None,  # (P,) bool
 ) -> jnp.ndarray:
     """Masked-region ↔ text cosine for every proposal (P,).
 
     reference:_compute_alphaclip_vis_feats:183-207 — image resized 336
     bicubic + CLIP norm; masks resized 336 bilinear, normalized with
     mean 0.5 / std 0.26 (utils/backbone_loader.py:183-188).
+
+    When ``proposal_valid`` is given, valid rows are compacted to the
+    front and all-padding chunks skip the AlphaCLIP-L tower through a
+    runtime ``lax.cond`` — XLA conditionals execute only the taken
+    branch, so a 7-proposal episode in a 128 bucket pays 1 chunk of
+    tower compute instead of 8, with a single compiled program.
     """
     s = cfg.alpha_clip_size
     img = imaging.resize(query_image, (s, s), "bicubic")
@@ -64,21 +71,49 @@ def alphaclip_scores(
     # backbone_loader mask_transforms) — and the antialiased 518→336 down-
     # sample is also ~10x more expensive
     p = proposal_masks.shape[0]
+    if proposal_valid is not None:
+        order = jnp.argsort(~proposal_valid, stable=True)
+        inv = jnp.zeros((p,), jnp.int32).at[order].set(
+            jnp.arange(p, dtype=jnp.int32))
+        masks_in = proposal_masks[order]
+        n_valid = jnp.sum(proposal_valid)
+    else:
+        inv = None
+        masks_in = proposal_masks
+        n_valid = jnp.int32(p)
     alphas = jax.image.resize(
-        proposal_masks[..., None], (p, s, s, 1), "bilinear", antialias=False
+        masks_in[..., None], (p, s, s, 1), "bilinear", antialias=False
     )[..., 0]
     alphas = (alphas - 0.5) / 0.26
 
     nb = cfg.alpha_clip_batch
-    alphas = alphas.reshape(p // nb, nb, s, s) if p % nb == 0 else alphas[None]
+    if p % nb == 0:
+        alphas = alphas.reshape(p // nb, nb, s, s)
+        starts = jnp.arange(p // nb, dtype=jnp.int32) * nb
+    else:
+        alphas = alphas[None]
+        starts = jnp.zeros((1,), jnp.int32)
+    d = text_feats.shape[-1]
 
     def chunk(alpha):
         imgs = jnp.broadcast_to(img[None], (alpha.shape[0],) + img.shape)
         emb = clip_m.visual_cls(params, imgs, model_cfg, alpha=alpha)
-        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb.astype(jnp.float32)
 
-    feats = jax.lax.map(chunk, alphas).reshape(p, -1)
-    return feats @ text_feats[0]
+    def body(_, inp):
+        alpha, start = inp
+        emb = jax.lax.cond(
+            start < n_valid,
+            chunk,
+            lambda a: jnp.zeros((a.shape[0], d), jnp.float32),
+            alpha,
+        )
+        return None, emb
+
+    _, feats = jax.lax.scan(body, None, (alphas, starts))
+    scores = feats.reshape(p, -1) @ text_feats[0].astype(jnp.float32)
+    return scores if inv is None else scores[inv]
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -150,6 +150,7 @@ class Mars:
             ac_scores = filtering.alphaclip_scores(
                 self.ac_v, episode.query_image, proposals.masks, ac_text,
                 self.ac_vcfg, self.cfg.filter_merge,
+                proposal_valid=proposals.valid,
             )
             if self.cfg.profile_stages:
                 force_sync(ac_scores)

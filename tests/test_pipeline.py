@@ -120,3 +120,39 @@ class TestScoreAndMerge:
         else:
             assert merged[45, 45] == 0
         assert merged[5, 5] == 1
+
+
+class TestAlphaClipChunkSkip:
+    def test_valid_compaction_matches_dense(self):
+        """alphaclip_scores with proposal_valid must return the same scores
+        for valid rows as the dense (no-valid) path, skipping dead chunks."""
+        from mars_tpu.models import clip as clip_m
+        from mars_tpu.pipeline import filtering
+
+        vcfg = clip_m.ClipVisualConfig(
+            patch_size=14, width=32, depth=2, num_heads=2,
+            output_dim=16, pos_embed_grid=4, alpha_channel=True,
+        )
+        params = clip_m.init_visual_params(jax.random.PRNGKey(0), vcfg)
+        cfg = filtering.FilterMergeConfig(
+            grid=4, alpha_clip_size=56, alpha_clip_batch=4,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        qry = jax.random.uniform(jax.random.PRNGKey(1), (56, 56, 3))
+        masks = (jax.random.uniform(jax.random.PRNGKey(2), (8, 56, 56)) > 0.5)
+        masks = masks.astype(jnp.float32)
+        text = jax.random.normal(jax.random.PRNGKey(3), (1, 16))
+        text = text / jnp.linalg.norm(text)
+        # 3 valid of 8 → with batch 4 the second chunk is dead
+        valid = jnp.asarray([True, True, True] + [False] * 5)
+        dense = filtering.alphaclip_scores(params, qry, masks, text, vcfg, cfg)
+        sparse = filtering.alphaclip_scores(
+            params, qry, masks, text, vcfg, cfg, proposal_valid=valid)
+        np.testing.assert_allclose(
+            np.asarray(sparse)[:3], np.asarray(dense)[:3], rtol=2e-5, atol=2e-5)
+        # scattered validity must also restore original row order
+        valid2 = jnp.asarray([False, True, False, True, False, True, False, True])
+        sparse2 = filtering.alphaclip_scores(
+            params, qry, masks, text, vcfg, cfg, proposal_valid=valid2)
+        np.testing.assert_allclose(
+            np.asarray(sparse2)[1::2], np.asarray(dense)[1::2], rtol=2e-5, atol=2e-5)
