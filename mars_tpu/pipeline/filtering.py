@@ -37,7 +37,9 @@ class FilterMergeConfig:
     dynamic_threshold: float = 0.95
     grid: int = 37
     alpha_clip_size: int = 336
-    alpha_clip_batch: int = 32
+    # 16 beats 32 on v5e both at full bucket (525 vs 576 ms) and for small
+    # episodes (one live chunk: 97 vs 173 ms)
+    alpha_clip_batch: int = 16
     emd_row_bucket: int = 1024
     emd_col_bucket: int = 512
 
@@ -146,6 +148,7 @@ def score_and_merge(
     emd = emd_ops.batched_emd(
         cost_matrix, support_fg, pooled.reshape(p, -1),
         cfg.emd_row_bucket, cfg.emd_col_bucket,
+        col_valid=proposal_valid,
     )
     emd_score = 1.0 - emd
 

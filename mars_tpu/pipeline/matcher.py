@@ -362,6 +362,7 @@ def score_masks(
     emd = emd_ops.batched_emd(
         cost, support_fg, pooled.reshape(masks.shape[0], -1),
         cfg.emd_row_bucket, cfg.emd_col_bucket,
+        col_valid=mask_valid,
     )
     emd_score = 1.0 - emd
 

@@ -211,3 +211,27 @@ class TestKmeans:
             jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(valid), 2
         )
         assert np.all(np.abs(np.asarray(centers)) < 50)  # never uses masked pts
+
+
+class TestEmdChunkSkip:
+    def test_col_valid_matches_dense(self):
+        from mars_tpu.ops import emd
+
+        k = jax.random.PRNGKey(0)
+        cost = jax.random.uniform(k, (64, 64))
+        row_mask = jax.random.uniform(jax.random.PRNGKey(1), (64,)) < 0.4
+        cols = jax.random.uniform(jax.random.PRNGKey(2), (32, 64)) < 0.3
+        dense = emd.batched_emd(cost, row_mask, cols, 32, 32)
+        # prefix validity: second chunk dead with chunk=8
+        valid = jnp.arange(32) < 5
+        sparse = emd.batched_emd(cost, row_mask, cols, 32, 32,
+                                 col_valid=valid, chunk=8)
+        np.testing.assert_allclose(np.asarray(sparse)[:5],
+                                   np.asarray(dense)[:5], rtol=1e-5)
+        assert (np.asarray(sparse)[8:] == 0).all()
+        # scattered validity restores order
+        valid2 = jnp.asarray([i % 3 == 0 for i in range(32)])
+        sparse2 = emd.batched_emd(cost, row_mask, cols, 32, 32,
+                                  col_valid=valid2, chunk=8)
+        np.testing.assert_allclose(np.asarray(sparse2)[::3],
+                                   np.asarray(dense)[::3], rtol=1e-5)
