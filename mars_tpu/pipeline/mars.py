@@ -101,6 +101,37 @@ class Mars:
             self._ac_text_jit = enc
         return self._ac_text_jit(self.ac_t, tok)
 
+    def _fused(self):
+        """One jitted program for ALL device stages of an episode (same graph
+        bench.py times).  On a remote-attached chip each dispatch is a ~35 ms
+        round trip; fusing stages 2-5 leaves one dispatch per episode."""
+        if hasattr(self, "_fused_jit"):
+            return self._fused_jit
+        dino_cfg, clip_vcfg, ac_vcfg = self.dino_cfg, self.clip_vcfg, self.ac_vcfg
+        vva_cfg, vta_cfg, fm_cfg = self.cfg.vva, self.cfg.vta, self.cfg.filter_merge
+        g = vva_cfg.grid
+
+        @jax.jit
+        def fused(dino_params, clip_v, clip_scale, ac_v,
+                  sup_img, sup_mask, sup_valid, qry,
+                  prop_masks, prop_valid, vta_text, ac_text):
+            vva_prior, cost, support_fg = vva.compute(
+                dino_params, sup_img, sup_mask, sup_valid, qry, dino_cfg, vva_cfg)
+            vta_prior = vta.compute(
+                clip_v, qry, vta_text, clip_scale, clip_vcfg, vta_cfg)
+            vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
+            vta_prior = (vta_prior - vta_prior.min()) / (
+                1e-7 + vta_prior.max() - vta_prior.min())
+            ac_scores = filtering.alphaclip_scores(
+                ac_v, qry, prop_masks, ac_text, ac_vcfg, fm_cfg,
+                proposal_valid=prop_valid)
+            return filtering.score_and_merge(
+                prop_masks, prop_valid, support_fg, cost,
+                vva_prior, vta_prior, ac_scores, fm_cfg)
+
+        self._fused_jit = fused
+        return fused
+
     def predict(
         self,
         episode: Episode,
@@ -113,6 +144,20 @@ class Mars:
         if class_name is None:
             class_name, class_description = self.conceptual_information(episode)
         t1 = time.time()
+
+        if not self.cfg.profile_stages:
+            vta_text = self._vta_text_feats(class_name)
+            ac_text = self._alpha_clip_text_feats(
+                prompt_data.alpha_clip_text(class_name, class_description))
+            merged, _ = self._fused()(
+                self.dino_params, self.clip_v, self.clip_scale, self.ac_v,
+                episode.support_images, episode.support_masks,
+                episode.support_valid, episode.query_image,
+                proposals.masks, proposals.valid, vta_text, ac_text)
+            merged.block_until_ready()
+            t2 = time.time()
+            self.timings = {"total": t2 - t0, "after_text_extraction": t2 - t1}
+            return merged
 
         with self.stage_timers.span("vva", None):
             vva_prior, cost, support_fg = vva.compute(
