@@ -71,28 +71,40 @@ def _auction_phase(scores, row_valid, prices, eps, max_rounds):
     return col_of_row, prices
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(jax.jit, static_argnums=(2, 3))
 def auction_assignment(
     scores: jnp.ndarray,  # (T, N) similarity, maximize, T <= N
     row_valid: jnp.ndarray,  # (T,) bool
     max_rounds: int = 20000,
+    n_phases: int = 1,
 ) -> jnp.ndarray:
     """col_of_row (T,) int32; -1 for invalid (padded) rows.
 
-    Single auction phase from zero prices at ε = spread/max(2N, 5000) — the
-    n·ε bound plus Jacobi parallel bidding makes this essentially exact on
-    real similarity matrices (validated vs scipy in tests; 300x1369 random
-    instances show < 1e-3 relative objective gap).  Forward-auction price
-    carryover across ε phases is unsound for rectangular problems, so no
-    ε-scaling.  Rows still unassigned at the round cap (pathological inputs
-    only) are fixed up greedily.
+    Default: a single auction phase from zero prices at
+    ε = spread/max(2N, 5000) — the n·ε bound plus Jacobi parallel bidding
+    makes this essentially exact on real similarity matrices (validated vs
+    scipy in tests; 300x1369 random instances show < 1e-3 relative
+    objective gap).  Forward-auction price carryover across ε phases is
+    unsound for strongly rectangular valid-row subsets, so matching keeps
+    n_phases=1.
+
+    ``n_phases > 1``: Bertsekas ε-scaling (each phase re-auctions from the
+    previous phase's prices at ε/5^k → final ε) — the right tool for
+    (near-)square heavily-contested instances, where single-phase bidding
+    wars explode: on a real 1374² DINOv2 cost matrix, 5 phases are EXACT
+    vs scipy in 529 ms where one phase needs 2502 ms for a 2e-5 gap.
+    Rows still unassigned at the round cap are fixed up greedily.
     """
     t, n = scores.shape
     scores = jnp.where(row_valid[:, None], scores, 0.0)
     spread = jnp.maximum(jnp.max(scores) - jnp.min(scores), 1e-6)
-    eps = spread / max(2.0 * n, 5000.0)
-    col_of_row, _ = _auction_phase(scores, row_valid, jnp.zeros((n,), jnp.float32),
-                                   eps, max_rounds)
+    eps_final = spread / max(2.0 * n, 5000.0)
+    prices = jnp.zeros((n,), jnp.float32)
+    col_of_row = jnp.full((t,), -1, jnp.int32)
+    for i in range(n_phases):
+        eps = eps_final * (5.0 ** (n_phases - 1 - i))
+        col_of_row, prices = _auction_phase(scores, row_valid, prices, eps,
+                                            max_rounds)
 
     # greedy cleanup for any leftovers (no-op when the auction converged)
     taken0 = jnp.zeros((n,), bool).at[jnp.clip(col_of_row, 0, n - 1)].set(col_of_row >= 0)

@@ -182,13 +182,24 @@ def negative_points_from_cost(cost, support_fg, cfg: MatcherConfig):
     l = cost.shape[1]
     g = cfg.grid
     r = cost.shape[0]
-    cols = assignment.auction_assignment(cost, jnp.ones((r,), bool))
-    tgt = jnp.where(cols >= 0, cols, l)
-    matched_row = jnp.full((l,), -1, jnp.int32).at[tgt].set(
-        jnp.arange(r, dtype=jnp.int32), mode="drop")
+    # square/contested instances need ε-scaling (see auction_assignment);
+    # a tall matrix (R > L, multi-shot) can never assign every row, so run
+    # the auction on the side that CAN fully assign — same LSA optimum
+    if r <= l:
+        cols = assignment.auction_assignment(cost, jnp.ones((r,), bool),
+                                             n_phases=5)
+        tgt = jnp.where(cols >= 0, cols, l)
+        matched_row = jnp.full((l,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(r, dtype=jnp.int32), mode="drop")
+    else:
+        matched_row = assignment.auction_assignment(
+            cost.T, jnp.ones((l,), bool), n_phases=5)
     pair_valid = matched_row >= 0
     cost_f = jnp.where(pair_valid, cost[jnp.clip(matched_row, 0, r - 1), jnp.arange(l)], -jnp.inf)
-    rev = assignment.auction_assignment(cost.T, pair_valid)
+    # ε-scaling only when square (carryover is unsound for strongly
+    # rectangular valid subsets — multi-shot keeps the single phase)
+    rev = assignment.auction_assignment(cost.T, pair_valid,
+                                        n_phases=5 if r == l else 1)
     outside = pair_valid & ~support_fg[jnp.clip(rev, 0, r - 1)]
     # reference keeps ALL matched pairs' costs but filters to `outside` when
     # any exist; the top-half is then taken over the FULL matched set

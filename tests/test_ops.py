@@ -235,3 +235,25 @@ class TestEmdChunkSkip:
                                   col_valid=valid2, chunk=8)
         np.testing.assert_allclose(np.asarray(sparse2)[::3],
                                    np.asarray(dense)[::3], rtol=1e-5)
+
+
+class TestAuctionScaled:
+    def test_scaled_square_matches_scipy(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from mars_tpu.ops import assignment
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        a = jax.random.normal(k1, (200, 16))
+        a = a / jnp.linalg.norm(a, axis=1, keepdims=True)
+        b = jax.random.normal(k2, (200, 16))
+        b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+        cost = (1.0 - a @ b.T) / 2.0  # contested near-tie instance
+        cols = assignment.auction_assignment(
+            cost, jnp.ones(200, bool), n_phases=5)
+        cn = np.asarray(cost, np.float64)
+        ri, ci = linear_sum_assignment(cn, maximize=True)
+        o = np.asarray(cols)
+        obj = cn[np.arange(200), o].sum()
+        assert (o >= 0).all() and len(set(o.tolist())) == 200
+        assert (cn[ri, ci].sum() - obj) / cn[ri, ci].sum() < 1e-4
