@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,31 +34,52 @@ class EpisodeRecord:
 
 
 def to_device_episode(rec: EpisodeRecord, size: int = 518, max_shots: int = 1) -> Episode:
-    """Resize images (bilinear, antialiased — torchvision Resize semantics,
-    reference dataset.py:32-35) and masks (nearest), pad shots."""
+    """Resize images (bilinear antialiased) and masks (nearest), pad shots,
+    ship ONE fixed-shape transfer to the device.
+
+    Resizing runs on the host with PIL — the reference resizes PIL images
+    through torchvision transforms (reference dataset.py:32-35), so this IS
+    the reference semantics; it also keeps varying source-image shapes out
+    of the device program (every new source shape would otherwise compile a
+    fresh resize executable — ~seconds per episode on real datasets, where
+    each record has its own resolution)."""
+    from PIL import Image
 
     def prep_img(img):
-        x = jnp.asarray(img, jnp.float32) / 255.0
-        return imaging.resize(x, (size, size), "bilinear")
+        im = Image.fromarray(np.ascontiguousarray(np.asarray(img, np.uint8)))
+        return np.asarray(im.resize((size, size), Image.BILINEAR), np.uint8)
 
     def prep_mask(m):
-        x = jnp.asarray(m, jnp.float32)
-        return imaging.resize_mask(x, (size, size))
+        im = Image.fromarray(np.ascontiguousarray(np.asarray(m, np.uint8)))
+        return np.asarray(im.resize((size, size), Image.NEAREST), np.uint8)
 
     s = len(rec.support_imgs)
     assert s <= max_shots, f"{s} shots > max_shots {max_shots}"
     sup_i = [prep_img(i) for i in rec.support_imgs]
     sup_m = [prep_mask(m) for m in rec.support_masks]
     for _ in range(max_shots - s):
-        sup_i.append(jnp.zeros((size, size, 3), jnp.float32))
-        sup_m.append(jnp.zeros((size, size), jnp.float32))
+        sup_i.append(np.zeros((size, size, 3), np.uint8))
+        sup_m.append(np.zeros((size, size), np.uint8))
+    # uint8 over the wire (4x less host->device traffic), one jitted
+    # conversion on device
+    sup_iu = jnp.asarray(np.stack(sup_i))
+    sup_mu = jnp.asarray(np.stack(sup_m))
+    qry_u = jnp.asarray(prep_img(rec.query_img))
+    sup_f, sup_mf, qry_f = _episode_floats(sup_iu, sup_mu, qry_u)
     return Episode(
-        support_images=jnp.stack(sup_i),
-        support_masks=jnp.stack(sup_m),
+        support_images=sup_f,
+        support_masks=sup_mf,
         support_valid=jnp.arange(max_shots) < s,
-        query_image=prep_img(rec.query_img),
+        query_image=qry_f,
         class_id=jnp.int32(rec.class_id),
     )
+
+
+@jax.jit
+def _episode_floats(sup_u8, msk_u8, qry_u8):
+    return (sup_u8.astype(jnp.float32) / 255.0,
+            msk_u8.astype(jnp.float32),
+            qry_u8.astype(jnp.float32) / 255.0)
 
 
 def resized_gt(rec: EpisodeRecord, size: int = 518):
