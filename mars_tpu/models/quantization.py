@@ -63,6 +63,9 @@ def quantize_params(params, bits: int = 8, min_size: int = 1 << 14):
     def q(path, leaf):
         names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
         leaf_name = names[-1] if names else ""
+        # NOTE: lm_head stays floating — bitsandbytes (the reference's 8-bit
+        # loader) skips it too; int8 argmax over near-tied logits flips
+        # greedy tokens, and the head is only ~3% of decode bandwidth
         if (
             leaf_name == "kernel"
             and hasattr(leaf, "ndim")

@@ -202,7 +202,11 @@ def llama_forward(p, embeds, positions, cfg, kv_caches=None, cache_pos=None):
         x, cache = _llama_layer(p[f"layer{i}"], x, positions, cfg, cache, cache_pos)
         new_caches.append(cache)
     x = _rms_norm(p["norm"], x, cfg.rms_eps)
-    logits = x @ p["lm_head"]
+    lm = p["lm_head"]
+    if isinstance(lm, dict):  # weight-only quantized head
+        logits = L.dense({"kernel": lm}, x)
+    else:
+        logits = x @ lm
     return logits, (new_caches if kv_caches is not None else None)
 
 
@@ -276,6 +280,103 @@ def forward_logits(p, input_ids, pixel_values, cfg: VipLlavaConfig):
 # --------------------------------------------------------------------------
 # HF checkpoint conversion
 # --------------------------------------------------------------------------
+
+def init_random_params(seed: int, cfg: VipLlavaConfig,
+                       quantize_bits: int = None,
+                       dtype=jnp.bfloat16) -> dict:
+    """Random params with convert_hf's exact tree structure — smoke runs
+    and throughput benchmarks without local weights (the zoo's random-init
+    fallback pattern).  With ``quantize_bits=8`` the 2-D kernels are
+    generated DIRECTLY as int8 on device: materializing a 7B model in f32
+    first would need 27 GB of host RAM and OOM the image.
+
+    All draws run as per-shape-cached jitted programs (one compile per
+    distinct shape, ~15 for LLaMA-7B) so initialization stays seconds even
+    on a remote-attached chip.
+    """
+    counter = [seed * 1000]
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def _draw(s, shape, dt):
+        k = jax.random.PRNGKey(s)
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dt)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def _draw_q8(s, shape):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(s))
+        q = jax.random.randint(k1, shape, -127, 128, jnp.int32).astype(jnp.int8)
+        scale = jax.random.uniform(k2, (shape[1],), jnp.float32,
+                                   1e-4, 3e-4)
+        return {"q": q, "scale": scale}
+
+    def vec(*shape):
+        counter[0] += 1
+        return _draw(counter[0], shape, dtype)
+
+    def kernel(din, dout):
+        counter[0] += 1
+        if quantize_bits == 8 and din * dout >= (1 << 14):
+            return _draw_q8(counter[0], (din, dout))
+        return _draw(counter[0], (din, dout), dtype)
+
+    def ln(d):
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    c = cfg
+    g = c.image_size // c.patch_size
+    vision = {
+        "patch_embed": {"kernel": vec(c.patch_size, c.patch_size, 3, c.v_hidden)},
+        "class_embedding": vec(c.v_hidden),
+        "position_embedding": vec(g * g + 1, c.v_hidden),
+        "pre_layernorm": ln(c.v_hidden),
+    }
+    for i in range(c.v_layers):
+        vision[f"layer{i}"] = {
+            "ln1": ln(c.v_hidden), "ln2": ln(c.v_hidden),
+            "attn": {n: {"kernel": kernel(c.v_hidden, c.v_hidden),
+                         "bias": jnp.zeros((c.v_hidden,), dtype)}
+                     for n in ("q", "k", "v", "out")},
+            "mlp": {
+                "fc1": {"kernel": kernel(c.v_hidden, c.v_intermediate),
+                        "bias": jnp.zeros((c.v_intermediate,), dtype)},
+                "fc2": {"kernel": kernel(c.v_intermediate, c.v_hidden),
+                        "bias": jnp.zeros((c.v_hidden,), dtype)},
+            },
+        }
+    n_feat = len(c.vision_feature_layers)
+    projector = {
+        "ln": ln(c.v_hidden * n_feat),
+        "linear_1": {"kernel": kernel(c.v_hidden * n_feat, c.hidden),
+                     "bias": jnp.zeros((c.hidden,), dtype)},
+        "linear_2": {"kernel": kernel(c.hidden, c.hidden),
+                     "bias": jnp.zeros((c.hidden,), dtype)},
+    }
+    hd = c.hidden // c.heads
+    language = {
+        "embed_tokens": vec(c.vocab, c.hidden),
+        "norm": jnp.ones((c.hidden,), dtype),
+        # floating head regardless of quantize_bits (mirrors bitsandbytes,
+        # which skips lm_head)
+        "lm_head": _draw(counter[0] + 7777, (c.hidden, c.vocab), dtype),
+    }
+    for i in range(c.layers):
+        language[f"layer{i}"] = {
+            "input_ln": jnp.ones((c.hidden,), dtype),
+            "post_ln": jnp.ones((c.hidden,), dtype),
+            "attn": {
+                "q": {"kernel": kernel(c.hidden, c.hidden)},
+                "k": {"kernel": kernel(c.hidden, c.kv_heads * hd)},
+                "v": {"kernel": kernel(c.hidden, c.kv_heads * hd)},
+                "o": {"kernel": kernel(c.hidden, c.hidden)},
+            },
+            "mlp": {
+                "gate": {"kernel": kernel(c.hidden, c.intermediate)},
+                "up": {"kernel": kernel(c.hidden, c.intermediate)},
+                "down": {"kernel": kernel(c.intermediate, c.hidden)},
+            },
+        }
+    return {"vision": vision, "projector": projector, "language": language}
+
 
 def convert_hf(sd: dict, cfg: VipLlavaConfig) -> dict:
     """HF VipLlavaForConditionalGeneration state_dict (numpy) → params."""

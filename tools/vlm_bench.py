@@ -1,0 +1,59 @@
+"""ViP-LLaVA-7B decode throughput on one chip (random int8 weights).
+
+Measures prefill latency and steady-state decode tok/s for the VLM that
+the reference runs as a second-GPU side-car (reference:
+mars/components/TextRetrieverModule.py:446-490).  Usage:
+
+    python tools/vlm_bench.py [--tokens 40] [--prompt-len 600]
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mars_tpu.models import vip_llava as vl
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=40)
+    ap.add_argument("--prompt-len", type=int, default=600)
+    ap.add_argument("--bits", type=int, default=8, choices=(8,))
+    args = ap.parse_args()
+
+    cfg = vl.VipLlavaConfig()
+    t0 = time.time()
+    p = vl.init_random_params(0, cfg, quantize_bits=args.bits)
+    n = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(p))
+    print(f"init {time.time()-t0:.1f}s  params={n/1e9:.2f}B", flush=True)
+
+    g = (cfg.image_size // cfg.patch_size) ** 2
+    ids = np.full((1, args.prompt_len), 5, np.int64)
+    ids[0, 10] = cfg.image_token_index  # one image slot (expands to g feats)
+    pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+
+    def run(n_new):
+        toks = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
+                                  max_new_tokens=n_new)
+        return np.asarray(toks)
+
+    t0 = time.time(); run(args.tokens); compile_s = time.time() - t0
+    print(f"compile+run {compile_s:.1f}s", flush=True)
+    short, long_ = max(args.tokens // 2, 1), args.tokens
+    # time both lengths; per-token = (t_long - t_short) / (long - short)
+    t0 = time.time(); run(short); t_short0 = time.time() - t0  # compiles short
+    ts_s, ts_l = [], []
+    for _ in range(3):
+        t0 = time.time(); run(short); ts_s.append(time.time() - t0)
+        t0 = time.time(); run(long_); ts_l.append(time.time() - t0)
+    per_tok = (min(ts_l) - min(ts_s)) / (long_ - short)
+    prefill = min(ts_s) - short * per_tok
+    print(f"prefill({args.prompt_len}+{g} img toks): {prefill*1000:.0f}ms  "
+          f"decode: {per_tok*1000:.1f}ms/tok = {1.0/per_tok:.1f} tok/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
