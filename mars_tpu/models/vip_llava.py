@@ -232,11 +232,18 @@ def embed_multimodal(p, input_ids, pixel_values, cfg: VipLlavaConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
 def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
-                    max_new_tokens: int = 20):
+                    max_new_tokens: int = 20, true_length=None):
     """Greedy decode (the reference uses greedy generate with
     max_new_tokens=20/50, TextRetrieverModule.py:76,118).
 
     input_ids: (B, L) prompt with image tokens; returns (B, max_new_tokens).
+
+    ``true_length`` (scalar int array): the real prompt length when
+    input_ids is right-padded to a fixed bucket — the jit then compiles
+    once per BUCKET, not per prompt length (every real episode has its own
+    length; without bucketing each one pays a full recompile).  Stale pad
+    slots in the KV cache sit at positions > the current query position,
+    so the causal mask already excludes them.
     """
     b, l0 = input_ids.shape
     embeds = embed_multimodal(p, input_ids, pixel_values, cfg)
@@ -251,13 +258,21 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     ]
     logits, caches = llama_forward(p["language"], embeds, positions, cfg,
                                    caches, 0)
-    next_tok = jnp.argmax(logits[:, -1], axis=-1)
+    if true_length is None:
+        next_tok = jnp.argmax(logits[:, -1], axis=-1)
+        start = l0
+    else:
+        last = jax.lax.dynamic_index_in_dim(
+            logits, jnp.asarray(true_length, jnp.int32) - 1, axis=1,
+            keepdims=False)
+        next_tok = jnp.argmax(last, axis=-1)
+        start = jnp.asarray(true_length, jnp.int32)
 
     def step(carry, i):
         tok, caches = carry
-        pos = l0 + i
+        pos = start + i
         emb = p["language"]["embed_tokens"][tok][:, None]
-        positions = jnp.full((b, 1), pos)
+        positions = jnp.broadcast_to(pos, (b, 1))
         logits, caches = llama_forward(p["language"], emb, positions, cfg,
                                        caches, pos)
         nxt = jnp.argmax(logits[:, -1], axis=-1)

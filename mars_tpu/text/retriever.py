@@ -125,11 +125,18 @@ class JaxVipLlava:
 
         inputs = self.processor(text=prompt, images=Image.fromarray(image),
                                 return_tensors="np")
-        ids = jnp.asarray(inputs["input_ids"])
+        ids_np = np.asarray(inputs["input_ids"])
+        # right-pad the prompt to a 128-bucket so the decoder compiles once
+        # per bucket instead of once per prompt length
+        l0 = ids_np.shape[1]
+        bucket = ((l0 + 127) // 128) * 128
+        ids_np = np.pad(ids_np, ((0, 0), (0, bucket - l0)))
+        ids = jnp.asarray(ids_np)
         pixels = jnp.asarray(np.transpose(inputs["pixel_values"], (0, 2, 3, 1)))
         toks = self._vl.generate_greedy(
             self.params, ids, pixels, self.cfg,
             max_new_tokens=max(max_new_tokens, min_new_tokens),
+            true_length=jnp.int32(l0),
         )
         toks = np.asarray(toks)[0]
         eos = getattr(self.processor.tokenizer, "eos_token_id", None)

@@ -84,3 +84,26 @@ class TestQuantization:
         ref = x @ w
         rel = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
         assert rel < 0.2  # int4 is coarse but bounded
+
+
+def test_bucketed_prompt_matches_exact():
+    """Right-padded prompt + true_length must produce the same greedy tokens
+    as the exact-length call (the pad slots are causally masked)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mars_tpu.models import vip_llava as vl
+
+    cfg = vl.TINY
+    p = vl.init_random_params(3, cfg, dtype=jnp.float32)
+    g = (cfg.image_size // cfg.patch_size) ** 2
+    l0 = 9 + g
+    ids = np.full((1, l0), 5, np.int64)
+    ids[0, 3:3 + g] = cfg.image_token_index
+    pixels = jnp.asarray(np.random.RandomState(0).rand(1, 56, 56, 3), jnp.float32)
+    exact = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg, max_new_tokens=6)
+    padded = np.pad(ids, ((0, 0), (0, 24 - (l0 % 24))))
+    bucketed = vl.generate_greedy(p, jnp.asarray(padded), pixels, cfg,
+                                  max_new_tokens=6, true_length=jnp.int32(l0))
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(bucketed))

@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--tokens", type=int, default=40)
     ap.add_argument("--prompt-len", type=int, default=600)
     ap.add_argument("--bits", type=int, default=8, choices=(8,))
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="right-pad the prompt to this bucket and decode "
+                         "with true_length (the production path)")
     args = ap.parse_args()
 
     cfg = vl.VipLlavaConfig()
@@ -32,11 +35,16 @@ def main():
     g = (cfg.image_size // cfg.patch_size) ** 2
     ids = np.full((1, args.prompt_len), 5, np.int64)
     ids[0, 10] = cfg.image_token_index  # one image slot (expands to g feats)
+    true_len = None
+    if args.bucket:
+        assert args.bucket >= args.prompt_len
+        true_len = jnp.int32(args.prompt_len)
+        ids = np.pad(ids, ((0, 0), (0, args.bucket - args.prompt_len)))
     pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
 
     def run(n_new):
         toks = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
-                                  max_new_tokens=n_new)
+                                  max_new_tokens=n_new, true_length=true_len)
         return np.asarray(toks)
 
     t0 = time.time(); run(args.tokens); compile_s = time.time() - t0
