@@ -57,6 +57,13 @@ def main():
         dino_params = cast_floating(dino_params)
         clip_v = cast_floating(clip_v)
         ac_v = cast_floating(ac_v)
+    if _os.environ.get("MARS_BENCH_INT8", "1") == "1":
+        # weight-only int8 towers: the production config (cli --int8-towers)
+        from mars_tpu.models.quantization import quantize_params
+
+        dino_params = quantize_params(dino_params)
+        clip_v = quantize_params(clip_v)
+        ac_v = quantize_params(ac_v)
 
     vva_cfg = vva_m.VVAConfig()
     vta_cfg = vta_m.VTAConfig()
