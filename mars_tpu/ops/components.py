@@ -129,5 +129,15 @@ def remove_small_regions(mask: jnp.ndarray, area_thresh: float, mode_holes: bool
     is_small = small[jnp.clip(lab, 0, n)]
     if_changed = jnp.any(is_small & working)
     new_working = working & ~is_small
+    if not mode_holes:
+        # keep-largest fallback (segment_anything/utils/amg.py:292-296): in
+        # islands mode, if EVERY region is below threshold, keep the largest
+        # one instead of emptying the mask.  Component ids are min-pixel
+        # row-major indices — the same ordering as cv2 labels — so argmax's
+        # first-max tie-break matches np.argmax(sizes) over cv2 stats.
+        comp_sizes = jnp.where(jnp.arange(n + 1) < n, sizes, 0)
+        largest = jnp.argmax(comp_sizes).astype(lab.dtype)
+        all_small = ~jnp.any(new_working)
+        new_working = jnp.where(all_small, working & (lab == largest), new_working)
     out = (~new_working) if mode_holes else new_working
     return out, if_changed

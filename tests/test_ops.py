@@ -77,6 +77,58 @@ class TestComponents:
         assert not np.asarray(out)[16, 16]  # island removed
         assert np.asarray(out)[3, 3]
 
+    @staticmethod
+    def _rsr_oracle(mask, area_thresh, mode_holes):
+        """cv2-based oracle for segment_anything/utils/amg.py:274-299,
+        including the islands-mode keep-largest fallback (:292-296)."""
+        import cv2
+
+        work = (~mask if mode_holes else mask).astype(np.uint8)
+        n, lab, stats, _ = cv2.connectedComponentsWithStats(work, 8)
+        sizes = stats[1:, -1]
+        small = np.flatnonzero(sizes < area_thresh) + 1
+        if small.size == 0:
+            return mask, False
+        if mode_holes:
+            out = np.isin(lab, np.concatenate([[0], small]))
+        else:
+            keep = np.setdiff1d(np.arange(1, n), small)
+            if keep.size == 0:
+                keep = np.array([np.argmax(sizes) + 1])
+            out = np.isin(lab, keep)
+        return out, True
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("mode_holes", [False, True])
+    def test_remove_small_regions_vs_cv2(self, seed, mode_holes):
+        rng = np.random.RandomState(seed)
+        mask = rng.rand(24, 24) > 0.7
+        # 1e6 puts every region below threshold → islands keep-largest path
+        for thresh in (2.0, 6.0, 1e6):
+            got, ch = components.remove_small_regions(
+                jnp.asarray(mask), thresh, mode_holes
+            )
+            want, wch = self._rsr_oracle(mask, thresh, mode_holes)
+            np.testing.assert_array_equal(np.asarray(got), want, err_msg=f"{thresh}")
+            assert bool(ch) == wch
+
+    def test_remove_small_regions_all_small_keeps_largest(self):
+        # the round-1 parity bug: every island below threshold must keep the
+        # largest, not empty the mask (amg.py:292-296)
+        mask = np.zeros((16, 16), bool)
+        mask[1:3, 1:3] = True   # 4 px
+        mask[8:11, 8:11] = True  # 9 px — the survivor
+        mask[14, 14] = True      # 1 px
+        out, ch = components.remove_small_regions(jnp.asarray(mask), 100.0, False)
+        want, _ = self._rsr_oracle(mask, 100.0, False)
+        np.testing.assert_array_equal(np.asarray(out), want)
+        assert bool(ch) and np.asarray(out).sum() == 9
+
+    def test_remove_small_regions_empty(self):
+        mask = np.zeros((12, 12), bool)
+        out, ch = components.remove_small_regions(jnp.asarray(mask), 5.0, False)
+        assert not bool(ch) and np.asarray(out).sum() == 0
+
 
 class TestEmd:
     @pytest.mark.parametrize("seed,t,c", [(0, 12, 8), (1, 20, 5), (2, 7, 15)])
