@@ -21,9 +21,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Estimated single-A100 torch reference per-episode ranking latency (s).
-# The repo publishes no numbers (BASELINE.md); refined in later rounds.
-BASELINE_EPISODE_SECONDS = 2.0
+import os
+
+# Single-A100 torch reference per-episode ranking latency (s).  The repo
+# publishes no numbers; BASELINE_MEASURED.json is produced by
+# tools/measure_reference_baseline.py (reference towers timed on this
+# image's CPU, scaled per stage by documented FLOPs/core factors —
+# BASELINE.md).  Legacy fallback: the round-1 2.0 s estimate.
+_MEASURED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_MEASURED.json")
+if os.path.exists(_MEASURED):
+    with open(_MEASURED) as _f:
+        BASELINE_EPISODE_SECONDS = json.load(_f)["baseline_episode_seconds_a100"]
+else:
+    BASELINE_EPISODE_SECONDS = 2.0
 
 PROPOSAL_BUCKET = 128
 

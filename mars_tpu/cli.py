@@ -27,12 +27,86 @@ from mars_tpu.pipeline import mars as mars_lib
 from mars_tpu.utils import evaluation
 
 
+def build_mars_config(args) -> "mars_lib.MarsConfig":
+    """Map the reference's tuning flags (main_MARS.py:106-163) onto the
+    frozen stage configs."""
+    import math
+
+    from mars_tpu.pipeline import filtering, vta, vva
+
+    dino_patch = 14
+    g = args.input_size // dino_patch
+    vta_patch = int(args.vta_backbone[-2:])
+    vta_in = int(math.ceil(args.input_size / vta_patch) * vta_patch)
+    return mars_lib.MarsConfig(
+        vva=vva.VVAConfig(
+            refinement_box_threshold=args.vva_refinement_box_threshold,
+            attn_tap_last_n=args.last_n_attn_for_vva_refinement,
+            grid=g,
+        ),
+        vta=vta.VTAConfig(
+            refinement_box_threshold=args.vta_refinement_box_threshold,
+            attn_tap_last_n=args.last_n_attn_for_vta_refinement,
+            input_size=vta_in,
+            grid=vta_in // vta_patch,
+        ),
+        filter_merge=filtering.FilterMergeConfig(
+            alpha=args.alpha_coverage,
+            static_threshold=args.static_threshold,
+            dynamic_threshold=args.dynamic_threshold,
+            grid=g,
+        ),
+    )
+
+
+def build_retriever(args):
+    from mars_tpu.text.retriever import (EnsembleConfig, PromptGenConfig,
+                                         TextRetriever)
+
+    if args.nltk_path:
+        import nltk
+
+        nltk.data.path.append(args.nltk_path)
+    gen_cfg = PromptGenConfig(
+        prompt_type=args.prompt_type, color=args.color,
+        alpha=args.alpha_blending, thickness=args.thickness,
+        zoom_percent=args.zoom_percentage,
+    )
+    ensemble = EnsembleConfig(
+        colors=tuple(args.ensemble_colors_list) if args.ensemble_colors else (),
+        zooms=tuple(args.ensemble_zoom_list) if args.ensemble_zoom else (),
+        prompt_types=(tuple(args.ensemble_prompts_list)
+                      if args.ensemble_prompts else ()),
+    )
+    bits = 4 if args.vlm4bit else (8 if args.vlm8bit else None)
+    if args.jax_vlm:
+        import jax.numpy as jnp
+
+        from mars_tpu.text.retriever import JaxVipLlava
+
+        vlm = JaxVipLlava(args.vlm_path, dtype=jnp.bfloat16,
+                          quantize_bits=bits or 8)
+    else:
+        from mars_tpu.text.retriever import HFVipLlava
+
+        if bits:
+            print(f"[cli] --vlm{bits}bit needs --jax-vlm (bitsandbytes is not "
+                  "vendored); running the HF side-car unquantized")
+        vlm = HFVipLlava(args.vlm_path)
+    return TextRetriever(vlm, gen_cfg=gen_cfg, ensemble=ensemble)
+
+
 def build_model(args) -> "mars_lib.Mars":
     from mars_tpu.models import zoo
     from mars_tpu.text.retriever import OracleVLM, TextRetriever
 
+    if args.vva_backbone != "dino":
+        # the reference exposes the same choices but its live VVA path only
+        # ever builds DINOv2 (VisualVisualAlignmentModule.py:148-152)
+        raise SystemExit("--vva-backbone: only 'dino' is implemented "
+                         "(matches the reference's live code path)")
     dino = zoo.build_dinov2(args.models_path, args.dino_backbone, args.num_regs)
-    clip = zoo.build_clip_b16(args.models_path)
+    clip = zoo.build_clip(args.models_path, args.vta_backbone)
     ac = zoo.build_alpha_clip(args.models_path)
     if args.bf16:
         from mars_tpu.models.precision import cast_floating
@@ -51,18 +125,9 @@ def build_model(args) -> "mars_lib.Mars":
         ac = (quantize_params(ac[0]),) + ac[1:]
     retriever = None
     if not args.gt_class_names:
-        if args.jax_vlm:
-            import jax.numpy as jnp
-
-            from mars_tpu.text.retriever import JaxVipLlava
-
-            retriever = TextRetriever(JaxVipLlava(
-                args.vlm_path, dtype=jnp.bfloat16, quantize_bits=8))
-        else:
-            from mars_tpu.text.retriever import HFVipLlava
-
-            retriever = TextRetriever(HFVipLlava(args.vlm_path))
-    return mars_lib.Mars(dino=dino, clip=clip, alpha_clip=ac, retriever=retriever)
+        retriever = build_retriever(args)
+    return mars_lib.Mars(dino=dino, clip=clip, alpha_clip=ac,
+                         retriever=retriever, cfg=build_mars_config(args))
 
 
 def load_proposals(args, idx: int, size: int):
@@ -95,36 +160,130 @@ def synthetic_proposals(rec, size, bucket, rng):
     return pad_proposals(jnp.asarray(np.stack(props)), bucket)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser("mars_tpu evaluation")
+def make_inline_generator(args):
+    """Per-episode Matcher proposal generation inside the eval loop — the
+    reference's mask_generator slot (mars/MARS.py:21,46-51), which its
+    shipped driver never exercises (it always loads dumps, main_MARS.py:62).
+    """
+    import jax
+
+    from mars_tpu.models import zoo
+    from mars_tpu.pipeline import amg, matcher
+
+    dino_params, dino_cfg = zoo.build_dinov2(args.models_path,
+                                             args.dino_backbone, args.num_regs)
+    sam_params, sam_cfg = zoo.build_sam(args.models_path, args.sam_size)
+    if args.bf16:
+        from mars_tpu.models.precision import cast_floating
+
+        dino_params = cast_floating(dino_params)
+        sam_params = cast_floating(sam_params)
+    mcfg = matcher.MatcherConfig(
+        input_size=args.input_size,
+        grid=args.input_size // dino_cfg.patch_size,
+        patch_size=dino_cfg.patch_size,
+    )
+    acfg = amg.AmgConfig()
+
+    def generate(ep, key):
+        out = matcher.generate_proposals(
+            key, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
+            ep.support_images, ep.support_masks, ep.support_valid,
+            ep.query_image,
+        )
+        masks = out["proposal_masks"] * out["proposal_valid"][:, None, None]
+        return pad_proposals(masks.astype(jnp.float32), args.proposal_bucket,
+                             valid=out["proposal_valid"])
+
+    return generate
+
+
+def add_eval_args(p: argparse.ArgumentParser) -> None:
+    """Full reference flag surface (main_MARS.py:106-163 +
+    scripts/coco_1shot.sh), snake→kebab spelling."""
     p.add_argument("--benchmark", default="synthetic",
                    choices=["coco", "pascal", "pascal5i", "fss", "lvis", "synthetic"])
-    p.add_argument("--datapath", default="")
+    p.add_argument("--datapath", default="",
+                   help="dataset root (reference --dataset_path)")
     p.add_argument("--models-path", default=None)
     p.add_argument("--mask-proposals-path", default=None)
+    p.add_argument("--nltk-path", default=None,
+                   help="extra NLTK data dir for WordNet (reference --nltk_path)")
     p.add_argument("--fold", type=int, default=0)
-    p.add_argument("--nshot", type=int, default=1)
+    p.add_argument("--nshot", type=int, default=1, choices=[1, 5])
     p.add_argument("--input-size", type=int, default=518)
     p.add_argument("--episodes", type=int, default=0, help="0 = full split")
     p.add_argument("--proposal-bucket", type=int, default=128)
+    # --- text retrieval / visual prompting (reference :127-141) ---
+    p.add_argument("--prompt-type", default="contour",
+                   choices=["mask", "bb", "contour", "ellipse"])
+    p.add_argument("--zoom-percentage", type=int, default=50)
+    p.add_argument("--color", default="red", choices=["red", "green", "blue"])
+    p.add_argument("--alpha-blending", type=float, default=0.5)
+    p.add_argument("--thickness", type=int, default=2)
+    p.add_argument("--ensemble-prompts", action="store_true",
+                   help="vote over several prompt types per shot")
+    p.add_argument("--ensemble-prompts-list", nargs="+",
+                   default=["bb", "contour", "ellipse"])
+    p.add_argument("--ensemble-zoom", action="store_true")
+    p.add_argument("--ensemble-zoom-list", type=int, nargs="+",
+                   default=[0, 30, 50])
+    p.add_argument("--ensemble-colors", action="store_true")
+    p.add_argument("--ensemble-colors-list", nargs="+",
+                   default=["red", "green", "blue"])
+    p.add_argument("--vlm4bit", action="store_true",
+                   help="4-bit weight-only VLM (JAX path)")
+    p.add_argument("--vlm8bit", action="store_true",
+                   help="8-bit weight-only VLM (JAX path)")
+    # --- VTA (reference :143-146) ---
+    p.add_argument("--vta-backbone", default="ViT-B/16",
+                   choices=["ViT-B/16", "ViT-L/14"])
+    p.add_argument("--vta-refinement-box-threshold", type=float, default=0.4)
+    p.add_argument("--last-n-attn-for-vta-refinement", type=int, default=8)
+    # --- VVA (reference :148-152) ---
+    p.add_argument("--vva-backbone", default="dino",
+                   choices=["dino", "ViT-B/16", "ViT-L/14"])
     p.add_argument("--dino-backbone", default="vit_large")
     p.add_argument("--num-regs", type=int, default=4)
+    p.add_argument("--vva-refinement-box-threshold", type=float, default=0.8)
+    p.add_argument("--last-n-attn-for-vva-refinement", type=int, default=24)
+    # --- filtering & merging (reference :155-157) ---
+    p.add_argument("--static-threshold", type=float, default=0.55)
+    p.add_argument("--dynamic-threshold", type=float, default=0.95)
+    p.add_argument("--alpha-coverage", type=float, default=0.85)
+    # --- VLM source ---
     p.add_argument("--gt-class-names", action="store_true",
                    help="use dataset class names instead of the VLM")
     p.add_argument("--vlm-path", default="llava-hf/vip-llava-7b-hf")
     p.add_argument("--jax-vlm", action="store_true",
-                   help="run the VLM on the TPU (JAX port, int8) instead of "
-                        "a transformers host side-car")
-    p.add_argument("--log-path", default="output")
+                   help="run the VLM on the TPU (JAX port) instead of a "
+                        "transformers host side-car")
+    # --- inline proposal generation (reference mars/MARS.py:46-51 slot) ---
+    p.add_argument("--generate-proposals", action="store_true",
+                   help="run the Matcher per episode instead of loading dumps")
+    p.add_argument("--sam-size", default="vit_h",
+                   choices=["vit_b", "vit_l", "vit_h"])
+    # --- logging (reference :160-161) ---
+    p.add_argument("--log-path", default="output",
+                   help="reference --log_root_path")
+    p.add_argument("--exp-name", default=None)
     p.add_argument("--bad-preds-path", default=None,
                    help="per-fold known-bad episode index list (one idx per "
                         "line, reference datasets/COCO2014/fold{f}_badPredsIdxs.txt)")
+    # --- TPU execution ---
     p.add_argument("--bf16", action="store_true",
                    help="bf16 tower weights (the reference's fp16 analogue)")
     p.add_argument("--int8-towers", action="store_true",
                    help="weight-only int8 tower kernels (combine with --bf16)")
     p.add_argument("--seed", type=int, default=0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("mars_tpu evaluation")
+    add_eval_args(p)
     args = p.parse_args(argv)
+    if args.exp_name:
+        args.log_path = os.path.join(args.log_path, args.exp_name)
 
     np.random.seed(args.seed)
     if args.mask_proposals_path and not os.path.isdir(args.mask_proposals_path):
@@ -134,6 +293,12 @@ def main(argv=None):
     ds = build_dataset(args.benchmark, args.datapath, args.fold, "test", args.nshot,
                        args.seed)
     model = build_model(args)
+    generator = None
+    if args.generate_proposals:
+        import jax
+
+        generator = make_inline_generator(args)
+        gen_key = jax.random.PRNGKey(args.seed)
     meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
     os.makedirs(args.log_path, exist_ok=True)
     timing_rows = []
@@ -148,7 +313,12 @@ def main(argv=None):
     for idx in range(n):
         rec = ds[idx]
         ep = to_device_episode(rec, args.input_size, args.nshot)
-        if args.mask_proposals_path:
+        if generator is not None:
+            import jax
+
+            gen_key, k = jax.random.split(gen_key)
+            props = generator(ep, k)
+        elif args.mask_proposals_path:
             props = load_proposals(args, idx, args.input_size)
         else:
             props = synthetic_proposals(rec, args.input_size, args.proposal_bucket, rng)

@@ -54,16 +54,22 @@ class Proposals(NamedTuple):
         return self.masks.shape[-3]
 
 
-def pad_proposals(masks: jnp.ndarray, bucket: int) -> Proposals:
-    """Pad/truncate a (N, H, W) mask stack to a static bucket size."""
+def pad_proposals(masks: jnp.ndarray, bucket: int, valid=None) -> Proposals:
+    """Pad/truncate a (N, H, W) mask stack to a static bucket size.
+
+    ``valid``: optional (N,) bool marking live rows (e.g. a Matcher output
+    whose stack is already bucketed with dead rows); defaults to all-live.
+    """
     n = masks.shape[0]
     h, w = masks.shape[1:]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
     if n >= bucket:
         out = masks[:bucket]
-        valid = jnp.ones((bucket,), dtype=bool)
+        valid = valid[:bucket]
     else:
         out = jnp.concatenate(
             [masks, jnp.zeros((bucket - n, h, w), masks.dtype)], axis=0
         )
-        valid = jnp.arange(bucket) < n
+        valid = jnp.concatenate([valid, jnp.zeros((bucket - n,), bool)])
     return Proposals(masks=out.astype(jnp.float32), valid=valid)

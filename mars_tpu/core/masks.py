@@ -103,6 +103,18 @@ def uncrop_points(points: jnp.ndarray, crop_box) -> jnp.ndarray:
     return points + off
 
 
+def uncrop_masks(masks: jnp.ndarray, crop_box, orig_h: int, orig_w: int) -> jnp.ndarray:
+    """Pad (…, h, w) crop-frame masks back into the (…, H, W) image frame
+    (reference segment_anything/utils/amg.py:262-271).  crop_box is a static
+    python (x0, y0, x1, y1); shapes stay static."""
+    x0, y0, x1, y1 = crop_box
+    if x0 == 0 and y0 == 0 and x1 == orig_w and y1 == orig_h:
+        return masks
+    widths = [(0, 0)] * (masks.ndim - 2)
+    widths += [(y0, orig_h - y1), (x0, orig_w - x1)]
+    return jnp.pad(masks, widths, constant_values=0)
+
+
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray, axis=None, eps: float = 1e-9) -> jnp.ndarray:
     """Mean of ``values`` where ``mask`` is nonzero."""
     m = mask.astype(values.dtype)

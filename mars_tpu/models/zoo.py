@@ -147,10 +147,19 @@ def build_dinov2(models_path: Optional[str] = None, variant: str = "vit_large",
     return params, cfg
 
 
-def build_clip_b16(models_path: Optional[str] = None, seed: int = 1,
-                   cache_dir: Optional[str] = None):
-    vcfg, tcfg = clip_m.CLIP_B16_VISUAL, clip_m.CLIP_B16_TEXT
-    path = os.path.join(models_path, "ViT-B-16.pt") if models_path else None
+_CLIP_BACKBONES = {
+    # --vta_backbone spellings (main_MARS.py:144) → (ckpt file, configs)
+    "ViT-B/16": ("ViT-B-16.pt", "CLIP_B16_VISUAL", "CLIP_B16_TEXT"),
+    "ViT-L/14": ("ViT-L-14.pt", "CLIP_L14_VISUAL", "CLIP_L14_TEXT"),
+}
+
+
+def build_clip(models_path: Optional[str] = None, backbone: str = "ViT-B/16",
+               seed: int = 1, cache_dir: Optional[str] = None):
+    fname, vname, tname = _CLIP_BACKBONES[backbone]
+    vcfg = getattr(clip_m, vname)
+    tcfg = getattr(clip_m, tname)
+    path = os.path.join(models_path, fname) if models_path else None
     if path and os.path.exists(path):
         def _cv():
             sd = load_torch_state_dict(path)
@@ -159,7 +168,9 @@ def build_clip_b16(models_path: Optional[str] = None, seed: int = 1,
                 "text": jax.tree.map(jnp.asarray, convert.clip_text_to_flax(sd, tcfg.depth)),
                 "logit_scale": jnp.asarray(convert.clip_logit_scale(sd)),
             }
-        bundle = _cached_convert(cache_dir, "clip_b16", _cv)
+        bundle = _cached_convert(
+            cache_dir, f"clip_{fname.rsplit('.', 1)[0].lower().replace('-', '_')}", _cv
+        )
         vp, tp, scale = bundle["visual"], bundle["text"], bundle["logit_scale"]
     else:
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -167,6 +178,11 @@ def build_clip_b16(models_path: Optional[str] = None, seed: int = 1,
         tp = _on_host(clip_m.init_text_params, k2, tcfg)
         scale = jnp.float32(np.log(1 / 0.07))
     return vp, tp, scale, vcfg, tcfg
+
+
+def build_clip_b16(models_path: Optional[str] = None, seed: int = 1,
+                   cache_dir: Optional[str] = None):
+    return build_clip(models_path, "ViT-B/16", seed, cache_dir)
 
 
 def build_alpha_clip(models_path: Optional[str] = None, seed: int = 2):

@@ -49,6 +49,11 @@ class AmgConfig:
     multimask_output: bool = True
     output_layer: int = 3
     decode_batch: int = 32
+    # multi-crop sweep (reference automatic_mask_generator.py:51-54)
+    crop_n_layers: int = 0
+    crop_nms_thresh: float = 0.7
+    crop_overlap_ratio: float = 512 / 1500
+    crop_n_points_downscale_factor: int = 1
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -224,6 +229,87 @@ def generate_dense(
         model_cfg, cfg, original_size=original_size, dense_grid=True,
     )
     return nms_filter(data, cfg.box_nms_thresh)
+
+
+def generate_crop_boxes(im_size: Tuple[int, int], n_layers: int,
+                        overlap_ratio: float):
+    """Static (host-side) crop-box enumeration: layer i has (2^i)² crops
+    (reference utils/amg.py:200-239).  Returns ([x0,y0,x1,y1]…, layer_idx…).
+    """
+    import math
+    from itertools import product
+
+    im_h, im_w = im_size
+    short_side = min(im_h, im_w)
+    crop_boxes, layer_idxs = [(0, 0, im_w, im_h)], [0]
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_side))
+        cw, ch = crop_len(im_w, n_side, overlap), crop_len(im_h, n_side, overlap)
+        xs = [int((cw - overlap) * i) for i in range(n_side)]
+        ys = [int((ch - overlap) * i) for i in range(n_side)]
+        for x0, y0 in product(xs, ys):
+            crop_boxes.append((x0, y0, min(x0 + cw, im_w), min(y0 + ch, im_h)))
+            layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def generate_multicrop(
+    params,
+    image01: jnp.ndarray,  # (H, W, 3) raw [0,1]
+    model_cfg,
+    cfg: AmgConfig,
+    original_size: Tuple[int, int] = (518, 518),
+) -> dict:
+    """Dense AMG over the full crop pyramid (reference _generate_masks
+    :245-292 + _process_crop :293-384): per crop — encode, layer-scaled
+    point grid, iou/stability filters, crop-edge filter, within-crop NMS —
+    then uncrop to the image frame and cross-crop NMS preferring smaller
+    crops (scores 1/crop_area, :281-289).
+
+    TPU-first: crop boxes are static python ints, so each distinct crop
+    SIZE compiles one fixed-shape program (layer crops share a size); masks
+    are padded back to (H, W) on device, and both NMS passes are the O(N²)
+    XLA kernel.  With crop_n_layers=0 this equals ``generate_dense``.
+    """
+    H, W = original_size
+    crop_boxes, layer_idxs = generate_crop_boxes(
+        (H, W), cfg.crop_n_layers, cfg.crop_overlap_ratio)
+    results = []
+    for cb, layer in zip(crop_boxes, layer_idxs):
+        x0, y0, x1, y1 = cb
+        crop = jax.lax.slice(image01, (y0, x0, 0), (y1, x1, 3))
+        emb = encode_target(params, crop, model_cfg)
+        n_side = max(1, cfg.points_per_side
+                     // (cfg.crop_n_points_downscale_factor ** layer))
+        pts = grid_points(n_side, (y1 - y0, x1 - x0))[:, None, :]
+        labels = jnp.ones((pts.shape[0], 1), jnp.int32)
+        data = decode_prompt_sets(
+            params, emb, pts, labels, jnp.ones((pts.shape[0],), bool),
+            model_cfg, cfg, original_size=(y1 - y0, x1 - x0), dense_grid=True,
+        )
+        boxes_orig = mask_ops.uncrop_boxes_xyxy(data["boxes"], cb)
+        near = mask_ops.is_box_near_crop_edge(boxes_orig, cb, (0, 0, W, H))
+        data["valid"] = data["valid"] & ~near
+        data = nms_filter(data, cfg.box_nms_thresh)
+        data["masks"] = mask_ops.uncrop_masks(data["masks"], cb, H, W)
+        data["boxes"] = boxes_orig
+        data["points"] = mask_ops.uncrop_points(
+            pts[data["set_index"], 0].astype(jnp.float32), cb)
+        data["crop_area"] = jnp.full(
+            (data["masks"].shape[0],), float((x1 - x0) * (y1 - y0)), jnp.float32)
+        del data["low_res_logits"]  # crop-frame logits are not comparable
+        results.append(data)
+    out = concat_decodes(results)
+    if len(crop_boxes) > 1:
+        keep = nms_ops.nms_keep(out["boxes"], 1.0 / out["crop_area"],
+                                out["valid"], cfg.crop_nms_thresh)
+        out["valid"] = keep
+    return out
 
 
 @partial(jax.jit, static_argnames=("min_area", "nms_thresh"))

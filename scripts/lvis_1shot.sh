@@ -1,0 +1,4 @@
+#!/bin/bash
+# TPU equivalent of reference scripts/lvis_1shot.sh
+cd "$(dirname "$0")/.."
+BENCHMARK=lvis NSHOT=1 FOLDS="0 1 2 3 4 5 6 7 8 9" . scripts/_eval_common.sh

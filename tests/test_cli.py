@@ -1,0 +1,115 @@
+"""CLI flag surface: every tuning flag of the reference's main_MARS.py
+(106-163) must have an analogue and plumb into the right frozen config."""
+import argparse
+
+import pytest
+
+from mars_tpu import cli
+
+
+# reference snake_case flag → our kebab-case flag (None = consciously n/a)
+REFERENCE_FLAGS = {
+    "dataset_path": "datapath",
+    "nltk_path": "nltk_path",
+    "mask_proposals_path": "mask_proposals_path",
+    "benchmark": "benchmark",
+    "nshot": "nshot",
+    "fold": "fold",
+    "input_size": "input_size",
+    "models_path": "models_path",
+    "prompt_type": "prompt_type",
+    "zoom_percentage": "zoom_percentage",
+    "color": "color",
+    "ensamble_prompts": "ensemble_prompts",
+    "ensamble_prompts_list": "ensemble_prompts_list",
+    "ensamble_zoom": "ensemble_zoom",
+    "ensamble_zoom_list": "ensemble_zoom_list",
+    "ensamble_colors": "ensemble_colors",
+    "ensamble_colors_list": "ensemble_colors_list",
+    "alpha_blending": "alpha_blending",
+    "thickness": "thickness",
+    "vlm4bit": "vlm4bit",
+    "vlm8bit": "vlm8bit",
+    "vta_backbone": "vta_backbone",
+    "vta_refinement_box_threshold": "vta_refinement_box_threshold",
+    "last_n_attn_for_vta_refinement": "last_n_attn_for_vta_refinement",
+    "vva_backbone": "vva_backbone",
+    "dino_backbone": "dino_backbone",
+    "num_regs": "num_regs",
+    "vva_refinement_box_threshold": "vva_refinement_box_threshold",
+    "last_n_attn_for_vva_refinement": "last_n_attn_for_vva_refinement",
+    "static_threshold": "static_threshold",
+    "dynamic_threshold": "dynamic_threshold",
+    "alpha_coverage": "alpha_coverage",
+    "log_root_path": "log_path",
+    "exp_name": "exp_name",
+}
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser()
+    cli.add_eval_args(p)
+    return p.parse_args(argv)
+
+
+def test_all_reference_flags_have_analogues():
+    args = _parse([])
+    for ref, ours in REFERENCE_FLAGS.items():
+        assert hasattr(args, ours), f"missing analogue for --{ref}"
+
+
+def test_tuning_flags_reach_configs():
+    args = _parse([
+        "--vva-refinement-box-threshold", "0.7",
+        "--last-n-attn-for-vva-refinement", "12",
+        "--vta-refinement-box-threshold", "0.3",
+        "--last-n-attn-for-vta-refinement", "4",
+        "--static-threshold", "0.6",
+        "--dynamic-threshold", "0.9",
+        "--alpha-coverage", "0.8",
+    ])
+    cfg = cli.build_mars_config(args)
+    assert cfg.vva.refinement_box_threshold == 0.7
+    assert cfg.vva.attn_tap_last_n == 12
+    assert cfg.vta.refinement_box_threshold == 0.3
+    assert cfg.vta.attn_tap_last_n == 4
+    assert cfg.filter_merge.static_threshold == 0.6
+    assert cfg.filter_merge.dynamic_threshold == 0.9
+    assert cfg.filter_merge.alpha == 0.8
+
+
+@pytest.mark.parametrize("backbone,in_size,grid", [
+    ("ViT-B/16", 528, 33),   # ceil(518/16)*16 (VisualTextAlignmentModule:86-87)
+    ("ViT-L/14", 518, 37),
+])
+def test_vta_backbone_geometry(backbone, in_size, grid):
+    cfg = cli.build_mars_config(_parse(["--vta-backbone", backbone]))
+    assert cfg.vta.input_size == in_size
+    assert cfg.vta.grid == grid
+
+
+def test_ensemble_config_from_flags():
+    args = _parse(["--ensemble-colors", "--ensemble-zoom",
+                   "--ensemble-zoom-list", "0", "30"])
+    from mars_tpu.text.retriever import EnsembleConfig, PromptGenConfig
+
+    ens = EnsembleConfig(
+        colors=tuple(args.ensemble_colors_list) if args.ensemble_colors else (),
+        zooms=tuple(args.ensemble_zoom_list) if args.ensemble_zoom else (),
+        prompt_types=(tuple(args.ensemble_prompts_list)
+                      if args.ensemble_prompts else ()),
+    )
+    variants = list(ens.variants(PromptGenConfig()))
+    # 3 colors x 2 zooms x 1 (base) prompt type
+    assert len(variants) == 6
+    assert {v.color for v in variants} == {"red", "green", "blue"}
+    assert {v.zoom_percent for v in variants} == {0, 30}
+
+
+def test_gt_class_names_smoke(tmp_path):
+    """Tiny end-to-end run: synthetic benchmark, random tiny towers not
+    needed — uses the default full-size towers is too slow on CPU, so this
+    only checks arg handling up to dataset construction."""
+    args = _parse(["--benchmark", "synthetic", "--gt-class-names",
+                   "--episodes", "1", "--log-path", str(tmp_path)])
+    assert args.gt_class_names and args.episodes == 1
