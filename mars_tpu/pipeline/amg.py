@@ -60,12 +60,19 @@ class AmgConfig:
 def encode_target(params, image01: jnp.ndarray, cfg: sam.SamConfig):
     """image01: (H, W, 3) raw [0,1] → (G, G, C) embedding.
 
-    Preprocess per reference sam.py: scale longest side to cfg.img_size,
-    normalize in 0-255 space.  Square inputs → plain resize.
+    Preprocess per reference sam.py:133-150 + utils/transforms.py: scale the
+    longest side to cfg.img_size, normalize in 0-255 space, zero-pad to
+    square AFTER normalization.  Square inputs reduce to a plain resize.
+    Input shape is static, so non-square crops each compile one program.
     """
     s = cfg.img_size
-    img = jax.image.resize(image01 * 255.0, (s, s, 3), "bilinear")
+    h, w = image01.shape[:2]
+    scale = s / max(h, w)
+    nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+    img = jax.image.resize(image01 * 255.0, (nh, nw, 3), "bilinear")
     img = (img - jnp.asarray(sam.SAM_PIXEL_MEAN)) / jnp.asarray(sam.SAM_PIXEL_STD)
+    if (nh, nw) != (s, s):
+        img = jnp.pad(img, ((0, s - nh), (0, s - nw), (0, 0)))
     return sam.encode_image(params["encoder"], img[None], cfg)[0]
 
 

@@ -308,6 +308,62 @@ class TestCascade:
         )
 
 
+class TestMultiCropAmg:
+    def test_crop_boxes_match_reference(self):
+        # geometry oracle values computed from utils/amg.py:200-239 by hand
+        boxes, layers = amg.generate_crop_boxes((64, 64), 1, 512 / 1500)
+        assert boxes[0] == (0, 0, 64, 64) and layers[0] == 0
+        assert len(boxes) == 5 and layers[1:] == [1, 1, 1, 1]
+        # overlap=int(512/1500*64)=21, crop_len=ceil((21+64)/2)=43, x0 in {0,22}
+        assert boxes[1] == (0, 0, 43, 43)
+        assert boxes[4] == (22, 22, 64, 64)
+
+    def test_matches_reference_fixture(self):
+        """End-to-end dense AMG with crop_n_layers=1 vs the reference
+        SamAutomaticMaskGenerator output (fixture from make_fixtures.py)."""
+        import os
+
+        from mars_tpu.models import convert
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "amg_multicrop_tiny.npz")
+        data = np.load(path)
+        sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        params = {
+            "encoder": convert.sam_encoder_to_flax(sd, depth=3),
+            "prompt_encoder": convert.sam_prompt_encoder_to_flax(sd),
+            "decoder": convert.sam_decoder_to_flax(sd),
+        }
+        acfg = amg.AmgConfig(
+            points_per_side=4, decode_batch=16,
+            pred_iou_thresh=0.0, stability_score_thresh=0.0,
+            box_nms_thresh=0.5, crop_n_layers=1, crop_nms_thresh=0.5,
+            multimask_output=True, output_layer=3,
+        )
+        img01 = jnp.asarray(data["image"].astype(np.float32) / 255.0)
+        out = amg.generate_multicrop(params, img01, scfg, acfg,
+                                     original_size=(64, 64))
+        valid = np.asarray(out["valid"])
+        got = np.asarray(out["masks"])[valid]
+        # the reference keeps empty masks (they never win or lose NMS);
+        # ours drops them up front — compare the non-empty sets
+        want = data["masks"].astype(bool)
+        want = want[want.sum(axis=(1, 2)) > 0]
+        assert got.shape[0] == want.shape[0]
+        inter = np.einsum("ihw,jhw->ij", got.astype(np.float64),
+                          want.astype(np.float64))
+        union = (got.sum(axis=(1, 2))[:, None] + want.sum(axis=(1, 2))[None]
+                 - inter)
+        iou = inter / np.maximum(union, 1)
+        # every reference mask has an exact (or near-exact) counterpart
+        assert (iou.max(axis=0) > 0.98).all(), iou.max(axis=0)
+
+
 class TestPostprocessSmallRegions:
     def test_cleanup_and_renms(self):
         h = 32

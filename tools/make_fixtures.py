@@ -265,11 +265,131 @@ def make_sam():
     )
 
 
+# ------------------------------------------------- multi-crop dense AMG
+def _stub_torchvision():
+    """torchvision is absent in this image; the reference AMG only needs
+    batched_nms/box_area and the PIL resize wrappers."""
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    from PIL import Image
+
+    def box_area(b):
+        return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+    def nms(boxes, scores, iou_threshold):
+        order = torch.argsort(scores, descending=True, stable=True)
+        areas = box_area(boxes)
+        suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+        keep = []
+        for i in order.tolist():
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            xx0 = torch.maximum(boxes[:, 0], boxes[i, 0])
+            yy0 = torch.maximum(boxes[:, 1], boxes[i, 1])
+            xx1 = torch.minimum(boxes[:, 2], boxes[i, 2])
+            yy1 = torch.minimum(boxes[:, 3], boxes[i, 3])
+            inter = (xx1 - xx0).clamp(min=0) * (yy1 - yy0).clamp(min=0)
+            iou = inter / (areas + areas[i] - inter)
+            suppressed |= iou > iou_threshold
+        return torch.tensor(keep, dtype=torch.long)
+
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.empty(0, dtype=torch.long)
+        offset = idxs.to(boxes) * (boxes.max() + torch.tensor(1.0))
+        return nms(boxes + offset[:, None], scores, iou_threshold)
+
+    tv = types.ModuleType("torchvision")
+    tv.ops = types.ModuleType("torchvision.ops")
+    tv.ops.boxes = types.ModuleType("torchvision.ops.boxes")
+    tv.ops.boxes.batched_nms = batched_nms
+    tv.ops.boxes.box_area = box_area
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    tv.transforms.functional = types.ModuleType("torchvision.transforms.functional")
+    tv.transforms.functional.resize = (
+        lambda img, size, **kw: img.resize((size[1], size[0]), Image.BILINEAR)
+    )
+    tv.transforms.functional.to_pil_image = Image.fromarray
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv.ops
+    sys.modules["torchvision.ops.boxes"] = tv.ops.boxes
+    sys.modules["torchvision.transforms"] = tv.transforms
+    sys.modules["torchvision.transforms.functional"] = tv.transforms.functional
+
+
+def make_amg_multicrop():
+    """Dense AMG with crop_n_layers=1 end-to-end through the reference
+    SamAutomaticMaskGenerator (tiny SAM, seeded): pins crop-box enumeration,
+    per-crop grid+filters+NMS, uncrop, and cross-crop NMS."""
+    from functools import partial
+
+    _stub_torchvision()
+    from segment_anything.automatic_mask_generator import SamAutomaticMaskGenerator
+    from segment_anything.modeling.image_encoder import ImageEncoderViT
+    from segment_anything.modeling.mask_decoder import MaskDecoder
+    from segment_anything.modeling.prompt_encoder import PromptEncoder
+    from segment_anything.modeling.sam import Sam
+    from segment_anything.modeling.transformer import TwoWayTransformer
+    from segment_anything.utils.amg import rle_to_mask
+
+    torch.manual_seed(11)
+    enc = ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=4, out_chans=16, qkv_bias=True,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        use_rel_pos=True, window_size=2, global_attn_indexes=(1,),
+    )
+    pe = PromptEncoder(
+        embed_dim=16, image_embedding_size=(4, 4), input_image_size=(64, 64),
+        mask_in_chans=8,
+    )
+    dec = MaskDecoder(
+        transformer_dim=16,
+        transformer=TwoWayTransformer(depth=2, embedding_dim=16, mlp_dim=32,
+                                      num_heads=2),
+        num_multimask_outputs=3,
+    )
+    model = Sam(image_encoder=enc, prompt_encoder=pe, mask_decoder=dec).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+
+    rng = np.random.RandomState(3)
+    image = np.kron(
+        rng.randint(0, 256, (8, 8, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)
+
+    amg = SamAutomaticMaskGenerator(
+        model, points_per_side=4, points_per_batch=16,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0,
+        sel_pred_iou_thresh=0.0, sel_stability_score_thresh=0.0,
+        box_nms_thresh=0.5, crop_n_layers=1, crop_nms_thresh=0.5,
+        output_layer=3, sel_output_layer=3,
+        multimask_output=True, sel_multimask_output=True, dense_pred=True,
+    )
+    with torch.no_grad():
+        data = amg._generate_masks(image)
+    masks = np.stack([rle_to_mask(r) for r in data["rles"]])
+    save(
+        "amg_multicrop_tiny",
+        image=image,
+        masks=masks.astype(np.uint8),
+        boxes=np.asarray(data["boxes"], np.float32),
+        iou=np.asarray(data["iou_preds"], np.float32),
+        crop_boxes=np.asarray(data["crop_boxes"], np.float32),
+        **flat("sd.", sd_to_np(model)),
+    )
+
+
 if __name__ == "__main__":
     make_dinov2()
     make_clip()
     make_alpha_clip()
     make_sam()
+    make_amg_multicrop()
 
 
 # ---------------------------------------------------------------- PIR

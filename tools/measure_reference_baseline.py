@@ -45,6 +45,10 @@ sys.path.insert(0, REPO)
 torch.manual_seed(0)
 A100_GRANTED_TFLOPS = 0.30 * 312.0  # fp16, 30% MFU granted
 HOST_CORE_FACTOR = 3.0  # modern server core vs this image's vCPU
+# POT's ot.emd2 uses the network simplex, typically faster than our exact
+# shortest-augmenting-path stand-in on these submatrix sizes; grant it 3x
+# on top of the core factor.
+EMD_SOLVER_FACTOR = 3.0
 PROPOSALS = 128  # full bucket, matching bench.py
 
 
@@ -126,9 +130,18 @@ def measure_vta():
 
 
 def measure_alphaclip():
-    from alpha_clip.model import VisionTransformer
+    import importlib.util
+    import types
 
-    model = VisionTransformer(
+    # loralib is only touched when lora_adapt=True (model.py:197-217);
+    # stub it so the import succeeds
+    sys.modules.setdefault("loralib", types.ModuleType("loralib"))
+    # load model.py directly: the package __init__ pulls pkg_resources
+    spec = importlib.util.spec_from_file_location(
+        "ref_alpha_clip_model", f"{REFERENCE}/alpha_clip/model.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    model = mod.VisionTransformer(
         input_resolution=336, patch_size=14, width=1024, layers=24,
         heads=16, output_dim=768,
     ).float().eval()
@@ -150,10 +163,14 @@ def measure_emd_loop():
     rng = np.random.RandomState(0)
     cost = rng.rand(300, 37 * 37).astype(np.float64)
     sup_rows = np.arange(300)
-    props = [
-        (rng.rand(518, 518) > rng.uniform(0.5, 0.9)).astype(np.float32)
-        for _ in range(16)
-    ]
+    # box proposals with bench.py's size distribution → realistic pooled
+    # column counts (~10-80 live grid cells per proposal)
+    props = []
+    for _ in range(16):
+        m = np.zeros((518, 518), np.float32)
+        y, x = rng.randint(0, 400, 2)
+        m[y:y + rng.randint(40, 118), x:x + rng.randint(40, 118)] = 1
+        props.append(m)
 
     def loop():
         for m in props:
@@ -192,12 +209,14 @@ def main():
               f"implied {implied:.0f} GFLOP/s  a100 {a100_s*1e3:.1f}ms")
 
     emd_cpu, extra = measure_emd_loop()
+    granted = emd_cpu / (HOST_CORE_FACTOR * EMD_SOLVER_FACTOR)
     out["stages"]["emd_loop"] = {
         "cpu_s": round(emd_cpu, 3),
-        "a100_s": round(emd_cpu / HOST_CORE_FACTOR, 4),  # host-bound
+        "a100_s": round(granted, 4),  # host-bound (ot.emd2 runs on CPU)
+        "emd_solver_factor": EMD_SOLVER_FACTOR,
         **extra,
     }
-    print(f"emd_loop: cpu {emd_cpu:.1f}s  granted-host {emd_cpu/3:.2f}s")
+    print(f"emd_loop: cpu {emd_cpu:.1f}s  granted-host {granted:.2f}s")
 
     episode = sum(s["a100_s"] for s in out["stages"].values())
     out["baseline_episode_seconds_a100"] = round(episode, 4)
