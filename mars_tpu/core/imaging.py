@@ -43,7 +43,17 @@ def resize_mask(mask: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 
 def interpolate_2d(x: jnp.ndarray, size: Tuple[int, int], method: str = "nearest") -> jnp.ndarray:
     """Resize a (..., H, W) map with an arbitrary method (reference:
-    mars/MARS.py:77-82 interpolates the VTA prior onto the VVA grid)."""
+    mars/MARS.py:77-82 interpolates the VTA prior onto the VVA grid).
+
+    "nearest" uses torch's F.interpolate indexing — source index
+    floor(i*in/out) — NOT jax.image.resize's rounding convention: on the
+    production 33->37 VTA-grid resize the two pick different source cells
+    for 24 of 37 rows."""
+    if method == "nearest":
+        h, w = x.shape[-2], x.shape[-1]
+        ri = (jnp.arange(size[0]) * h) // size[0]
+        ci = (jnp.arange(size[1]) * w) // size[1]
+        return x[..., ri[:, None], ci[None, :]]
     out_shape = x.shape[:-2] + (size[0], size[1])
     return jax.image.resize(x, out_shape, method=method)
 

@@ -113,6 +113,33 @@ class TestProposals:
         assert bool(np.all(np.asarray(p.valid)))
 
 
+class TestInterpolate2D:
+    def test_nearest_matches_torch_33_to_37(self):
+        """The production VTA->VVA grid resize (mars/MARS.py:77-82):
+        torch nearest floors the source index; jax.image.resize rounds —
+        they disagree on 24 of 37 rows at this size."""
+        import torch
+        import torch.nn.functional as F
+
+        x = np.random.RandomState(2).rand(33, 33).astype(np.float32)
+        got = imaging.interpolate_2d(jnp.asarray(x), (37, 37), "nearest")
+        want = F.interpolate(
+            torch.from_numpy(x)[None, None], (37, 37), mode="nearest"
+        )[0, 0].numpy()
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_nearest_matches_torch_downsample(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = np.random.RandomState(3).rand(2, 37, 41).astype(np.float32)
+        got = imaging.interpolate_2d(jnp.asarray(x), (9, 13), "nearest")
+        want = F.interpolate(
+            torch.from_numpy(x)[None], (9, 13), mode="nearest"
+        )[0].numpy()
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 class TestPriorScores:
     def test_coverage_and_prior(self):
         g = 4
