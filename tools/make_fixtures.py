@@ -302,17 +302,121 @@ def _stub_torchvision():
         offset = idxs.to(boxes) * (boxes.max() + torch.tensor(1.0))
         return nms(boxes + offset[:, None], scores, iou_threshold)
 
-    tv = types.ModuleType("torchvision")
-    tv.ops = types.ModuleType("torchvision.ops")
-    tv.ops.boxes = types.ModuleType("torchvision.ops.boxes")
+    # --- transform classes (tensor-native; enough for the reference's
+    # Compose pipelines at identity-resize geometry — resampling parity is
+    # pinned separately by the per-component fixtures) ---
+    class InterpolationMode:
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+
+    class Compose:
+        def __init__(self, ts):
+            self.transforms = ts
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, x):
+            if isinstance(x, torch.Tensor):
+                return x.float()
+            x = np.asarray(x)
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
+            x = x[None] if x.ndim == 2 else x.transpose(2, 0, 1)
+            return torch.from_numpy(np.ascontiguousarray(x)).float()
+
+    class ToPILImage:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):  # tensor-native: skip the PIL round trip
+            return x
+
+    class _NoOp:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = torch.as_tensor(mean, dtype=torch.float32).reshape(-1, 1, 1)
+            self.std = torch.as_tensor(std, dtype=torch.float32).reshape(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    class Resize:
+        def __init__(self, size, interpolation="bilinear", **kw):
+            self.size = (size, size) if isinstance(size, int) else tuple(size)
+            self.mode = getattr(interpolation, "value", interpolation)
+
+        def __call__(self, x):
+            import torch.nn.functional as F
+
+            squeeze = x.ndim == 3
+            if squeeze:
+                x = x[None]
+            kw = {} if self.mode == "nearest" else {"align_corners": False}
+            y = F.interpolate(x.float(), size=self.size, mode=self.mode, **kw)
+            return y[0] if squeeze else y
+
+    class CenterCrop:
+        def __init__(self, size):
+            self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+        def __call__(self, x):
+            h, w = x.shape[-2:]
+            th, tw = self.size
+            i, j = (h - th) // 2, (w - tw) // 2
+            return x[..., i:i + th, j:j + tw]
+
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        # a real ModuleSpec so importlib.util.find_spec (e.g. transformers'
+        # capability probing) sees a well-formed module
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
+    tv = _mod("torchvision")
+    tv.ops = _mod("torchvision.ops")
+    tv.ops.boxes = _mod("torchvision.ops.boxes")
     tv.ops.boxes.batched_nms = batched_nms
     tv.ops.boxes.box_area = box_area
-    tv.transforms = types.ModuleType("torchvision.transforms")
-    tv.transforms.functional = types.ModuleType("torchvision.transforms.functional")
+    tv.transforms = _mod("torchvision.transforms")
+    for name, cls in (
+        ("InterpolationMode", InterpolationMode), ("Compose", Compose),
+        ("ToTensor", ToTensor), ("ToPILImage", ToPILImage),
+        ("Normalize", Normalize), ("Resize", Resize),
+        ("CenterCrop", CenterCrop), ("RandomApply", _NoOp),
+        ("RandomHorizontalFlip", _NoOp), ("RandomResizedCrop", _NoOp),
+        ("GaussianBlur", _NoOp),
+    ):
+        setattr(tv.transforms, name, cls)
+    tv.transforms.functional = _mod("torchvision.transforms.functional")
     tv.transforms.functional.resize = (
         lambda img, size, **kw: img.resize((size[1], size[0]), Image.BILINEAR)
     )
     tv.transforms.functional.to_pil_image = Image.fromarray
+    tv.transforms.functional.InterpolationMode = InterpolationMode
+
+    class VisionDataset:  # dinov2.data.datasets.extended subclasses this
+        def __init__(self, root=None, transforms=None, transform=None,
+                     target_transform=None):
+            self.root = root
+            self.transform = transform
+            self.target_transform = target_transform
+
+    tv.datasets = _mod("torchvision.datasets")
+    tv.datasets.VisionDataset = VisionDataset
+    sys.modules["torchvision.datasets"] = tv.datasets
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = tv.ops
     sys.modules["torchvision.ops.boxes"] = tv.ops.boxes
@@ -384,12 +488,6 @@ def make_amg_multicrop():
     )
 
 
-if __name__ == "__main__":
-    make_dinov2()
-    make_clip()
-    make_alpha_clip()
-    make_sam()
-    make_amg_multicrop()
 
 
 # ---------------------------------------------------------------- PIR
@@ -422,10 +520,6 @@ def make_pir():
         attn_mean=attn_mean.numpy(),
         refined=refined.numpy(),
     )
-
-
-if __name__ == "__main__":
-    make_pir()
 
 
 # ---------------------------------------------------------------- ViP-LLaVA
@@ -468,5 +562,303 @@ def make_vip_llava():
     )
 
 
+
+
+# ------------------------------------------------- golden full episode
+def _stub_runtime_deps():
+    """pkg_resources / ttach / ot are absent in this image.  The golden
+    episode needs packaging metadata, no TTA, and an exact stand-in for
+    POT's ot.emd2: the same optimal-transport LP solved by scipy HiGHS."""
+    import importlib.machinery
+    import types
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
+    try:
+        import pkg_resources  # noqa: F401
+    except ModuleNotFoundError:
+        import packaging
+        import packaging.version  # noqa: F401
+
+        pr = _mod("pkg_resources")
+        pr.packaging = packaging
+        sys.modules["pkg_resources"] = pr
+    sys.modules.setdefault("ttach", _mod("ttach"))
+    try:
+        import ftfy  # noqa: F401
+    except ModuleNotFoundError:
+        # identity fix_text is exact for the ASCII prompts used here
+        ftfy = _mod("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+    if "ot" not in sys.modules:
+        from scipy.optimize import linprog
+
+        def emd2(a, b, M):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            M = np.asarray(M, np.float64)
+            n, m = M.shape
+            A_eq = np.zeros((n + m, n * m))
+            for i in range(n):
+                A_eq[i, i * m:(i + 1) * m] = 1.0
+            for j in range(m):
+                A_eq[n + j, j::m] = 1.0
+            res = linprog(
+                M.ravel(), A_eq=A_eq[:-1], b_eq=np.concatenate([a, b])[:-1],
+                bounds=(0, None), method="highs",
+            )
+            assert res.success, res.message
+            return float(res.fun)
+
+        ot = types.ModuleType("ot")
+        ot.emd2 = emd2
+        sys.modules["ot"] = ot
+
+
+def make_golden_episode():
+    """The reference MARS orchestrator end-to-end on one tiny episode
+    (reference: mars/MARS.py:33-104), with seeded random weights and a
+    stubbed VLM.  Pins the cross-stage WIRING the per-component fixtures
+    can't: VTA nearest-resize to the VVA grid + min-max (:77-82), the
+    AlphaCLIP text construction (:84-89), score fusion, and merging.
+
+    Geometry is chosen so every image resample is identity (112 px episode:
+    DINOv2 grid 8, VTA ceil(112/16)*16 = 112, AlphaCLIP resolution 112) —
+    resampling parity is pinned separately; here only wiring is under test.
+    """
+    import types
+
+    _stub_torchvision()
+    _stub_runtime_deps()
+    import torch.nn.functional as F
+    from torchvision import transforms as T
+
+    # CPU stand-ins for the reference's hard-coded .cuda()/.half() calls
+    # (SoftmaxGradCAM.py:148, FilteringMergingModule.py:189-195)
+    orig_cuda, orig_half = torch.Tensor.cuda, torch.Tensor.half
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.Tensor.half = lambda self: self
+    import importlib.machinery as _ilm
+    _lora = types.ModuleType("loralib")
+    _lora.__spec__ = _ilm.ModuleSpec("loralib", None)
+    sys.modules.setdefault("loralib", _lora)
+    try:
+        from dinov2.models.vision_transformer import DinoVisionTransformer
+        from mars.MARS import MARS
+        from mars.components.VisualVisualAlignmentModule import (
+            VisualVisualAlignmentModule,
+        )
+        from mars.components.VisualTextAlignmentModule import (
+            VisualTextAlignmentModule,
+        )
+        from mars.components.FilteringMergingModule import FilteringMergingModule
+        import clip as ref_clip_pkg
+        import alpha_clip as ref_aclip_pkg
+
+        ref_clip = sys.modules["clip.model"]
+        ref_aclip = sys.modules["alpha_clip.model"]
+
+        S = 112  # episode size: all image resamples are identity at 112
+        torch.manual_seed(21)
+        dino = DinoVisionTransformer(
+            img_size=S, patch_size=14, embed_dim=32, depth=3, num_heads=2,
+            mlp_ratio=4, init_values=1e-5, block_chunks=0, num_register_tokens=4,
+        ).eval()
+        clip_model = ref_clip.CLIP(
+            embed_dim=16, image_resolution=S, vision_layers=3, vision_width=64,
+            vision_patch_size=16, context_length=77, vocab_size=49408,
+            transformer_width=16, transformer_heads=2, transformer_layers=2,
+        ).float().eval()
+        aclip_model = ref_aclip.CLIP(
+            embed_dim=16, image_resolution=S, vision_layers=2, vision_width=64,
+            vision_patch_size=16, context_length=77, vocab_size=49408,
+            transformer_width=16, transformer_heads=2, transformer_layers=2,
+        ).float().eval()
+        with torch.no_grad():
+            # dino gets a larger scale: more feature diversity -> wider EMD
+            # spread across proposals (min-max scaling amplifies otherwise)
+            for m, sc in ((dino, 0.15), (clip_model, 0.05), (aclip_model, 0.05)):
+                for p in m.parameters():
+                    p.copy_(torch.randn_like(p) * sc)
+            clip_model.logit_scale.copy_(torch.tensor(np.log(1 / 0.07)))
+            aclip_model.logit_scale.copy_(torch.tensor(np.log(1 / 0.07)))
+        if not hasattr(clip_model.visual, "patch_size"):
+            clip_model.visual.patch_size = 16
+
+        vva_mod = VisualVisualAlignmentModule(
+            model=dino,
+            model_transforms=T.Compose([
+                T.Normalize((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+            ]),
+            model_patch_size=14, model_embedding_spatial_dimensions=8,
+            model_num_regs=4, vva_refinement_box_threshold=0.8,
+            last_n_attention_maps_for_refinement=2, device="cpu",
+        )
+        vta_mod = VisualTextAlignmentModule(
+            model=clip_model,
+            model_transforms=T.Compose([
+                T.Resize((S, S), interpolation=T.InterpolationMode.BICUBIC),
+                T.Normalize((0.48145466, 0.4578275, 0.40821073),
+                            (0.26862954, 0.26130258, 0.27577711)),
+            ]),
+            model_patch_size=16, model_embedding_spatial_dimensions=7,
+            model_num_regs=0, vta_refinement_box_threshold=0.4,
+            last_n_attention_maps_for_refinement=3, device="cpu",
+        )
+        fm_mod = FilteringMergingModule(
+            alpha_clip_model=aclip_model,
+            img_transforms=T.Compose([
+                T.ToTensor(),
+                T.Resize(S, interpolation=T.InterpolationMode.BICUBIC),
+                T.CenterCrop(S),
+                T.Normalize((0.48145466, 0.4578275, 0.40821073),
+                            (0.26862954, 0.26130258, 0.27577711)),
+            ]),
+            mask_transforms=T.Compose([
+                T.ToTensor(), T.Resize((S, S)), T.Normalize(0.5, 0.26)
+            ]),
+            alpha=0.85, static_threshold=0.55, dynamic_threshold=0.95,
+            device="cpu",
+        )
+
+        class _StubRetriever:
+            def get_conceptual_information(self, support_images, support_masks):
+                return "dog", "a domesticated carnivorous mammal"
+
+        mars = MARS(
+            text_retriever_component=_StubRetriever(),
+            visual_text_alignment_component=vta_mod,
+            visual_visual_alignment_component=vva_mod,
+            filtering_merging_component=fm_mod,
+        )
+
+        def build_episode(seed):
+            rng = np.random.RandomState(seed)
+            sup = rng.rand(1, 2, 3, S, S).astype(np.float32)
+            qry = rng.rand(1, 3, S, S).astype(np.float32)
+            sup_m = np.zeros((1, 2, S, S), np.float32)
+            sup_m[0, 0, 20:64, 30:80] = 1
+            sup_m[0, 1, 56:100, 14:60] = 1
+            props = np.zeros((6, S, S), np.float32)
+            for i in range(6):
+                y, x = rng.randint(0, S - 24, 2)
+                h, w = rng.randint(14, 96, 2)
+                props[i, y:y + h, x:x + w] = 1
+            return sup, qry, sup_m, props
+
+        text = ["a dog, a domesticated carnivorous mammal."]
+
+        def run_stepwise(sup_t, supm_t, qry_t, props_t, props):
+            """The exact call sequence of MARS.predict (mars/MARS.py:33-104),
+            capturing intermediates predict doesn't expose."""
+            vva_mod.clear()
+            vva_out = vva_mod.compute(sup_t, supm_t, qry_t)
+            cost = vva_mod.cost_matrix.clone()
+            vta_out = vta_mod.compute(qry_t, "dog", [])
+            vta_rs = F.interpolate(
+                torch.as_tensor(vta_out)[None, None], vva_out.shape,
+                mode="nearest")[0, 0]
+            vta_rs = (vta_rs - vta_rs.min()) / (
+                1e-7 + vta_rs.max() - vta_rs.min())
+            scored = fm_mod._score_proposals(
+                query_img=qry_t, mask_proposals=props_t, support_mask=supm_t,
+                cost_matrix=cost, patch_features_spatial_dimension=8,
+                vva=vva_out, vta=vta_rs, text=text,
+            )
+            merged = fm_mod._merge_masks(scored)
+            # map sorted (mask, score) back to original proposal order
+            final_scores = np.full(6, np.nan, np.float64)
+            for m_p, s in scored:
+                idx = [i for i in range(6)
+                       if np.array_equal(props[i], m_p.numpy())]
+                assert len(idx) == 1
+                final_scores[idx[0]] = float(np.asarray(s).reshape(()))
+            assert not np.isnan(final_scores).any()
+            # raw per-stage scores via the same helpers _score_proposals calls
+            tf = fm_mod._compute_alphaclip_text_feats(text)
+            imf = fm_mod._compute_alphaclip_vis_feats(qry_t[0], props_t)
+            ac_raw = (imf @ tf.T).detach().numpy().reshape(6)
+            pooled_sup = F.adaptive_max_pool2d(
+                supm_t.permute(1, 0, 2, 3).float(), (8, 8))
+            emd_raw = np.array([
+                fm_mod._compute_emd(
+                    pooled_sup.cpu(),
+                    F.adaptive_max_pool2d(p[None].float(), (8, 8))[0],
+                    cost,
+                )
+                for p in props_t
+            ])
+            return dict(vva=vva_out, cost=cost, vta=vta_out, vta_rs=vta_rs,
+                        scores=final_scores, ac_raw=ac_raw, emd_raw=emd_raw,
+                        merged=merged)
+
+        # seed search: the fixture must sit comfortably away from the merge
+        # threshold so the JAX side's Sinkhorn EMD (abs err ~1e-3) can't
+        # flip the decision through the min-max amplification
+        for seed in range(31, 71):
+            sup, qry, sup_m, props = build_episode(seed)
+            sup_t, qry_t = torch.from_numpy(sup), torch.from_numpy(qry)
+            supm_t, props_t = torch.from_numpy(sup_m), torch.from_numpy(props)
+            r = run_stepwise(sup_t, supm_t, qry_t, props_t, props)
+            top = r["scores"].max()
+            thr = 0.95 * top if top < 0.55 else 0.55
+            # the dynamic threshold co-moves with the top score, so the top
+            # proposal can't flip — fragility is (a) the OTHER proposals'
+            # distance to thr and (b) the static/dynamic regime boundary
+            others = np.delete(r["scores"], r["scores"].argmax())
+            margin = np.abs(others - thr).min()
+            regime_gap = abs(top - 0.55)
+            spread = r["emd_raw"].max() - r["emd_raw"].min()
+            print(f"golden seed {seed}: margin={margin:.4f} "
+                  f"regime_gap={regime_gap:.4f} spread(emd)={spread:.4f} "
+                  f"top={top:.4f} kept={(r['scores'] >= thr).sum()}")
+            if margin > 0.03 and regime_gap > 0.02 and spread > 0.04:
+                break
+        else:
+            raise AssertionError("no seed met the margin/spread bar")
+
+        vva_mod.clear()
+        merged = mars.predict(sup_t, supm_t, qry_t, mask_proposals=props_t)
+        assert torch.equal(merged, r["merged"]), \
+            "stepwise rerun drifted from predict"
+        vva_out, cost = r["vva"], r["cost"]
+        vta_out, vta_rs = r["vta"], r["vta_rs"]
+        final_scores, ac_raw, emd_raw = r["scores"], r["ac_raw"], r["emd_raw"]
+
+        sd = {}
+        sd.update({f"dino.{k}": v for k, v in sd_to_np(dino).items()})
+        sd.update({f"clip.{k}": v for k, v in sd_to_np(clip_model).items()})
+        sd.update({f"aclip.{k}": v for k, v in sd_to_np(aclip_model).items()})
+        save(
+            "golden_episode_tiny",
+            support_images=sup, support_masks=sup_m, query_image=qry,
+            proposals=props,
+            class_name=np.array("dog"),
+            class_description=np.array("a domesticated carnivorous mammal"),
+            vva=vva_out.detach().numpy(), cost_matrix=cost.detach().numpy(),
+            vta_refined=np.asarray(torch.as_tensor(vta_out).detach()),
+            vta_resized=vta_rs.detach().numpy(),
+            ac_raw=ac_raw, emd_raw=emd_raw, final_scores=final_scores,
+            merged=merged.detach().numpy(),
+            **flat("sd.", sd),
+        )
+    finally:
+        torch.Tensor.cuda, torch.Tensor.half = orig_cuda, orig_half
+
+
 if __name__ == "__main__":
-    make_vip_llava()
+    # each generator pollutes sys.modules with stubs differently; run the
+    # requested subset (default: everything, in isolated subprocesses)
+    ALL = ["dinov2", "clip", "alpha_clip", "sam", "amg_multicrop", "pir",
+           "vip_llava", "golden_episode"]
+    names = sys.argv[1:] or ALL
+    if len(names) == 1:
+        globals()[f"make_{names[0]}"]()
+    else:
+        import subprocess
+        for n in names:
+            subprocess.run([sys.executable, __file__, n], check=True)
