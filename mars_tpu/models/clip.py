@@ -129,7 +129,8 @@ def gradcam_last_block(params, x_prefinal, text_feats, logit_scale, cfg: ClipVis
     txt = text_feats / jnp.linalg.norm(text_feats, axis=-1, keepdims=True)
 
     def head(a_in):
-        attn_out, attn_w = L.mha(p["attn"], a_in, cfg.num_heads, return_attn=True)
+        attn_out, attn_w = L.mha(p["attn"], a_in, cfg.num_heads,
+                                 return_attn=True, force_xla=True)
         h = x_prefinal + attn_out
         h = h + L.mlp(p["mlp"], L.layer_norm(p["ln2"], h), L.quick_gelu)
         h = L.layer_norm(params["ln_post"], h)

@@ -18,6 +18,7 @@ Layout: batch-first (B, L, D) tokens; images NHWC.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -74,34 +75,50 @@ def conv_patch_embed(p, images, patch_size: int):
     return y.reshape(b, gh * gw, d)
 
 
-# When True, tapped self-attention uses the fused Pallas kernel
-# (ops.flash_attention) instead of materializing per-head probs in HBM.
-# Enable on TPU via set_attention_impl("pallas").
-_ATTENTION_IMPL = "xla"
+# Tapped self-attention implementation.  "pallas" fuses the head-mean
+# reduction into the attention kernel (ops.flash_attention) instead of
+# materializing per-head probs in HBM; measured 1.61 vs 2.06 ms/layer at
+# DINOv2-L@518 geometry on v5e (in-program — standalone timings are
+# swamped by the ~32 ms tunnel dispatch floor for ANY program, which is
+# what round 1 mistook for pallas overhead).  "auto" = pallas on TPU.
+_ATTENTION_IMPL = os.environ.get("MARS_ATTENTION_IMPL", "auto")
 
 
 def set_attention_impl(impl: str):
     global _ATTENTION_IMPL
-    assert impl in ("xla", "pallas", "pallas_interpret")
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret")
     _ATTENTION_IMPL = impl
 
 
-def mha(p, x, num_heads: int, return_attn: bool = False, mask=None):
+def _attention_impl() -> str:
+    if _ATTENTION_IMPL == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _ATTENTION_IMPL
+
+
+def mha(p, x, num_heads: int, return_attn: bool = False, mask=None,
+        force_xla: bool = False):
     """Multi-head self-attention with optional head-averaged prob tap.
 
     The tap returns the (B, L, L) head-mean of softmax(qk) — exactly torch
     MultiheadAttention's ``need_weights=True`` output that PIR consumes
     (reference: clip/model.py:293-295, dinov2/layers/attention.py:49-68).
+
+    ``force_xla``: callers that differentiate through the tap (the Grad-CAM
+    head) must take the XLA path — pallas_call has no VJP.
     """
     b, l, d = x.shape
     head_dim = d // num_heads
     qkv = dense(p["qkv"], x).reshape(b, l, 3, num_heads, head_dim)
-    if return_attn and mask is None and _ATTENTION_IMPL != "xla":
+    if (return_attn and mask is None and not force_xla
+            and _attention_impl() != "xla"):
         from mars_tpu.ops import flash_attention
 
+        # qkv keeps the tower dtype: K/V stream through VMEM at input width
+        # (logits/softmax/tap accumulate in f32 inside the kernel)
         out, attn = flash_attention.mha_pallas(
-            qkv.astype(jnp.float32), num_heads,
-            interpret=_ATTENTION_IMPL == "pallas_interpret",
+            qkv, num_heads,
+            interpret=_attention_impl() == "pallas_interpret",
         )
         return dense(p["proj"], out.astype(x.dtype)), attn
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, hd)

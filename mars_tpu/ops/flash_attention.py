@@ -59,7 +59,7 @@ def _kernel(l_actual, num_heads, scale,
         logits = jnp.where(key_mask, logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
         out_ref[h] = jax.lax.dot_general(
-            probs, v_buf[slot], (((1,), (0,)), ((), ())),
+            probs.astype(v_buf.dtype), v_buf[slot], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(out_ref.dtype)
         attn_ref[:] += probs * (1.0 / num_heads)
@@ -104,8 +104,8 @@ def attention_with_tap(q, k, v, interpret: bool = False):
             jax.ShapeDtypeStruct((lp, lp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, lp, dp), jnp.float32),
-            pltpu.VMEM((2, lp, dp), jnp.float32),
+            pltpu.VMEM((2, lp, dp), k.dtype),  # K/V stream at input width
+            pltpu.VMEM((2, lp, dp), v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,

@@ -44,8 +44,41 @@ class TestKernel:
         try:
             out, attn = L.mha(p, x, nh, return_attn=True)
         finally:
-            L.set_attention_impl("xla")
+            L.set_attention_impl("auto")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                    atol=1e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(attn), np.asarray(ref_attn),
                                    atol=1e-6, rtol=1e-4)
+
+    def test_gradcam_forces_xla_under_pallas(self):
+        """The Grad-CAM head differentiates through its attention tap, so it
+        must take the XLA path even when the pallas impl is active
+        (pallas_call has no VJP) — and produce identical CAMs."""
+        from mars_tpu.models import clip as clip_m
+        from mars_tpu.models import zoo
+
+        cfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=32, depth=2, num_heads=2, output_dim=8,
+            pos_embed_grid=2)
+        params = zoo._on_host(clip_m.init_visual_params,
+                              jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(2)
+        img = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+        txt = jnp.asarray(rng.randn(2, 8).astype(np.float32))
+        scale = jnp.float32(np.log(1 / 0.07))
+
+        def run():
+            x = clip_m.visual_embed(params, img, cfg)
+            tokens, _ = clip_m.prefinal(params, x, cfg)
+            return clip_m.gradcam_last_block(params, tokens, txt, scale, cfg)
+
+        ref_cam, ref_probs, _ = run()
+        L.set_attention_impl("pallas_interpret")
+        try:
+            cam, probs, _ = run()
+        finally:
+            L.set_attention_impl("auto")
+        np.testing.assert_allclose(np.asarray(cam), np.asarray(ref_cam),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                                   atol=1e-6)
