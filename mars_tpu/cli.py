@@ -25,6 +25,7 @@ from mars_tpu.data import build_dataset, to_device_episode
 from mars_tpu.data.base import resized_gt
 from mars_tpu.pipeline import mars as mars_lib
 from mars_tpu.utils import evaluation
+from mars_tpu.utils import logging as mlog
 
 
 def build_mars_config(args) -> "mars_lib.MarsConfig":
@@ -301,6 +302,10 @@ def main(argv=None):
         gen_key = jax.random.PRNGKey(args.seed)
     meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
     os.makedirs(args.log_path, exist_ok=True)
+    # TensorBoard/Comet analogue: streams running mIoU/FB-IoU + per-episode
+    # time to <log-path>/tbd/runs + scalars.csv (reference logger.py:197,259)
+    metrics = mlog.MetricsLogger(args.log_path, meter)
+    t_start = time.time()
     timing_rows = []
     rng = np.random.RandomState(args.seed)
     # curated hard-case regression subset (reference mars/utils/logger.py:80-127)
@@ -333,6 +338,8 @@ def main(argv=None):
             [idx, model.timings["total"], model.timings["after_text_extraction"],
              int(np.asarray(props.valid).sum())]
         )
+        metrics.log_metrics(idx)
+        metrics.log_time_batch(model.timings["total"], idx)
         if idx % 20 == 0:
             miou, fb, _ = meter.compute_iou()
             print(f"[{idx + 1}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}")
@@ -348,6 +355,8 @@ def main(argv=None):
     if meter.bad_class_ids:
         bmiou, bfb, _ = meter.compute_iou_bad_preds()
         print(f"*** known-bad subset — mIoU: {bmiou:.2f}  FB-IoU: {bfb:.2f} ***")
+        metrics.log_metrics_bad_preds(n - 1)
+    metrics.end(time.time() - t_start, n - 1)
     return miou, fb
 
 

@@ -50,3 +50,54 @@ class ScalarWriter:
 
     def close(self):
         self._f.close()
+
+
+class MetricsLogger:
+    """Streaming metrics sink — the reference's TensorBoard/Comet analogue
+    (reference mars/utils/logger.py:197, 234-294).
+
+    Streams per-episode scalars to a standard TensorBoard event file
+    (utils.tboard, first-party writer — readable by any stock TensorBoard)
+    AND to scalars.csv, from the same AverageMeter the evaluation loop
+    updates.  API mirrors the reference CometLogger's surface.
+    """
+
+    def __init__(self, logpath: str, meter, split: str = "test"):
+        from mars_tpu.utils import tboard
+
+        self.meter = meter
+        self.split = split
+        self.tbd = tboard.SummaryWriter(os.path.join(logpath, "tbd", "runs"))
+        self.csv = ScalarWriter(logpath)
+
+    def log_metrics(self, step: int):
+        """reference CometLogger.log_metrics:259-264 (running mIoU/FB-IoU)."""
+        iou, fb_iou, _ = self.meter.compute_iou()
+        self.tbd.add_scalars(step, **{f"{self.split}_mIoU": iou,
+                                      f"{self.split}_FB-IoU": fb_iou})
+        self.csv.write(step, **{f"{self.split}_mIoU": iou,
+                                f"{self.split}_FB-IoU": fb_iou})
+
+    def log_time_batch(self, seconds: float, step: int):
+        """reference :278-280."""
+        self.tbd.add_scalar("time_elapsed_batch", seconds, step)
+        self.csv.write(step, time_elapsed_batch=seconds)
+
+    def log_metrics_bad_preds(self, step: int):
+        """reference :266-276 (known-bad regression subset)."""
+        if not self.meter.bad_class_ids:
+            return
+        miou, fb, per_class = self.meter.compute_iou_bad_preds()
+        self.tbd.add_scalars(step, bad_preds_mIoU=miou)
+        for cid, iou in zip(self.meter.bad_class_ids, per_class):
+            self.tbd.add_scalar(f"class{cid}_mIoU", float(iou), step)
+
+    def end(self, total_seconds: float, step: int):
+        """reference :288-294 + final per-class table."""
+        _, _, per_class = self.meter.compute_iou()
+        for cid, iou in zip(self.meter.class_ids, per_class):
+            self.tbd.add_scalar(f"{self.split}_cat_{cid}_IoU", float(iou),
+                                step)
+        self.tbd.add_scalar("total_time_elapsed", total_seconds, step)
+        self.tbd.close()
+        self.csv.close()
