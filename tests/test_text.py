@@ -72,6 +72,91 @@ class TestRetriever:
         assert get_synset("zzzqqqxx", "nothing") is None
 
 
+class _FakeSynset:
+    def __init__(self, name, definition):
+        self._name, self._def = name, definition
+
+    def name(self):
+        return self._name
+
+    def definition(self):
+        return self._def
+
+
+class _FakeWordnet:
+    """Stub of the nltk wordnet surface get_synset uses.  CI pin for the
+    synset-disambiguation path (the real corpus is absent in this image;
+    TestRetriever above runs it for real when available)."""
+
+    NOUN = "n"
+    _LEX = {
+        "dog": [
+            _FakeSynset("dog.n.01", "a domesticated canid mammal kept as a pet"),
+            _FakeSynset("frank.n.02", "a smooth-textured sausage served on a bun"),
+        ],
+        "plant": [
+            _FakeSynset("plant.n.01", "greenery grown in a pot indoors"),
+            _FakeSynset("plant.n.02", "an industrial building for manufacturing"),
+        ],
+        "sheep": [_FakeSynset("sheep.n.01", "woolly ruminant mammal")],
+    }
+
+    def synsets(self, word, pos=None):
+        return list(self._LEX.get(word, []))
+
+    def synset(self, name):
+        for ss in self._LEX.values():
+            for s in ss:
+                if s.name() == name:
+                    return s
+        raise KeyError(name)
+
+
+class _FakeStopwords:
+    def words(self, lang):
+        return ["a", "the", "in", "of", "on", "as", "an", "for"]
+
+
+class TestRetrieverStubbed:
+    """Same paths as TestRetriever, runnable without the WordNet corpus."""
+
+    @pytest.fixture(autouse=True)
+    def stub_nltk(self, monkeypatch):
+        import nltk.corpus
+        import nltk.tokenize
+
+        monkeypatch.setattr(nltk.corpus, "wordnet", _FakeWordnet())
+        monkeypatch.setattr(nltk.corpus, "stopwords", _FakeStopwords())
+        monkeypatch.setattr(
+            nltk.tokenize, "word_tokenize",
+            lambda s: [w for w in
+                       "".join(c if c.isalnum() else " " for c in s).split()])
+
+    def test_oracle_flow_uses_wordnet_definition(self):
+        img = np.zeros((64, 64, 3), np.uint8)
+        mask = np.zeros((64, 64), np.float32)
+        mask[20:40, 20:40] = 1
+        tr = TextRetriever(OracleVLM("dog", "a domesticated canine pet"))
+        name, desc = tr.get_conceptual_information([img], [mask])
+        assert name == "dog"
+        # disambiguation: the VLM description overlaps dog.n.01, not frank.n.02
+        assert desc == "a domesticated canid mammal kept as a pet"
+
+    def test_disambiguation_by_description_overlap(self):
+        # "potted plant": no 'potted_plant'/'pottedplant' entry → per-word
+        # fallback hits 'plant' (reference _get_synset's third fallback)
+        s = get_synset("potted plant", "greenery that sits in a pot")
+        assert s == "plant.n.01"
+        s = get_synset("potted plant", "a manufacturing building complex")
+        assert s == "plant.n.02"
+
+    def test_single_synset_short_circuits(self):
+        assert get_synset("sheep", "anything at all") == "sheep.n.01"
+
+    def test_get_synset_none(self):
+        assert get_synset("zzzqqqxx", "nothing") is None
+
+
 class TestDrawing:
     @pytest.mark.parametrize("kind", ["mask", "bb", "contour", "ellipse"])
     def test_draw_shapes(self, kind):
