@@ -296,3 +296,95 @@ def _conv_transpose(w: Array) -> Array:
     jax.lax.conv_transpose(..., dimension_numbers=(NHWC, HWIO, NHWC),
     transpose_kernel=True) — verified numerically against torch."""
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+# --------------------------------------------------------------------------
+# Swin Transformer (transformers SwinModel layout; the Semantic-SAM
+# checkpoint's fused-qkv layout maps onto the same tree — see
+# swin_semantic_sam_to_flax)
+# --------------------------------------------------------------------------
+
+def swin_to_flax(sd: StateDict, depths, hf: bool = True) -> dict:
+    """transformers SwinModel state dict → models.swin param tree."""
+    params = {
+        "patch_embed": {
+            "kernel": _conv(sd["embeddings.patch_embeddings.projection.weight"]),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "patch_norm": _ln(sd, "embeddings.norm"),
+    }
+    for s, depth in enumerate(depths):
+        stage = {}
+        for i in range(depth):
+            b = f"encoder.layers.{s}.blocks.{i}"
+            qkv = np.concatenate(
+                [_t(sd[f"{b}.attention.self.{n}.weight"]) for n in
+                 ("query", "key", "value")], axis=1)
+            qkv_b = np.concatenate(
+                [sd[f"{b}.attention.self.{n}.bias"] for n in
+                 ("query", "key", "value")])
+            stage[f"block{i}"] = {
+                "ln1": _ln(sd, f"{b}.layernorm_before"),
+                "ln2": _ln(sd, f"{b}.layernorm_after"),
+                "attn": {
+                    "qkv": {"kernel": qkv, "bias": qkv_b},
+                    "proj": _dense(sd, f"{b}.attention.output.dense"),
+                    "rel_bias_table":
+                        sd[f"{b}.attention.self.relative_position_bias_table"],
+                },
+                "mlp": {
+                    "fc1": _dense(sd, f"{b}.intermediate.dense"),
+                    "fc2": _dense(sd, f"{b}.output.dense"),
+                },
+            }
+        ds = f"encoder.layers.{s}.downsample"
+        if f"{ds}.reduction.weight" in sd:
+            stage["downsample"] = {
+                "norm": _ln(sd, f"{ds}.norm"),
+                "reduction": {"kernel": _t(sd[f"{ds}.reduction.weight"])},
+            }
+        params[f"stage{s}"] = stage
+    return params
+
+
+def swin_semantic_sam_to_flax(sd: StateDict, depths) -> dict:
+    """Microsoft-layout Swin (fused qkv — the layout inside Semantic-SAM
+    checkpoints under ``backbone.``) → models.swin param tree.
+
+    Names: patch_embed.proj, patch_embed.norm, layers.{s}.blocks.{i}.
+    {norm1,norm2,attn.qkv,attn.proj,mlp.fc1,mlp.fc2,
+    attn.relative_position_bias_table}, layers.{s}.downsample.
+    """
+    params = {
+        "patch_embed": {
+            "kernel": _conv(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "patch_norm": _ln(sd, "patch_embed.norm"),
+    }
+    for s, depth in enumerate(depths):
+        stage = {}
+        for i in range(depth):
+            b = f"layers.{s}.blocks.{i}"
+            stage[f"block{i}"] = {
+                "ln1": _ln(sd, f"{b}.norm1"),
+                "ln2": _ln(sd, f"{b}.norm2"),
+                "attn": {
+                    "qkv": _dense(sd, f"{b}.attn.qkv"),
+                    "proj": _dense(sd, f"{b}.attn.proj"),
+                    "rel_bias_table":
+                        sd[f"{b}.attn.relative_position_bias_table"],
+                },
+                "mlp": {
+                    "fc1": _dense(sd, f"{b}.mlp.fc1"),
+                    "fc2": _dense(sd, f"{b}.mlp.fc2"),
+                },
+            }
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            stage["downsample"] = {
+                "norm": _ln(sd, f"layers.{s}.downsample.norm"),
+                "reduction": {
+                    "kernel": _t(sd[f"layers.{s}.downsample.reduction.weight"])},
+            }
+        params[f"stage{s}"] = stage
+    return params

@@ -193,3 +193,49 @@ class TestSam:
             np.asarray(masks2[:, 1:]), d["masks_multi"], atol=5e-5, rtol=1e-3
         )
         np.testing.assert_allclose(np.asarray(iou2[:, 1:]), d["iou_multi"], atol=5e-5, rtol=1e-3)
+
+
+class TestSwin:
+    """Swin backbone vs the transformers SwinModel oracle (window padding,
+    shift masks, odd-dim patch merging, window clamping all exercised at
+    image 56 / window 4)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from mars_tpu.models import swin
+
+        sd, d = load("swin_tiny")
+        cfg = swin.SwinConfig(patch_size=4, embed_dim=24, depths=(2, 2, 2),
+                              num_heads=(2, 4, 8), window=4)
+        params = convert.swin_to_flax(sd, depths=cfg.depths)
+        out = swin.forward_features(
+            params, jnp.asarray(nchw_to_nhwc(d["input"])), cfg)
+        return swin, cfg, params, sd, d, out
+
+    def test_final_stage(self, setup):
+        swin, cfg, params, sd, d, out = setup
+        got = np.asarray(out["stage2"]).reshape(2, -1, 96)
+        np.testing.assert_allclose(got, d["h3"], atol=3e-5, rtol=1e-4)
+
+    def test_last_hidden_with_final_norm(self, setup):
+        from mars_tpu.models import layers as L
+
+        swin, cfg, params, sd, d, out = setup
+        ln = {"scale": jnp.asarray(sd["layernorm.weight"]),
+              "bias": jnp.asarray(sd["layernorm.bias"])}
+        got = L.layer_norm(ln, jnp.asarray(out["stage2"]).reshape(2, -1, 96))
+        np.testing.assert_allclose(np.asarray(got), d["last_hidden"],
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_patch_merge_chain(self, setup):
+        """h1/h2 (post-downsample states) from my pre-downsample outputs."""
+        swin, cfg, params, sd, d, out = setup
+        m1 = swin._patch_merge(params["stage0"]["downsample"],
+                               jnp.asarray(out["stage0"]), cfg.ln_eps)
+        np.testing.assert_allclose(
+            np.asarray(m1).reshape(2, -1, 48), d["h1"], atol=3e-5, rtol=1e-4)
+        x = jnp.pad(jnp.asarray(out["stage1"]),
+                    ((0, 0), (0, 1), (0, 1), (0, 0)))  # 7 -> 8 odd-dim pad
+        m2 = swin._patch_merge(params["stage1"]["downsample"], x, cfg.ln_eps)
+        np.testing.assert_allclose(
+            np.asarray(m2).reshape(2, -1, 96), d["h2"], atol=3e-5, rtol=1e-4)

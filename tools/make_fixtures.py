@@ -564,6 +564,39 @@ def make_vip_llava():
 
 
 
+# ---------------------------------------------------------------- Swin
+def make_swin():
+    """transformers SwinModel oracle for the Semantic-SAM backbone
+    (models/swin.py).  Image 56: grid 14 with window 4 exercises the
+    per-block zero-padding; stage resolutions 14/7/4 exercise shift
+    masking, odd-dim patch merging, and the window-clamp path."""
+    from transformers import SwinConfig, SwinModel
+
+    torch.manual_seed(12)
+    cfg = SwinConfig(
+        image_size=56, patch_size=4, num_channels=3, embed_dim=24,
+        depths=[2, 2, 2], num_heads=[2, 4, 8], window_size=4,
+        mlp_ratio=4.0, hidden_act="gelu", use_absolute_embeddings=False,
+        drop_path_rate=0.0, attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=0.0,
+    )
+    model = SwinModel(cfg, add_pooling_layer=False).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    x = torch.randn(2, 3, 56, 56)
+    with torch.no_grad():
+        out = model(x, output_hidden_states=True)
+    hs = {f"h{i}": h.numpy() for i, h in enumerate(out.hidden_states)}
+    save(
+        "swin_tiny",
+        input=x.numpy(),
+        last_hidden=out.last_hidden_state.numpy(),
+        **hs,
+        **flat("sd.", sd_to_np(model)),
+    )
+
+
 # ------------------------------------------------- golden full episode
 def _stub_runtime_deps():
     """pkg_resources / ttach / ot are absent in this image.  The golden
@@ -854,7 +887,7 @@ if __name__ == "__main__":
     # each generator pollutes sys.modules with stubs differently; run the
     # requested subset (default: everything, in isolated subprocesses)
     ALL = ["dinov2", "clip", "alpha_clip", "sam", "amg_multicrop", "pir",
-           "vip_llava", "golden_episode"]
+           "vip_llava", "swin", "golden_episode"]
     names = sys.argv[1:] or ALL
     if len(names) == 1:
         globals()[f"make_{names[0]}"]()
