@@ -22,7 +22,13 @@ import numpy as np
 
 @partial(jax.jit, static_argnums=(1,))
 def quantize_kernel(w: jnp.ndarray, bits: int = 8):
-    """(in, out) kernel → {"q": intN (in, out), "scale": f32 (out,)}.
+    """(in, out) kernel → quantized leaf with per-output-channel scales.
+
+    bits=8: {"q": int8 (in, out), "scale": f32 (out,)}.
+    bits=4: {"q4": int8 (in/2, out) with two nibbles packed along the input
+    dim, "scale": f32 (out,)} — native jnp.int4 arrays cannot cross a jit
+    boundary on this environment (argument resharding recurses), so 4-bit
+    is stored packed and unpacked inside the matmul (ops.int4_matmul).
 
     Jitted (cached per kernel shape — a ViT has only a handful): the eager
     version costs ~6 device round trips per kernel, ~15 s per tower on a
@@ -32,22 +38,44 @@ def quantize_kernel(w: jnp.ndarray, bits: int = 8):
     absmax = jnp.max(jnp.abs(w), axis=0)
     scale = absmax / maxq
     q = jnp.round(w / jnp.maximum(scale, 1e-12)[None, :])
-    q = jnp.clip(q, -maxq, maxq)
-    dtype = jnp.int8 if bits == 8 else jnp.int4
-    return {"q": q.astype(dtype), "scale": scale.astype(jnp.float32)}
+    q = jnp.clip(q, -maxq, maxq).astype(jnp.int8)
+    if bits == 4:
+        from mars_tpu.ops.int4_matmul import pack_int4
+
+        return {"q4": pack_int4(q), "scale": scale.astype(jnp.float32)}
+    return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
 def dequantize_kernel(p) -> jnp.ndarray:
+    if "q4" in p:
+        from mars_tpu.ops.int4_matmul import unpack_int4
+
+        return unpack_int4(p["q4"]).astype(jnp.float32) * p["scale"][None, :]
     return p["q"].astype(jnp.float32) * p["scale"][None, :]
 
 
 def quantized_dense(p, x):
     """x @ W for a quantized kernel: int matmul + per-column rescale."""
-    y = jnp.einsum(
-        "...i,io->...o", x, p["kernel"]["q"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    y = (y * p["kernel"]["scale"]).astype(x.dtype)
+    k = p["kernel"]
+    if "q4" in k:
+        from mars_tpu.ops import int4_matmul
+
+        if jax.default_backend() == "tpu":
+            shape = x.shape
+            y = int4_matmul.matmul_int4(
+                x.reshape(-1, shape[-1]), k["q4"], k["scale"])
+            y = y.reshape(shape[:-1] + (k["q4"].shape[1],))
+        else:
+            w = int4_matmul.unpack_int4(k["q4"]).astype(x.dtype)
+            y = jnp.einsum("...i,io->...o", x, w,
+                           preferred_element_type=jnp.float32)
+            y = (y * k["scale"]).astype(x.dtype)
+    else:
+        y = jnp.einsum(
+            "...i,io->...o", x, k["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * k["scale"]).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"]
     return y

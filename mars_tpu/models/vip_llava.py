@@ -324,14 +324,27 @@ def init_random_params(seed: int, cfg: VipLlavaConfig,
                                    1e-4, 3e-4)
         return {"q": q, "scale": scale}
 
+    @partial(jax.jit, static_argnums=(1,))
+    def _draw_q4(s, shape):
+        from mars_tpu.ops.int4_matmul import pack_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(s))
+        q = jax.random.randint(k1, shape, -7, 8, jnp.int32).astype(jnp.int8)
+        scale = jax.random.uniform(k2, (shape[1],), jnp.float32,
+                                   1e-4, 3e-4)
+        return {"q4": pack_int4(q), "scale": scale}
+
     def vec(*shape):
         counter[0] += 1
         return _draw(counter[0], shape, dtype)
 
     def kernel(din, dout):
         counter[0] += 1
-        if quantize_bits == 8 and din * dout >= (1 << 14):
-            return _draw_q8(counter[0], (din, dout))
+        if din * dout >= (1 << 14):
+            if quantize_bits == 8:
+                return _draw_q8(counter[0], (din, dout))
+            if quantize_bits == 4:  # packed nibbles (ops.int4_matmul)
+                return _draw_q4(counter[0], (din, dout))
         return _draw(counter[0], (din, dout), dtype)
 
     def ln(d):

@@ -1,0 +1,134 @@
+"""Weight-only int4 matmul: packed nibbles streamed from HBM, unpacked
+in-kernel.
+
+The reference serves ViP-LLaVA-7B through bitsandbytes 4-bit CUDA kernels
+(reference: mars/components/TextRetrieverModule.py:468-471).  On this
+environment jax's native int4 arrays cannot cross a jit boundary (the
+argument-resharding path recurses — see CLAUDE.md), so 4-bit weights are
+stored as two nibbles per int8 byte along the INPUT dimension:
+
+    packed[i, o] = (q[2i+1, o] << 4) | (q[2i, o] & 0xF)
+
+With x_even = x[:, 0::2] and x_odd = x[:, 1::2] (a tiny activation
+shuffle done once per call), the matmul never re-interleaves:
+
+    y = x_even @ lo + x_odd @ hi
+
+(NOT the algebraic 16·hi+lo packing with a single extraction — that
+formulation cancels catastrophically in bf16 dots: measured rel err
+0.022 vs 0.002, and it is no faster.)
+
+which the Pallas kernel evaluates tile by tile: the packed (TILE_IN/2,
+TILE_OUT) int8 block is the ONLY weight traffic (0.5 bytes/param — half of
+int8, a quarter of bf16), nibbles are split in VMEM and fed to the MXU as
+two dots.  Per-output-channel scales multiply after the accumulation, so
+autoregressive decoding is bounded by packed-weight HBM reads.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 256 divides every production matmul dim in the zoo (LLaMA-7B: 4096,
+# 11008, 32000-head excluded; CLIP/DINOv2: 768/1024/3072/4096)
+TILE_IN = 256   # unpacked input rows per grid step (128 packed rows)
+TILE_OUT = 256
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """(IN, OUT) int8 values in [-7, 7] → (IN/2, OUT) packed int8.
+
+    """
+    assert q.shape[0] % 2 == 0, "input dim must be even to pack nibbles"
+    lo, hi = q[0::2], q[1::2]
+    return jnp.bitwise_or(jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4))
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """(IN/2, OUT) packed int8 → (IN, OUT) int8 in [-7, 7] (XLA fallback)."""
+    p = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
+    n, out = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(n * 2, out).astype(jnp.int8)
+
+
+def _kernel(x_even_ref, x_odd_ref, wp_ref, o_ref):
+    i = pl.program_id(1)  # minor grid dim: input tiles (accumulation)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    # Mosaic has no i8 vector shifts: widen to i32 for the nibble split
+    # (jnp.right_shift on signed ints is arithmetic, sign-extending)
+    p = wp_ref[...].astype(jnp.int32)  # (TILE_IN//2, TILE_OUT)
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
+    dt = x_even_ref.dtype
+    acc = jax.lax.dot_general(
+        x_even_ref[...], lo.astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        x_odd_ref[...], hi.astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] += acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_in", "tile_out"))
+def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
+                interpret: bool = False, tile_in: int = None,
+                tile_out: int = TILE_OUT) -> jnp.ndarray:
+    """x (B, IN) @ dequant(packed (IN/2, OUT), scale (OUT,)) → (B, OUT).
+
+    Output dtype follows x; accumulation is f32.  ``tile_in`` defaults to
+    the largest divisor of IN in {2048, 1024, 512, 256} (measured sweep on
+    v5e: 0.527/0.438/0.392/0.376 ms per 4096x11008 GEMV at 256→2048).
+    Non-tile-multiple dims are padded per call — a full weight copy; pack
+    production kernels at tile-multiple shapes.
+    """
+    b, d_in = x.shape
+    d_out = packed.shape[1]
+    assert packed.shape[0] * 2 == d_in
+    if tile_in is None:
+        tile_in = next((t for t in (2048, 1024, 512, 256) if d_in % t == 0),
+                       TILE_IN)
+    out_dtype = x.dtype
+    if interpret and x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)  # CPU interpret lacks bf16 dot support
+
+    pad_in = -d_in % tile_in
+    pad_out = -d_out % tile_out
+    if pad_in:
+        x = jnp.pad(x, ((0, 0), (0, pad_in)))
+    wp = jnp.pad(packed, ((0, pad_in // 2), (0, pad_out))) if (
+        pad_in or pad_out) else packed
+    x_even, x_odd = x[:, 0::2], x[:, 1::2]
+
+    ip, op = d_in + pad_in, d_out + pad_out
+    grid = (op // tile_out, ip // tile_in)
+    y = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, tile_in // 2), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tile_in // 2), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_in // 2, tile_out), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile_out), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, op), jnp.float32),
+        interpret=interpret,
+    )(x_even, x_odd, wp)
+    y = y[:, :d_out] * scale[None, :]
+    return y.astype(out_dtype)

@@ -309,3 +309,127 @@ class TestAuctionScaled:
         obj = cn[np.arange(200), o].sum()
         assert (o >= 0).all() and len(set(o.tolist())) == 200
         assert (cn[ri, ci].sum() - obj) / cn[ri, ci].sum() < 1e-4
+
+
+class TestInt4Matmul:
+    """Packed-nibble weight-only matmul (ops.int4_matmul) — the 4-bit VLM
+    path (reference TextRetrieverModule.py:468-471 defaults to 4-bit bnb)."""
+
+    def _ref(self, x, packed, scale):
+        from mars_tpu.ops.int4_matmul import unpack_int4
+
+        w = np.asarray(unpack_int4(packed), np.float32) * np.asarray(scale)
+        return np.asarray(x, np.float32) @ w
+
+    @pytest.mark.parametrize("shape", [(1, 512, 256), (3, 256, 512),
+                                       (2, 300, 200)])  # last: padding path
+    def test_kernel_matches_dequant(self, shape):
+        from mars_tpu.models.quantization import quantize_kernel
+        from mars_tpu.ops.int4_matmul import matmul_int4
+
+        b, din, dout = shape
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(din, dout).astype(np.float32))
+        q = quantize_kernel(w, bits=4)
+        x = jnp.asarray(rng.randn(b, din).astype(np.float32))
+        got = matmul_int4(x, q["q4"], q["scale"], interpret=True)
+        want = self._ref(x, q["q4"], q["scale"])
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                                   rtol=1e-3)
+
+    def test_kernel_bf16(self):
+        from mars_tpu.models.quantization import quantize_kernel
+        from mars_tpu.ops.int4_matmul import matmul_int4
+
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(256, 256).astype(np.float32))
+        q = quantize_kernel(w, bits=4)
+        x = jnp.asarray(rng.randn(2, 256).astype(np.float32)).astype(jnp.bfloat16)
+        got = matmul_int4(x, q["q4"], q["scale"], interpret=True)
+        assert got.dtype == jnp.bfloat16
+        want = self._ref(x.astype(jnp.float32), q["q4"], q["scale"])
+        np.testing.assert_allclose(
+            np.asarray(got.astype(jnp.float32)), want, atol=0.15, rtol=2e-2)
+
+    def test_quantize_dequantize_roundtrip(self):
+        from mars_tpu.models.quantization import (dequantize_kernel,
+                                                  quantize_kernel)
+
+        rng = np.random.RandomState(2)
+        w = rng.randn(128, 64).astype(np.float32)
+        back = np.asarray(dequantize_kernel(quantize_kernel(jnp.asarray(w), 4)))
+        # 4-bit: |err| <= scale/2 = absmax/14 per column
+        bound = np.abs(w).max(axis=0) / 14.0 + 1e-6
+        assert (np.abs(back - w) <= bound[None, :]).all()
+
+    def test_quantized_dense_q4_fallback(self):
+        """dense() consumes the packed leaf transparently (CPU fallback)."""
+        from mars_tpu.models import layers as L
+        from mars_tpu.models.quantization import quantize_kernel
+
+        rng = np.random.RandomState(3)
+        w = jnp.asarray(rng.randn(256, 128).astype(np.float32))
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+        x = jnp.asarray(rng.randn(4, 7, 256).astype(np.float32))
+        p = {"kernel": quantize_kernel(w, 4), "bias": b}
+        got = L.dense(p, x)
+        want = self._ref(x.reshape(-1, 256), p["kernel"]["q4"],
+                         p["kernel"]["scale"]).reshape(4, 7, 128) + np.asarray(b)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-3)
+
+
+class TestDeformableAttention:
+    """msda_core vs the transformers MultiScaleDeformableAttention torch
+    fallback (grid_sample bilinear, zeros padding, align_corners=False)."""
+
+    def test_core_matches_transformers(self):
+        import torch
+        from transformers.models.deformable_detr.modeling_deformable_detr \
+            import MultiScaleDeformableAttention as TorchMSDA
+
+        from mars_tpu.ops import deformable_attention as da
+
+        rng = np.random.RandomState(0)
+        b, nh, d, p = 2, 2, 8, 3
+        shapes = [(6, 8), (3, 4), (2, 2)]
+        l = sum(h * w for h, w in shapes)
+        q = 5
+        value = rng.randn(b, l, nh, d).astype(np.float32)
+        # sampling locations straddle the borders to exercise zero padding
+        locs = rng.uniform(-0.1, 1.1,
+                           (b, q, nh, len(shapes), p, 2)).astype(np.float32)
+        wts = rng.rand(b, q, nh, len(shapes), p).astype(np.float32)
+        wts /= wts.sum(axis=(-2, -1), keepdims=True)
+
+        got = da.msda_core(jnp.asarray(value), shapes, jnp.asarray(locs),
+                           jnp.asarray(wts))
+
+        torch_msda = TorchMSDA()
+        shapes_t = torch.tensor(shapes, dtype=torch.long)
+        starts = torch.cat([shapes_t.new_zeros(1),
+                            (shapes_t[:, 0] * shapes_t[:, 1]).cumsum(0)[:-1]])
+        want = torch_msda(
+            torch.from_numpy(value), shapes_t, shapes, starts,
+            torch.from_numpy(locs), torch.from_numpy(wts), im2col_step=64,
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5,
+                                   rtol=1e-4)
+
+    def test_layer_shapes_and_softmax(self):
+        from mars_tpu.ops import deformable_attention as da
+
+        key = jax.random.PRNGKey(0)
+        c, nh, npnt = 16, 2, 4
+        shapes = [(4, 4), (2, 2)]
+        p = da.init_msda_params(key, c, nh, len(shapes), npnt)
+        q = jax.random.normal(key, (1, 5, c))
+        v = jax.random.normal(key, (1, 20, c))
+        ref = jax.random.uniform(key, (1, 5, len(shapes), 2))
+        out = da.msda_layer(p, q, ref, v, shapes, nh, npnt)
+        assert out.shape == (1, 5, c)
+        assert np.isfinite(np.asarray(out)).all()
+        # box-format reference points
+        ref4 = jnp.concatenate([ref, jnp.full((1, 5, len(shapes), 2), 0.3)],
+                               axis=-1)
+        out4 = da.msda_layer(p, q, ref4, v, shapes, nh, npnt)
+        assert out4.shape == (1, 5, c)

@@ -7,11 +7,15 @@ mars/components/TextRetrieverModule.py:446-490).  Usage:
     python tools/vlm_bench.py [--tokens 40] [--prompt-len 600]
 """
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mars_tpu.models import vip_llava as vl
 
@@ -20,7 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=40)
     ap.add_argument("--prompt-len", type=int, default=600)
-    ap.add_argument("--bits", type=int, default=8, choices=(8,))
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8))
     ap.add_argument("--bucket", type=int, default=0,
                     help="right-pad the prompt to this bucket and decode "
                          "with true_length (the production path)")
