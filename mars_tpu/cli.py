@@ -123,7 +123,8 @@ def build_model(args) -> "mars_lib.Mars":
 
         dino = (quantize_params(dino[0]), dino[1])
         clip = (quantize_params(clip[0]),) + clip[1:]
-        ac = (quantize_params(ac[0]),) + ac[1:]
+        ac_act = 8 if args.w8a8_alphaclip else None
+        ac = (quantize_params(ac[0], act_bits=ac_act),) + ac[1:]
     retriever = None
     if not args.gt_class_names:
         retriever = build_retriever(args)
@@ -173,17 +174,46 @@ def make_inline_generator(args):
 
     dino_params, dino_cfg = zoo.build_dinov2(args.models_path,
                                              args.dino_backbone, args.num_regs)
-    sam_params, sam_cfg = zoo.build_sam(args.models_path, args.sam_size)
-    if args.bf16:
-        from mars_tpu.models.precision import cast_floating
-
-        dino_params = cast_floating(dino_params)
-        sam_params = cast_floating(sam_params)
     mcfg = matcher.MatcherConfig(
         input_size=args.input_size,
         grid=args.input_size // dino_cfg.patch_size,
         patch_size=dino_cfg.patch_size,
     )
+    if args.bf16:
+        from mars_tpu.models.precision import cast_floating
+
+        dino_params = cast_floating(dino_params)
+
+    if args.proposal_model == "semantic-sam":
+        # the reference's Matcher_SemanticSAM configuration, on the native
+        # network (matcher/Matcher_SemanticSAM.py:151-161)
+        from mars_tpu.pipeline import matcher_oss
+
+        ss_params, ss_cfg = zoo.build_semantic_sam(args.models_path)
+        if args.bf16:
+            from mars_tpu.models.precision import cast_floating
+
+            ss_params = cast_floating(ss_params)
+        backend = matcher_oss.SemanticSamBackend(ss_params, ss_cfg)
+
+        def generate(ep, key):
+            out = matcher_oss.generate_proposals_oss(
+                key, dino_params, dino_cfg, backend, mcfg,
+                ep.support_images, ep.support_masks, ep.support_valid,
+                ep.query_image,
+            )
+            masks = out["proposal_masks"] * out["proposal_valid"][:, None, None]
+            return pad_proposals(masks.astype(jnp.float32),
+                                 args.proposal_bucket,
+                                 valid=out["proposal_valid"])
+
+        return generate
+
+    sam_params, sam_cfg = zoo.build_sam(args.models_path, args.sam_size)
+    if args.bf16:
+        from mars_tpu.models.precision import cast_floating
+
+        sam_params = cast_floating(sam_params)
     acfg = amg.AmgConfig()
 
     def generate(ep, key):
@@ -264,6 +294,11 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                    help="run the Matcher per episode instead of loading dumps")
     p.add_argument("--sam-size", default="vit_h",
                    choices=["vit_b", "vit_l", "vit_h"])
+    p.add_argument("--proposal-model", default="sam",
+                   choices=["sam", "semantic-sam"],
+                   help="Matcher backend: SAM (reference Matcher.py) or the "
+                        "native Semantic-SAM network (the reference's "
+                        "Matcher_SemanticSAM external-package configuration)")
     # --- logging (reference :160-161) ---
     p.add_argument("--log-path", default="output",
                    help="reference --log_root_path")
@@ -276,6 +311,10 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                    help="bf16 tower weights (the reference's fp16 analogue)")
     p.add_argument("--int8-towers", action="store_true",
                    help="weight-only int8 tower kernels (combine with --bf16)")
+    p.add_argument("--w8a8-alphaclip", action="store_true",
+                   help="with --int8-towers: dynamic int8 activations on the "
+                        "AlphaCLIP tower too (s8xs8 MXU matmuls — the "
+                        "compute-bound ranking stage)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -302,6 +341,8 @@ def main(argv=None):
         gen_key = jax.random.PRNGKey(args.seed)
     meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
     os.makedirs(args.log_path, exist_ok=True)
+    # log.txt + console + arg dump (reference Logger.initialize:172-209)
+    logger = mlog.initialize(args.log_path, "", args)
     # TensorBoard/Comet analogue: streams running mIoU/FB-IoU + per-episode
     # time to <log-path>/tbd/runs + scalars.csv (reference logger.py:197,259)
     metrics = mlog.MetricsLogger(args.log_path, meter)
@@ -342,7 +383,7 @@ def main(argv=None):
         metrics.log_time_batch(model.timings["total"], idx)
         if idx % 20 == 0:
             miou, fb, _ = meter.compute_iou()
-            print(f"[{idx + 1}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}")
+            logger.info(f"[{idx + 1}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}")
 
     with open(os.path.join(args.log_path, "ranking_time.csv"), "w", newline="") as f:
         w = csv.writer(f)
@@ -351,10 +392,10 @@ def main(argv=None):
 
     miou, fb, per_class = meter.compute_iou()
     avg_t = float(np.mean([r[1] for r in timing_rows]))
-    print(f"\n*** mIoU: {miou:.2f}  FB-IoU: {fb:.2f}  avg time/img: {avg_t:.3f}s ***")
+    logger.info(f"\n*** mIoU: {miou:.2f}  FB-IoU: {fb:.2f}  avg time/img: {avg_t:.3f}s ***")
     if meter.bad_class_ids:
         bmiou, bfb, _ = meter.compute_iou_bad_preds()
-        print(f"*** known-bad subset — mIoU: {bmiou:.2f}  FB-IoU: {bfb:.2f} ***")
+        logger.info(f"*** known-bad subset — mIoU: {bmiou:.2f}  FB-IoU: {bfb:.2f} ***")
         metrics.log_metrics_bad_preds(n - 1)
     metrics.end(time.time() - t_start, n - 1)
     return miou, fb

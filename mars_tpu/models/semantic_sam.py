@@ -1,0 +1,259 @@
+"""Native Semantic-SAM network: SwinL + MaskDINO pixel decoder +
+interactive mask decoder with multi-granularity point queries.
+
+The reference's Matcher_SemanticSAM drives this network through the
+external ``semantic_sam`` package (reference:
+matcher/Matcher_SemanticSAM.py:23, 120-139 — 0-1 normalized click coords
+on a 640px bicubic-resized image, several masks per click); the package
+is not vendored there, so this is a from-the-architecture TPU
+implementation (Semantic-SAM, Li et al. 2023 = MaskDINO encoder/decoder
+with granularity-aware point queries):
+
+  backbone   SwinL multi-scale pyramid (models/swin.py)
+  pixel dec  1x1 proj + GroupNorm per level (res3/4/5), 6 encoder layers
+             of multi-scale deformable self-attention with sine position
+             + level embeddings (ops/deformable_attention.py); mask
+             features at 1/4 = proj(res2) + upsampled encoder res3
+  decoder    per click: `num_granularities` learnable content queries +
+             the click's sine position embedding; each layer = query
+             self-attention, deformable cross-attention anchored at the
+             click, FFN; heads produce per-granularity masks (dot of a
+             3-layer mask MLP with the mask features) and IoU scores
+
+TPU notes: clicks ride the batch axis (each click's granularity queries
+only self-attend among themselves, matching the interactive branch),
+every shape is static, the whole predict path is one jitted program.
+
+Checkpoint conversion for released Semantic-SAM weights maps the
+Microsoft-layout Swin via convert.swin_semantic_sam_to_flax; the
+encoder/decoder tensors follow MaskDINO naming and can be mapped the
+same way (not verified here — no weights ship in this environment).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mars_tpu.models import layers as L
+from mars_tpu.models import swin as swin_m
+from mars_tpu.ops import deformable_attention as da
+
+
+@dataclass(frozen=True)
+class SemanticSamConfig:
+    swin: swin_m.SwinConfig = field(default_factory=lambda: swin_m.SWIN_L)
+    hidden: int = 256
+    num_heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 9
+    num_points: int = 4
+    ffn_dim: int = 2048
+    num_granularities: int = 6
+    input_size: int = 640  # Matcher_SemanticSAM.py:130 Resize(640)
+
+    @property
+    def feature_levels(self) -> int:
+        return 3  # res3 (1/8), res4 (1/16), res5 (1/32)
+
+
+SEMANTIC_SAM_L = SemanticSamConfig()
+SEMANTIC_SAM_TINY = SemanticSamConfig(
+    swin=swin_m.SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                           num_heads=(2, 2, 4, 4), window=4),
+    hidden=32, num_heads=4, enc_layers=2, dec_layers=2, ffn_dim=64,
+    num_points=2, input_size=64,
+)
+
+
+def _group_norm(p, x, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over the channel (last) axis of (..., C)."""
+    c = x.shape[-1]
+    g = min(groups, c)
+    xs = x.reshape(x.shape[:-1] + (g, c // g))
+    mean = xs.mean(axis=-1, keepdims=True)
+    var = ((xs - mean) ** 2).mean(axis=-1, keepdims=True)
+    xs = (xs - mean) * jax.lax.rsqrt(var + eps)
+    return xs.reshape(x.shape) * p["scale"] + p["bias"]
+
+
+def _sine_embed_2d(coords: jnp.ndarray, dim: int,
+                   temperature: float = 10000.0) -> jnp.ndarray:
+    """(..., 2) normalized xy in [0,1] → (..., dim) DETR sine embedding."""
+    half = dim // 2
+    scale = 2.0 * math.pi
+    # standard DETR: dim_t = T^(2*(i//2)/half)
+    i = jnp.arange(half)
+    dim_t = temperature ** (2 * (i // 2) / half)
+    x = coords[..., 0:1] * scale / dim_t
+    y = coords[..., 1:2] * scale / dim_t
+    x = jnp.where(i % 2 == 0, jnp.sin(x), jnp.cos(x))
+    y = jnp.where(i % 2 == 0, jnp.sin(y), jnp.cos(y))
+    return jnp.concatenate([y, x], axis=-1)
+
+
+def _level_grid(h: int, w: int) -> np.ndarray:
+    """(h·w, 2) normalized cell-center xy."""
+    ys = (np.arange(h) + 0.5) / h
+    xs = (np.arange(w) + 0.5) / w
+    gx, gy = np.meshgrid(xs, ys)
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def _ffn(p, x):
+    return x + L.dense(p["fc2"], jax.nn.relu(L.dense(p["fc1"], x)))
+
+
+def _mlp3(p, x):
+    x = jax.nn.relu(L.dense(p["l0"], x))
+    x = jax.nn.relu(L.dense(p["l1"], x))
+    return L.dense(p["l2"], x)
+
+
+def feature_shapes(cfg: SemanticSamConfig, h: int, w: int):
+    """Static per-level (h, w) for res3/4/5 of an (h, w) input."""
+    p = cfg.swin.patch_size
+    g = (h // p, w // p)
+    return tuple(( -(-g[0] // (2 ** s)), -(-g[1] // (2 ** s)))
+                 for s in (1, 2, 3))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_image(params, image: jnp.ndarray, cfg: SemanticSamConfig):
+    """image (H, W, 3) normalized → (memory (1, L, C), mask_feats
+    (1, H/4, W/4, C)).  Backbone + pixel decoder; run once per target.
+    Level shapes are static: feature_shapes(cfg, H, W)."""
+    feats = swin_m.forward_features(params["backbone"], image[None], cfg.swin)
+    # project res3/4/5 to the common hidden width
+    srcs, shapes, pos = [], [], []
+    for lev, stage in enumerate(("stage1", "stage2", "stage3")):
+        f = feats[stage]
+        f = L.dense(params[f"input_proj{lev}"]["proj"], f)
+        f = _group_norm(params[f"input_proj{lev}"]["norm"], f)
+        b, h, w, c = f.shape
+        shapes.append((h, w))
+        srcs.append(f.reshape(b, h * w, c))
+        grid = jnp.asarray(_level_grid(h, w))
+        pos.append(_sine_embed_2d(grid, cfg.hidden)[None]
+                   + params["level_embed"][lev][None, None])
+    memory = jnp.concatenate(srcs, axis=1)
+    pos_all = jnp.concatenate(pos, axis=1)
+    refs = jnp.concatenate(
+        [jnp.asarray(_level_grid(h, w)) for h, w in shapes], axis=0)
+    refs = jnp.broadcast_to(refs[None, :, None, :],
+                            (1, refs.shape[0], len(shapes), 2))
+
+    for i in range(cfg.enc_layers):
+        lp = params[f"enc{i}"]
+        q = memory + pos_all
+        attn = da.msda_layer(lp["msda"], q, refs, memory, tuple(shapes),
+                             cfg.num_heads, cfg.num_points)
+        memory = L.layer_norm(lp["ln1"], memory + attn)
+        memory = L.layer_norm(lp["ln2"], _ffn(lp["ffn"], memory))
+
+    # mask features at 1/4: proj(res2) + upsample(encoder res3)
+    r2 = L.dense(params["mask_proj"]["proj"], feats["stage0"])
+    r2 = _group_norm(params["mask_proj"]["norm"], r2)
+    h3, w3 = shapes[0]
+    enc3 = memory[:, :h3 * w3].reshape(1, h3, w3, cfg.hidden)
+    up = jax.image.resize(enc3, (1, r2.shape[1], r2.shape[2], cfg.hidden),
+                          "bilinear")
+    mask_feats = L.dense(params["mask_feat_out"], jax.nn.relu(r2 + up))
+    return memory, mask_feats
+
+
+@partial(jax.jit, static_argnames=("cfg", "shapes", "return_embeddings"))
+def predict_points(params, memory, mask_feats,
+                   points: jnp.ndarray,  # (K, 2) normalized xy in [0, 1]
+                   cfg: SemanticSamConfig, shapes=None,
+                   return_embeddings: bool = False):
+    """→ (masks (K, G, H/4, W/4) logits, iou (K, G)); with
+    ``return_embeddings`` → (emb (K, G, C), iou) and the caller takes
+    masks = emb · mask_feats (the head is linear, so averaging embeddings
+    across clicks equals averaging their mask logits — the backend uses
+    this to avoid materializing K·G full-resolution logits).
+
+    Each click spawns cfg.num_granularities queries that self-attend only
+    among themselves and cross-attend (deformable) at the click location —
+    the Semantic-SAM interactive branch; multi-granularity output mirrors
+    the reference contract (Matcher_SemanticSAM.py:266-276)."""
+    k = points.shape[0]
+    g = cfg.num_granularities
+    pos = _sine_embed_2d(points, cfg.hidden)[:, None]  # (K, 1, C)
+    # DETR convention: content queries (granularity embeddings) carry the
+    # click's sine position only at the attention inputs
+    q = jnp.broadcast_to(params["granularity_embed"][None],
+                         (k, g, cfg.hidden))
+    mem = memory  # (1, L, C): msda_layer folds queries into the shared value
+    refs = jnp.broadcast_to(points[:, None, None, :],
+                            (k, g, len(shapes), 2))
+
+    for i in range(cfg.dec_layers):
+        lp = params[f"dec{i}"]
+        # self-attention among the click's granularity queries
+        sa, _ = L.mha(lp["self_attn"], q + pos, cfg.num_heads,
+                      force_xla=True)
+        q = L.layer_norm(lp["ln1"], q + sa)
+        ca = da.msda_layer(lp["msda"], q + pos, refs, mem,
+                           shapes, cfg.num_heads, cfg.num_points)
+        q = L.layer_norm(lp["ln2"], q + ca)
+        q = L.layer_norm(lp["ln3"], _ffn(lp["ffn"], q))
+
+    emb = _mlp3(params["mask_embed"], q)  # (K, G, C)
+    iou = _mlp3(params["iou_head"], q)[..., 0]
+    if return_embeddings:
+        return emb, iou
+    masks = jnp.einsum("kgc,bhwc->kghw", emb, mask_feats)
+    return masks, iou
+
+
+def init_params(key, cfg: SemanticSamConfig):
+    keys = iter(jax.random.split(key, 1024))
+
+    def dense_p(di, do):
+        return L._init_dense(next(keys), di, do)
+
+    def gn(c):
+        return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+    c = cfg.hidden
+    params = {
+        "backbone": swin_m.init_params(next(keys), cfg.swin),
+        "level_embed": jax.random.normal(
+            next(keys), (cfg.feature_levels, c)) * 0.02,
+        "granularity_embed": jax.random.normal(
+            next(keys), (cfg.num_granularities, c)) * 0.02,
+        "mask_feat_out": dense_p(c, c),
+    }
+    for lev, s in enumerate((1, 2, 3)):
+        params[f"input_proj{lev}"] = {
+            "proj": dense_p(cfg.swin.stage_dim(s), c), "norm": gn(c)}
+    params["mask_proj"] = {"proj": dense_p(cfg.swin.stage_dim(0), c),
+                           "norm": gn(c)}
+    for i in range(cfg.enc_layers):
+        params[f"enc{i}"] = {
+            "msda": da.init_msda_params(next(keys), c, cfg.num_heads,
+                                        cfg.feature_levels, cfg.num_points),
+            "ln1": L._init_ln(c), "ln2": L._init_ln(c),
+            "ffn": {"fc1": dense_p(c, cfg.ffn_dim),
+                    "fc2": dense_p(cfg.ffn_dim, c)},
+        }
+    for i in range(cfg.dec_layers):
+        params[f"dec{i}"] = {
+            "self_attn": {"qkv": dense_p(c, 3 * c), "proj": dense_p(c, c)},
+            "msda": da.init_msda_params(next(keys), c, cfg.num_heads,
+                                        cfg.feature_levels, cfg.num_points),
+            "ln1": L._init_ln(c), "ln2": L._init_ln(c), "ln3": L._init_ln(c),
+            "ffn": {"fc1": dense_p(c, cfg.ffn_dim),
+                    "fc2": dense_p(cfg.ffn_dim, c)},
+        }
+    params["mask_embed"] = {"l0": dense_p(c, c), "l1": dense_p(c, c),
+                            "l2": dense_p(c, c)}
+    params["iou_head"] = {"l0": dense_p(c, c), "l1": dense_p(c, c),
+                          "l2": dense_p(c, 1)}
+    return params

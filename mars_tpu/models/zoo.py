@@ -256,3 +256,29 @@ def build_resnet(models_path: Optional[str] = None, variant: str = "resnet101",
     else:
         params = rn.init_params(jax.random.PRNGKey(seed), cfg)
     return params, cfg
+
+
+def build_semantic_sam(models_path: Optional[str] = None,
+                       variant: str = "swinl", seed: int = 9):
+    """Native Semantic-SAM network (models/semantic_sam.py) — the backend
+    the reference reaches via the external ``semantic_sam`` package
+    (matcher/Matcher_SemanticSAM.py:23).  The released checkpoint
+    (swinl_only_sam_many2many.pth) carries a Microsoft-layout Swin under
+    ``backbone.`` (convert.swin_semantic_sam_to_flax); encoder/decoder
+    tensors follow MaskDINO naming — conversion is best-effort and random
+    init backs benchmark runs, matching the rest of the zoo."""
+    from mars_tpu.models import semantic_sam as ss
+
+    cfg = {"swinl": ss.SEMANTIC_SAM_L, "tiny": ss.SEMANTIC_SAM_TINY}[variant]
+    path = (os.path.join(models_path, "swinl_only_sam_many2many.pth")
+            if models_path else None)
+    params = _on_host(ss.init_params, jax.random.PRNGKey(seed), cfg)
+    if path and os.path.exists(path):
+        sd = load_torch_state_dict(path)
+        bb = {k[len("backbone."):]: v for k, v in sd.items()
+              if k.startswith("backbone.")}
+        if bb:
+            params["backbone"] = jax.tree.map(
+                jnp.asarray,
+                convert.swin_semantic_sam_to_flax(bb, cfg.swin.depths))
+    return params, cfg

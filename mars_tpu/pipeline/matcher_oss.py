@@ -162,3 +162,67 @@ def generate_proposals_oss(
         "support_fg": support_fg,
         "telemetry": {"n_matched_points": jnp.sum(point_valid)},
     }
+
+
+class SemanticSamBackend:
+    """The native Semantic-SAM network (models/semantic_sam.py) behind the
+    protocol — the configuration the reference reaches via the external
+    ``semantic_sam`` package (Matcher_SemanticSAM.py:118-139): target
+    bicubic-resized to ``cfg.input_size`` (:130 uses 640), 0-1 normalized
+    clicks, multi-granularity masks per prompt.
+
+    A prompt set of K clicks runs every positive click as an interactive
+    query; per-granularity logits are averaged over the set's clicks
+    (multi-click consensus), giving ``num_granularities`` masks per set.
+    """
+
+    def __init__(self, params, cfg):
+        from mars_tpu.models import semantic_sam as ss
+
+        self._ss = ss
+        self.params = params
+        self.cfg = cfg
+        self.masks_per_prompt = cfg.num_granularities
+        self._embed_cache = None
+
+    def predict_batch(self, query_image01, coords01, labels, set_valid,
+                      original_size):
+        from mars_tpu.core import imaging
+
+        ss, cfg = self._ss, self.cfg
+        s = cfg.input_size
+        if self._embed_cache is None or self._embed_cache[0] is not query_image01:
+            img = imaging.resize(query_image01, (s, s), "bicubic")
+            img = imaging.normalize(img, imaging.IMAGENET_MEAN,
+                                    imaging.IMAGENET_STD)
+            self._embed_cache = (query_image01,
+                                 ss.encode_image(self.params, img, cfg))
+        memory, mask_feats = self._embed_cache[1]
+        shapes = ss.feature_shapes(cfg, s, s)
+
+        b, k, _ = coords01.shape
+        g = cfg.num_granularities
+        emb, _iou = ss.predict_points(
+            self.params, memory, mask_feats, coords01.reshape(b * k, 2),
+            cfg, shapes=shapes, return_embeddings=True)  # (B*K, G, C)
+        emb = emb.reshape(b, k, g, -1)
+        # the mask head is linear in the embedding, so averaging click
+        # embeddings == averaging their mask logits — and avoids ever
+        # materializing (B·K·G, H/4, W/4) logits
+        live = ((labels == 1) & set_valid[:, None]).astype(emb.dtype)
+        denom = jnp.maximum(jnp.sum(live, axis=1), 1.0)  # (B,)
+        emb = jnp.einsum("bkgc,bk->bgc", emb, live) / denom[:, None, None]
+        logits = jnp.einsum("bgc,zhwc->bghw", emb, mask_feats)
+        logits = logits.reshape(b * g, *logits.shape[-2:])
+        # chunked bilinear upsample to the query frame (the reference's
+        # F.interpolate(..., input_size, bilinear) > 0, :269-276)
+        nb = 64
+        pad = -logits.shape[0] % nb
+        lp = jnp.pad(logits, ((0, pad), (0, 0), (0, 0)))
+        full = jax.lax.map(
+            lambda ch: imaging.interpolate_2d(ch, original_size,
+                                              "bilinear") > 0.0,
+            lp.reshape(-1, nb, *lp.shape[-2:]),
+        ).reshape(-1, *original_size)[:b * g]
+        valid = jnp.repeat(set_valid, g)
+        return full, valid

@@ -526,3 +526,66 @@ class TestMatcherOss:
             sup, masks, jnp.ones(1, bool), qry,
         )
         assert np.isfinite(float(out["final_score"]))
+
+
+class TestSemanticSamBackend:
+    """The native Semantic-SAM network behind the PointPredictorBackend
+    protocol — closes the reference's external-package configuration
+    (Matcher_SemanticSAM.py:23)."""
+
+    def _models(self):
+        from mars_tpu.models import semantic_sam as ss
+
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        dino_params = dinov2.init_params(jax.random.PRNGKey(1), dcfg)
+        ss_params = ss.init_params(jax.random.PRNGKey(2), ss.SEMANTIC_SAM_TINY)
+        return dcfg, dino_params, ss.SEMANTIC_SAM_TINY, ss_params
+
+    def test_backend_contract(self):
+        from mars_tpu.pipeline import matcher_oss
+
+        dcfg, dino_params, sscfg, ss_params = self._models()
+        backend = matcher_oss.SemanticSamBackend(ss_params, sscfg)
+        qry = jax.random.uniform(jax.random.PRNGKey(3), (56, 56, 3))
+        coords = jnp.asarray([[[0.3, 0.4], [0.6, 0.6]],
+                              [[0.1, 0.9], [0.5, 0.5]]])
+        labels = jnp.asarray([[1, 1], [1, -1]])
+        sv = jnp.asarray([True, False])
+        masks, valid = backend.predict_batch(qry, coords, labels, sv, (56, 56))
+        g = sscfg.num_granularities
+        assert masks.shape == (2 * g, 56, 56) and masks.dtype == bool
+        assert valid.shape == (2 * g,)
+        np.testing.assert_array_equal(np.asarray(valid),
+                                      [True] * g + [False] * g)
+
+    def test_oss_flow_native_backend(self):
+        from mars_tpu.pipeline import matcher_oss
+
+        dcfg, dino_params, sscfg, ss_params = self._models()
+        cfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(1, 2), max_sample_iterations=2,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        backend = matcher_oss.SemanticSamBackend(ss_params, sscfg)
+        sup = jax.random.uniform(jax.random.PRNGKey(4), (1, 56, 56, 3))
+        masks = jnp.zeros((1, 56, 56)).at[:, 10:40, 10:40].set(1.0)
+        qry = jax.random.uniform(jax.random.PRNGKey(5), (56, 56, 3))
+        out = matcher_oss.generate_proposals_oss(
+            jax.random.PRNGKey(6), dino_params, dcfg, backend, cfg,
+            sup, masks, jnp.ones(1, bool), qry,
+        )
+        assert out["merged"].shape == (56, 56)
+        assert out["proposal_masks"].shape[1:] == (56, 56)
+        assert out["proposal_masks"].shape[0] % sscfg.num_granularities == 0
+        assert np.isfinite(np.asarray(out["emd_score"])).all()
+        # encode cache reused across calls on the same query
+        emb1 = backend._embed_cache[1]
+        matcher_oss.generate_proposals_oss(
+            jax.random.PRNGKey(7), dino_params, dcfg, backend, cfg,
+            sup, masks, jnp.ones(1, bool), qry,
+        )
+        assert backend._embed_cache[1] is emb1
