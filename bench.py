@@ -74,7 +74,10 @@ def main():
 
         dino_params = quantize_params(dino_params)
         clip_v = quantize_params(clip_v)
-        ac_v = quantize_params(ac_v)
+        # MARS_BENCH_W8A8=1: dynamic int8 activations on the AlphaCLIP
+        # tower (s8xs8 MXU) — cli --w8a8-alphaclip
+        ac_act = 8 if _os.environ.get("MARS_BENCH_W8A8", "0") == "1" else None
+        ac_v = quantize_params(ac_v, act_bits=ac_act)
 
     vva_cfg = vva_m.VVAConfig()
     vta_cfg = vta_m.VTAConfig()

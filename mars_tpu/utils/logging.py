@@ -14,9 +14,12 @@ import time
 from typing import Optional
 
 
-def initialize(log_root: str, exp_name: str = "", args=None) -> logging.Logger:
+def initialize(log_root: str, exp_name: str = None, args=None) -> logging.Logger:
+    """exp_name: subdirectory under log_root; "" uses log_root itself;
+    None appends a timestamp (reference Logger.initialize:172-209)."""
     ts = time.strftime("%Y%m%d-%H%M%S")
-    logpath = os.path.join(log_root, exp_name or ts)
+    logpath = log_root if exp_name == "" else os.path.join(
+        log_root, exp_name or ts)
     os.makedirs(logpath, exist_ok=True)
     logger = logging.getLogger("mars_tpu")
     logger.setLevel(logging.INFO)

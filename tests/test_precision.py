@@ -64,3 +64,28 @@ def test_dinov2_int8_weights_close_to_f32():
     np.testing.assert_allclose(
         np.asarray(out["attn_mean"]), np.asarray(ref["attn_mean"]), atol=0.03
     )
+
+
+def test_w8a8_dense_accuracy():
+    """Dynamic-activation int8 x int8 kernels (quantize_params(act_bits=8)):
+    s8xs8->s32 MXU matmuls with per-row x per-column rescale."""
+    import jax
+
+    from mars_tpu.models import layers as L
+    from mars_tpu.models.quantization import quantize_params
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(256, 128).astype(np.float32)
+    b = rng.randn(128).astype(np.float32)
+    x = rng.randn(4, 37, 256).astype(np.float32)
+    p = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    qp = quantize_params({"d": p}, bits=8, min_size=0, act_bits=8)["d"]
+    assert "act8" in qp["kernel"]
+    got = np.asarray(L.dense(qp, jnp.asarray(x)))
+    want = x @ w + b
+    # w8a8 error budget: ~1% relative on random gaussians
+    err = np.abs(got - want) / (np.abs(want).mean() + 1e-6)
+    assert err.mean() < 0.02, err.mean()
+    # weight-only path untouched
+    q8 = quantize_params({"d": p}, bits=8, min_size=0)["d"]
+    assert "act8" not in q8["kernel"]
