@@ -157,8 +157,17 @@ def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
         kv_positions = positions
     else:
         ck, cv = kv_cache
-        keys = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
-        values = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        if getattr(cache_pos, "ndim", 0) == 1:
+            # per-row write position (batched decode of variable-length
+            # prompts; l == 1): scatter touches only the written rows —
+            # a mask/where formulation would rewrite the whole multi-GB
+            # cache every step
+            rows = jnp.arange(ck.shape[0])
+            keys = ck.at[rows, cache_pos].set(k[:, 0].astype(ck.dtype))
+            values = cv.at[rows, cache_pos].set(v[:, 0].astype(cv.dtype))
+        else:
+            keys = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
+            values = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
         kv_positions = jnp.arange(keys.shape[1])[None]
         kv_cache = (keys, values)
 
@@ -175,7 +184,10 @@ def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
     kpos = kv_positions[:, None, None, :]
     valid = kpos <= qpos
     if kv_cache is not None:
-        valid = valid & (kpos <= (cache_pos + l - 1))
+        cp = cache_pos
+        if getattr(cp, "ndim", 0) == 1:
+            cp = cp.reshape(-1, 1, 1, 1)
+        valid = valid & (kpos <= (cp + l - 1))
     logits = jnp.where(valid, logits, -jnp.inf)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhlm,bmhd->blhd", probs, values_r).reshape(b, l, d)
@@ -238,12 +250,16 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
 
     input_ids: (B, L) prompt with image tokens; returns (B, max_new_tokens).
 
-    ``true_length`` (scalar int array): the real prompt length when
-    input_ids is right-padded to a fixed bucket — the jit then compiles
+    ``true_length`` (scalar or (B,) int array): the real prompt length(s)
+    when input_ids is right-padded to a fixed bucket — the jit then compiles
     once per BUCKET, not per prompt length (every real episode has its own
     length; without bucketing each one pays a full recompile).  Stale pad
     slots in the KV cache sit at positions > the current query position,
-    so the causal mask already excludes them.
+    so the causal mask already excludes them — and decoded tokens overwrite
+    them progressively, so a pad slot is only ever attended after it has
+    been replaced by a real token.  A (B,) true_length batches
+    variable-length prompts in one decode (the retriever's ensemble /
+    multi-shot path): per-row start positions, per-row KV writes.
     """
     b, l0 = input_ids.shape
     embeds = embed_multimodal(p, input_ids, pixel_values, cfg)
@@ -258,9 +274,15 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     ]
     logits, caches = llama_forward(p["language"], embeds, positions, cfg,
                                    caches, 0)
+    per_row = getattr(true_length, "ndim", 0) == 1
     if true_length is None:
         next_tok = jnp.argmax(logits[:, -1], axis=-1)
         start = l0
+    elif per_row:
+        tl = jnp.asarray(true_length, jnp.int32)  # (B,)
+        last = jnp.take_along_axis(logits, (tl - 1)[:, None, None], axis=1)
+        next_tok = jnp.argmax(last[:, 0], axis=-1)
+        start = tl
     else:
         last = jax.lax.dynamic_index_in_dim(
             logits, jnp.asarray(true_length, jnp.int32) - 1, axis=1,
@@ -270,9 +292,9 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
 
     def step(carry, i):
         tok, caches = carry
-        pos = start + i
+        pos = start + i  # (B,) when per_row else scalar
         emb = p["language"]["embed_tokens"][tok][:, None]
-        positions = jnp.broadcast_to(pos, (b, 1))
+        positions = pos[:, None] if per_row else jnp.broadcast_to(pos, (b, 1))
         logits, caches = llama_forward(p["language"], emb, positions, cfg,
                                        caches, pos)
         nxt = jnp.argmax(logits[:, -1], axis=-1)

@@ -5,24 +5,43 @@ The reference serves ViP-LLaVA-7B through bitsandbytes 4-bit CUDA kernels
 (reference: mars/components/TextRetrieverModule.py:468-471).  On this
 environment jax's native int4 arrays cannot cross a jit boundary (the
 argument-resharding path recurses — see CLAUDE.md), so 4-bit weights are
-stored as two nibbles per int8 byte along the INPUT dimension:
+stored as two nibbles per int8 byte along the INPUT dimension in a
+**hybrid-coded** layout chosen so the in-kernel unpack is two integer ops:
 
-    packed[i, o] = (q[2i+1, o] << 4) | (q[2i, o] & 0xF)
+    byte[i, o] = (q[2i+1, o] << 4) | ((q[2i, o] + 8) & 0xF)
 
-With x_even = x[:, 0::2] and x_odd = x[:, 1::2] (a tiny activation
-shuffle done once per call), the matmul never re-interleaves:
+i.e. the high nibble is the SIGNED value of the odd row and the low nibble
+is the even row OFFSET by +8 (in [1, 15]).  Unpacking is then
 
-    y = x_even @ lo + x_odd @ hi
+    lo_u = byte & 0xF          # q_even + 8
+    hi   = byte >> 4           # arithmetic shift: exact signed q_odd
+                               # (lo_u <= 15 never carries into hi)
 
-(NOT the algebraic 16·hi+lo packing with a single extraction — that
+— no sign-extension shifts.  The +8 bias is removed with one rowsum
+correction per input tile (acc -= 8 * sum(x_even_tile)), which is O(TILE_IN)
+against the O(TILE_IN * TILE_OUT) unpack.  With x_even = x[:, 0::2] and
+x_odd = x[:, 1::2] (a tiny activation shuffle done once per call):
+
+    y = x_even @ (lo_u - 8) + x_odd @ hi
+
+(NOT the algebraic 16*hi+lo packing with a single extraction — that
 formulation cancels catastrophically in bf16 dots: measured rel err
 0.022 vs 0.002, and it is no faster.)
 
-which the Pallas kernel evaluates tile by tile: the packed (TILE_IN/2,
-TILE_OUT) int8 block is the ONLY weight traffic (0.5 bytes/param — half of
-int8, a quarter of bf16), nibbles are split in VMEM and fed to the MXU as
-two dots.  Per-output-channel scales multiply after the accumulation, so
-autoregressive decoding is bounded by packed-weight HBM reads.
+The Pallas kernel evaluates tile by tile: the packed (TILE_IN/2, TILE_OUT)
+int8 block is the ONLY weight traffic (0.5 bytes/param — half of int8, a
+quarter of bf16), nibbles are split in VMEM and fed to the MXU as two
+dots.  Per-output-channel scales multiply after the accumulation.
+
+Measured bound (decode-proxy, 8 LLaMA-7B layers on one v5e): this kernel
+streams packed bytes at ~135 GB/s vs the XLA int8 path's ~425-690 GB/s.
+The gap is structural, not schedule slack: at B=1 every dot is bounded by
+the MXU weight-feed rate (each 128x128 weight tile costs ~128 cycles to
+load for one row of MACs) AND every nibble costs >=1 VPU lane-op to place,
+so int4 cannot out-run int8 decoding on this chip generation — its value
+is the 2x weight-memory saving (3.67 GB vs 7.0 GB for the 7B VLM).  For
+decode THROUGHPUT, batch rows instead (generate_greedy's per-row
+true_length); see BASELINE.md "Quantization".
 """
 from __future__ import annotations
 
@@ -40,19 +59,18 @@ TILE_OUT = 256
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """(IN, OUT) int8 values in [-7, 7] → (IN/2, OUT) packed int8.
-
-    """
+    """(IN, OUT) int8 values in [-7, 7] → (IN/2, OUT) hybrid-packed int8."""
     assert q.shape[0] % 2 == 0, "input dim must be even to pack nibbles"
     lo, hi = q[0::2], q[1::2]
-    return jnp.bitwise_or(jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4))
+    return jnp.bitwise_or(jnp.bitwise_and(lo + 8, 0xF),
+                          jnp.left_shift(hi, 4)).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """(IN/2, OUT) packed int8 → (IN, OUT) int8 in [-7, 7] (XLA fallback)."""
+    """(IN/2, OUT) hybrid-packed int8 → (IN, OUT) int8 in [-7, 7]."""
     p = packed.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
+    lo = jnp.bitwise_and(p, 0xF) - 8
+    hi = jnp.right_shift(p, 4)  # arithmetic: sign-preserving
     n, out = packed.shape
     return jnp.stack([lo, hi], axis=1).reshape(n * 2, out).astype(jnp.int8)
 
@@ -64,20 +82,24 @@ def _kernel(x_even_ref, x_odd_ref, wp_ref, o_ref):
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    # Mosaic has no i8 vector shifts: widen to i32 for the nibble split
-    # (jnp.right_shift on signed ints is arithmetic, sign-extending)
+    # Mosaic has no i8 vector ops: widen to i32 for the nibble split.
+    # Hybrid coding needs only an AND (low, offset-coded) and one
+    # arithmetic shift (high, signed) — see module docstring.
     p = wp_ref[...].astype(jnp.int32)  # (TILE_IN//2, TILE_OUT)
-    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
+    lo_u = jnp.bitwise_and(p, 0xF)     # q_even + 8
+    hi = jnp.right_shift(p, 4)
     dt = x_even_ref.dtype
+    xe = x_even_ref[...]
     acc = jax.lax.dot_general(
-        x_even_ref[...], lo.astype(dt), (((1,), (0,)), ((), ())),
+        xe, lo_u.astype(dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc += jax.lax.dot_general(
         x_odd_ref[...], hi.astype(dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # remove the +8 offset on the even nibbles
+    acc -= 8.0 * jnp.sum(xe.astype(jnp.float32), axis=1, keepdims=True)
     o_ref[...] += acc
 
 
@@ -90,9 +112,9 @@ def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
 
     Output dtype follows x; accumulation is f32.  ``tile_in`` defaults to
     the largest divisor of IN in {2048, 1024, 512, 256} (measured sweep on
-    v5e: 0.527/0.438/0.392/0.376 ms per 4096x11008 GEMV at 256→2048).
-    Non-tile-multiple dims are padded per call — a full weight copy; pack
-    production kernels at tile-multiple shapes.
+    v5e; see module docstring for the bound analysis).  Non-tile-multiple
+    dims are padded per call — a full weight copy; pack production kernels
+    at tile-multiple shapes.
     """
     b, d_in = x.shape
     d_out = packed.shape[1]
@@ -108,8 +130,14 @@ def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     pad_out = -d_out % tile_out
     if pad_in:
         x = jnp.pad(x, ((0, 0), (0, pad_in)))
-    wp = jnp.pad(packed, ((0, pad_in // 2), (0, pad_out))) if (
-        pad_in or pad_out) else packed
+    if pad_in or pad_out:
+        # pad packed rows with the zero-valued CODE (8 = 0+8 offset low
+        # nibble, 0 high nibble) so padded rows contribute 0 - 8*x_pad,
+        # and x is zero there anyway; pure zero bytes would decode to -8
+        wp = jnp.pad(packed, ((0, pad_in // 2), (0, pad_out)),
+                     constant_values=8)
+    else:
+        wp = packed
     x_even, x_odd = x[:, 0::2], x[:, 1::2]
 
     ip, op = d_in + pad_in, d_out + pad_out

@@ -169,3 +169,72 @@ class TestDrawing:
         assert out.shape == img.shape
         assert out.dtype == np.uint8
         assert not np.array_equal(out, img)  # something was drawn/zoomed
+
+
+class _BatchCountingVLM:
+    """Batch-capable VLM stub: answers deterministically per (prompt, image
+    checksum) and records call granularity."""
+
+    def __init__(self, answers):
+        self._answers = list(answers)
+        self.batch_calls = []
+        self.single_calls = 0
+
+    def _answer(self):
+        return self._answers.pop(0)
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+        self.single_calls += 1
+        return self._answer()
+
+    def generate_batch(self, images, prompts, max_new_tokens=20,
+                       min_new_tokens=0):
+        self.batch_calls.append(len(images))
+        return [self._answer() for _ in images]
+
+
+class TestBatchedEnsemble:
+    def _episode(self, shots):
+        imgs, masks = [], []
+        for s in range(shots):
+            img = np.full((64, 64, 3), 30 * (s + 1), np.uint8)
+            mask = np.zeros((64, 64), np.float32)
+            mask[10:40, 10:40] = 1
+            imgs.append(img)
+            masks.append(mask)
+        return imgs, masks
+
+    def test_ensemble_uses_one_batch_and_votes(self, monkeypatch):
+        from mars_tpu.text import retriever as R
+
+        monkeypatch.setattr(R, "get_synset", lambda n, d: None)
+        imgs, masks = self._episode(2)
+        ens = R.EnsembleConfig(colors=("red", "green"))
+        # 2 shots x 2 variants = 4 name queries + 1 definition query
+        vlm = _BatchCountingVLM(["dog", "cat", "dog", "dog", "a canine pet"])
+        tr = R.TextRetriever(vlm, ensemble=ens)
+        name, desc = tr.get_conceptual_information(imgs, masks)
+        # inner votes: shot0 {dog,cat} -> first-seen "dog", shot1 -> "dog"
+        assert name == "dog"
+        assert vlm.batch_calls == [4]
+        assert vlm.single_calls == 1  # the definition query
+
+    def test_multi_shot_batches_without_ensemble(self, monkeypatch):
+        from mars_tpu.text import retriever as R
+
+        monkeypatch.setattr(R, "get_synset", lambda n, d: None)
+        imgs, masks = self._episode(3)
+        vlm = _BatchCountingVLM(["dog", "dog", "cat", "a canine pet"])
+        tr = R.TextRetriever(vlm)
+        name, _ = tr.get_conceptual_information(imgs, masks)
+        assert name == "dog"
+        assert vlm.batch_calls == [3]
+
+    def test_sequential_fallback_unchanged(self, monkeypatch):
+        from mars_tpu.text import retriever as R
+
+        monkeypatch.setattr(R, "get_synset", lambda n, d: None)
+        imgs, masks = self._episode(1)
+        tr = R.TextRetriever(OracleVLM("dog", "a pet"))
+        name, _ = tr.get_conceptual_information(imgs, masks)
+        assert name == "dog"

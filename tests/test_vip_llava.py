@@ -107,3 +107,37 @@ def test_bucketed_prompt_matches_exact():
     bucketed = vl.generate_greedy(p, jnp.asarray(padded), pixels, cfg,
                                   max_new_tokens=6, true_length=jnp.int32(l0))
     np.testing.assert_array_equal(np.asarray(exact), np.asarray(bucketed))
+
+
+def test_batched_variable_length_matches_per_row():
+    """A (B,) true_length batch of different-length prompts must reproduce
+    each row's individual greedy decode (per-row start positions + per-row
+    KV writes; the retriever's batched ensemble path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mars_tpu.models import vip_llava as vl
+
+    cfg = vl.TINY
+    p = vl.init_random_params(7, cfg, dtype=jnp.float32)
+    g = (cfg.image_size // cfg.patch_size) ** 2
+    rng = np.random.RandomState(1)
+    lens = [g + 5, g + 11, g + 17]
+    bucket = max(lens) + 7  # deliberately unaligned pad target
+    ids = np.zeros((3, bucket), np.int64)
+    pixels = jnp.asarray(rng.rand(3, 56, 56, 3), jnp.float32)
+    for r, l in enumerate(lens):
+        row = rng.randint(1, cfg.vocab, size=l)
+        row[2 : 2 + g] = cfg.image_token_index
+        ids[r, :l] = row
+    batched = vl.generate_greedy(
+        p, jnp.asarray(ids), pixels, cfg, max_new_tokens=5,
+        true_length=jnp.asarray(lens, jnp.int32),
+    )
+    for r, l in enumerate(lens):
+        single = vl.generate_greedy(
+            p, jnp.asarray(ids[r : r + 1]), pixels[r : r + 1], cfg,
+            max_new_tokens=5, true_length=jnp.int32(l),
+        )
+        np.testing.assert_array_equal(np.asarray(batched)[r],
+                                      np.asarray(single)[0], err_msg=f"row {r}")

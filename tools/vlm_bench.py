@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--bucket", type=int, default=0,
                     help="right-pad the prompt to this bucket and decode "
                          "with true_length (the production path)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batched variable-length decode (per-row "
+                         "true_length): the retriever's ensemble path")
     args = ap.parse_args()
 
     cfg = vl.VipLlavaConfig()
@@ -37,14 +40,25 @@ def main():
     print(f"init {time.time()-t0:.1f}s  params={n/1e9:.2f}B", flush=True)
 
     g = (cfg.image_size // cfg.patch_size) ** 2
-    ids = np.full((1, args.prompt_len), 5, np.int64)
-    ids[0, 10] = cfg.image_token_index  # one image slot (expands to g feats)
-    true_len = None
-    if args.bucket:
-        assert args.bucket >= args.prompt_len
-        true_len = jnp.int32(args.prompt_len)
-        ids = np.pad(ids, ((0, 0), (0, args.bucket - args.prompt_len)))
-    pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    b = args.batch
+    if b > 1:
+        # batched variable-length rows, right-padded to a shared bucket
+        bucket = args.bucket or ((args.prompt_len + 127) // 128) * 128
+        lens = [max(g + 2, args.prompt_len - 17 * r) for r in range(b)]
+        ids = np.zeros((b, bucket), np.int64)
+        for r, l in enumerate(lens):
+            ids[r, :l] = 5
+            ids[r, 10] = cfg.image_token_index
+        true_len = jnp.asarray(lens, jnp.int32)
+    else:
+        ids = np.full((1, args.prompt_len), 5, np.int64)
+        ids[0, 10] = cfg.image_token_index  # one image slot
+        true_len = None
+        if args.bucket:
+            assert args.bucket >= args.prompt_len
+            true_len = jnp.int32(args.prompt_len)
+            ids = np.pad(ids, ((0, 0), (0, args.bucket - args.prompt_len)))
+    pixels = jnp.zeros((b, cfg.image_size, cfg.image_size, 3))
 
     def run(n_new):
         toks = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
@@ -62,9 +76,10 @@ def main():
         t0 = time.time(); run(long_); ts_l.append(time.time() - t0)
     per_tok = (min(ts_l) - min(ts_s)) / (long_ - short)
     prefill = min(ts_s) - short * per_tok
+    agg = f"  aggregate: {b/per_tok:.1f} tok/s over batch {b}" if b > 1 else ""
     print(f"prefill({args.prompt_len}+{g} img toks): {prefill*1000:.0f}ms  "
-          f"decode: {per_tok*1000:.1f}ms/tok = {1.0/per_tok:.1f} tok/s",
-          flush=True)
+          f"decode: {per_tok*1000:.1f}ms/step = {1.0/per_tok:.1f} steps/s"
+          f"{agg}", flush=True)
 
 
 if __name__ == "__main__":
