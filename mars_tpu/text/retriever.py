@@ -147,17 +147,35 @@ class JaxVipLlava:
         )
         return self._decode_row(np.asarray(toks)[0])
 
+    # Largest device batch per decode: each row holds ~0.68 GB of bf16 KV
+    # cache at the production 1280-token bucket, so 8 rows + 7 GB int8
+    # weights fill a 16 GB v5e comfortably; larger request lists are
+    # chunked.  (B=8 measured 462.8 aggregate tok/s — BASELINE.md.)
+    MAX_DECODE_BATCH = 8
+
     def generate_batch(self, images, prompts, max_new_tokens=20,
                        min_new_tokens=0):
-        """One batched decode over variable-length (image, prompt) pairs.
+        """Batched decode over variable-length (image, prompt) pairs.
 
         The B=1 decode step is MXU-weight-feed/HBM bound (each token streams
         every weight byte for one row of MACs); batching the retriever's
         ensemble and multi-shot name queries amortizes that stream across
-        rows — measured 2.6x aggregate tok/s at B=8 on one v5e.  Rows are
-        right-padded to a shared 128-bucket with per-row true_length (no
-        recompile across episodes).
+        rows — measured 292.7/462.8/835.5 aggregate tok/s at B=4/8/16 on one
+        v5e vs 98.7 single-stream (BASELINE.md).  Rows are right-padded to a
+        shared 128-bucket with per-row true_length (no recompile across
+        episodes); request lists longer than MAX_DECODE_BATCH are chunked to
+        bound the KV-cache footprint.
         """
+        out = []
+        for s in range(0, len(images), self.MAX_DECODE_BATCH):
+            out.extend(self._generate_batch_chunk(
+                images[s:s + self.MAX_DECODE_BATCH],
+                prompts[s:s + self.MAX_DECODE_BATCH],
+                max_new_tokens, min_new_tokens))
+        return out
+
+    def _generate_batch_chunk(self, images, prompts, max_new_tokens,
+                              min_new_tokens):
         import jax.numpy as jnp
         import numpy as np
         from PIL import Image
@@ -234,10 +252,6 @@ class TextRetriever:
         )
         prompt = VLM_SYSTEM_TEMPLATE.format(VISUAL_PROMPTS[cfg.prompt_type].format(cfg.color))
         return drawn, prompt
-
-    def _ask_name(self, image_np, mask_np, cfg: PromptGenConfig) -> str:
-        drawn, prompt = self._name_request(image_np, mask_np, cfg)
-        return self.vlm.generate(drawn, prompt, max_new_tokens=20)
 
     def get_conceptual_information(
         self,

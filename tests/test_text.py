@@ -238,3 +238,21 @@ class TestBatchedEnsemble:
         tr = R.TextRetriever(OracleVLM("dog", "a pet"))
         name, _ = tr.get_conceptual_information(imgs, masks)
         assert name == "dog"
+
+
+def test_generate_batch_chunks_to_bound_kv_memory():
+    """JaxVipLlava.generate_batch must split request lists longer than
+    MAX_DECODE_BATCH (KV-cache footprint cap) and preserve order."""
+    from mars_tpu.text.retriever import JaxVipLlava
+
+    vlm = object.__new__(JaxVipLlava)  # no model/processor needed
+    seen = []
+
+    def fake_chunk(images, prompts, max_new_tokens, min_new_tokens):
+        seen.append(len(images))
+        return list(prompts)
+
+    vlm._generate_batch_chunk = fake_chunk
+    out = vlm.generate_batch([None] * 19, [f"p{i}" for i in range(19)])
+    assert seen == [8, 8, 3]
+    assert out == [f"p{i}" for i in range(19)]

@@ -89,6 +89,8 @@ def bench(name, bits, mm):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which not in ("all", "int8", "int4"):
+        sys.exit(f"usage: {sys.argv[0]} [all|int8|int4] (got {which!r})")
     if which in ("all", "int8"):
         bench("xla int8", 8, mm8)
     if which in ("all", "int4"):

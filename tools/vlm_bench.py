@@ -43,8 +43,9 @@ def main():
     b = args.batch
     if b > 1:
         # batched variable-length rows, right-padded to a shared bucket
-        bucket = args.bucket or ((args.prompt_len + 127) // 128) * 128
         lens = [max(g + 2, args.prompt_len - 17 * r) for r in range(b)]
+        bucket = args.bucket or ((max(lens) + 127) // 128) * 128
+        assert bucket >= max(lens), (bucket, max(lens))
         ids = np.zeros((b, bucket), np.int64)
         for r, l in enumerate(lens):
             ids[r, :l] = 5
