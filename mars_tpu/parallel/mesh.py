@@ -39,9 +39,11 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> M
 
 # parameter-name suffixes whose kernels shard over the model axis:
 # output-feature sharding for the "expanding" matmuls, input-feature for the
-# "contracting" ones — one all-reduce per block.
-_OUT_SHARDED = ("qkv", "fc1", "q", "k", "v")
-_IN_SHARDED = ("proj", "fc2", "out")
+# "contracting" ones — one all-reduce per block.  q/k/v + gate/up expand,
+# o/down contract (the LLaMA decoder in models/vip_llava.py); qkv/fc1 and
+# proj/fc2 are the ViT tower names.
+_OUT_SHARDED = ("qkv", "fc1", "q", "k", "v", "gate", "up")
+_IN_SHARDED = ("proj", "fc2", "out", "o", "down")
 
 
 def _spec_for(path, arr, n_model: int) -> P:
@@ -50,6 +52,20 @@ def _spec_for(path, arr, n_model: int) -> P:
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
     leaf = names[-1]
     parent = names[-2] if len(names) >= 2 else ""
+    if (leaf == "q" and parent == "kernel" and arr.ndim == 2
+            and len(names) >= 3):
+        # weight-only-quantized int8 leaf (models/quantization.py): shards
+        # like the kernel it replaced.  Packed-int4 ("q4") stays replicated:
+        # its Pallas matmul is not GSPMD-partitionable.
+        owner = names[-3]
+        if owner in _OUT_SHARDED and arr.shape[1] % n_model == 0:
+            return P(None, "model")
+        if owner in _IN_SHARDED and arr.shape[0] % n_model == 0:
+            return P("model", None)
+        return P()
+    if (leaf == "scale" and parent == "kernel" and len(names) >= 3
+            and names[-3] in _OUT_SHARDED and arr.shape[-1] % n_model == 0):
+        return P("model")
     if leaf == "kernel" and arr.ndim == 2:
         if parent in _OUT_SHARDED and arr.shape[1] % n_model == 0:
             return P(None, "model")

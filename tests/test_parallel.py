@@ -180,3 +180,63 @@ class TestBatchedRanker:
         np.testing.assert_allclose(
             np.asarray(scores), np.asarray(scores_ref), atol=1e-3
         )
+
+
+class TestVlmTensorParallel:
+    """Tensor-parallel ViP-LLaVA decode over the model axis: q/k/v + gate/up
+    shard output features, o/down shard input features (one psum per block,
+    inserted by GSPMD from the parameter shardings)."""
+
+    def test_vlm_sharding_rules(self):
+        from mars_tpu.models import vip_llava as vl
+
+        m = mesh_lib.make_mesh(n_data=4, n_model=2)
+        p = vl.init_random_params(0, vl.TINY, dtype=jnp.float32)
+        sh = mesh_lib.param_shardings(p, m)
+        l0 = sh["language"]["layer0"]
+        assert l0["attn"]["q"]["kernel"].spec == P(None, "model")
+        assert l0["attn"]["k"]["kernel"].spec == P(None, "model")
+        assert l0["attn"]["o"]["kernel"].spec == P("model", None)
+        assert l0["mlp"]["gate"]["kernel"].spec == P(None, "model")
+        assert l0["mlp"]["up"]["kernel"].spec == P(None, "model")
+        assert l0["mlp"]["down"]["kernel"].spec == P("model", None)
+        # norms / embeddings replicate
+        assert sh["language"]["norm"].spec == P()
+        assert sh["language"]["embed_tokens"].spec == P()
+
+    def test_quantized_kernel_sharding_rules(self):
+        from mars_tpu.models import quantization as Q
+        from mars_tpu.models import vip_llava as vl
+
+        m = mesh_lib.make_mesh(n_data=4, n_model=2)
+        p = vl.init_random_params(0, vl.TINY, dtype=jnp.float32)
+        qp = Q.quantize_params(p, bits=8, min_size=64)
+        sh = mesh_lib.param_shardings(qp, m)
+        l0 = sh["language"]["layer0"]
+        assert l0["attn"]["q"]["kernel"]["q"].spec == P(None, "model")
+        assert l0["attn"]["q"]["kernel"]["scale"].spec == P("model")
+        assert l0["attn"]["o"]["kernel"]["q"].spec == P("model", None)
+        assert l0["attn"]["o"]["kernel"]["scale"].spec == P()
+
+    def test_tp_generate_matches_replicated(self):
+        """Sharded params must reproduce the replicated greedy tokens
+        bit-for-bit (same math, partitioned)."""
+        from mars_tpu.models import vip_llava as vl
+
+        cfg = vl.TINY  # heads=4, kv_heads=2 -> n_model=2 divides both
+        p = vl.init_random_params(11, cfg, dtype=jnp.float32)
+        g = (cfg.image_size // cfg.patch_size) ** 2
+        l0 = 9 + g
+        ids = np.full((2, l0), 5, np.int64)
+        ids[:, 3:3 + g] = cfg.image_token_index
+        pixels = jnp.asarray(
+            np.random.RandomState(3).rand(2, 56, 56, 3), jnp.float32)
+        want = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
+                                  max_new_tokens=6)
+
+        m = mesh_lib.make_mesh(n_data=4, n_model=2)
+        with m:
+            ps = mesh_lib.shard_params(p, m)
+            got = vl.generate_greedy(ps, jnp.asarray(ids), pixels, cfg,
+                                     max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
