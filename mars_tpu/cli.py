@@ -229,6 +229,55 @@ def make_inline_generator(args):
     return generate
 
 
+def capture_rng_states(rng, ds=None):
+    """Snapshot the host RNG streams at an episode boundary.  Must run
+    BEFORE the next episode's prefetch is submitted — host_prep advances
+    the proposal rng and the dataset's episode-sampling rng (COCO draws
+    randomly per __getitem__, matching the reference)."""
+    return {
+        "rng_state": rng.get_state(),
+        "ds_rng_state": (ds.rng.get_state()
+                         if ds is not None and hasattr(ds, "rng") else None),
+    }
+
+
+def save_resume_state(path, next_idx, meter, timing_rows, rng_states,
+                      gen_key=None):
+    """Atomic snapshot of everything the eval loop accumulates: meter
+    histograms, timing rows, and the RNG states captured by
+    capture_rng_states at the episode boundary."""
+    import pickle
+
+    state = {
+        "next_idx": next_idx,
+        "inter": meter.inter, "union": meter.union,
+        "inter_bad": meter.inter_bad, "union_bad": meter.union_bad,
+        "bad_class_ids": list(meter.bad_class_ids),
+        "timing_rows": timing_rows,
+        "gen_key": None if gen_key is None else np.asarray(gen_key),
+        **rng_states,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, path)
+
+
+def load_resume_state(path, meter, rng, ds=None):
+    """Restore a save_resume_state snapshot; returns the state dict."""
+    import pickle
+
+    with open(path, "rb") as f:
+        st = pickle.load(f)
+    meter.inter[:], meter.union[:] = st["inter"], st["union"]
+    meter.inter_bad[:], meter.union_bad[:] = st["inter_bad"], st["union_bad"]
+    meter.bad_class_ids = list(st["bad_class_ids"])
+    rng.set_state(st["rng_state"])
+    if st.get("ds_rng_state") is not None and ds is not None and hasattr(ds, "rng"):
+        ds.rng.set_state(st["ds_rng_state"])
+    return st
+
+
 def add_eval_args(p: argparse.ArgumentParser) -> None:
     """Full reference flag surface (main_MARS.py:106-163 +
     scripts/coco_1shot.sh), snake→kebab spelling."""
@@ -306,6 +355,14 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bad-preds-path", default=None,
                    help="per-fold known-bad episode index list (one idx per "
                         "line, reference datasets/COCO2014/fold{f}_badPredsIdxs.txt)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from "
+                        "<log-path>/resume.pkl (meter histograms, timing "
+                        "rows and every RNG stream are restored, so the "
+                        "episode sequence is identical to an uninterrupted "
+                        "run)")
+    p.add_argument("--resume-every", type=int, default=20,
+                   help="episodes between resume snapshots (0 disables)")
     # --- TPU execution ---
     p.add_argument("--bf16", action="store_true",
                    help="bf16 tower weights (the reference's fp16 analogue)")
@@ -356,18 +413,54 @@ def main(argv=None):
             bad_idxs = {int(x) for x in f.read().split() if x.strip()}
 
     n = args.episodes or len(ds)
-    for idx in range(n):
+
+    resume_path = os.path.join(args.log_path, "resume.pkl")
+    start_idx = 0
+    if args.resume and os.path.exists(resume_path):
+        st = load_resume_state(resume_path, meter, rng, ds)
+        start_idx = int(st["next_idx"])
+        timing_rows = list(st["timing_rows"])
+        if st.get("gen_key") is not None and generator is not None:
+            import jax.numpy as jnp
+
+            gen_key = jnp.asarray(st["gen_key"])
+        logger.info(f"resuming from {resume_path} at episode {start_idx}")
+
+    # 1-deep host prefetch: PIL episode prep + proposal load for idx+1
+    # overlaps the device work of idx (the main thread blocks in the jitted
+    # predict with the GIL released).  One FIFO worker keeps dataset /
+    # proposal RNG draw order identical to the serial loop; inline
+    # proposal GENERATION stays on the main thread — it shares the chip.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def host_prep(idx):
         rec = ds[idx]
         ep = to_device_episode(rec, args.input_size, args.nshot)
+        if generator is not None:
+            props = None  # device-side, generated below
+        elif args.mask_proposals_path:
+            props = load_proposals(args, idx, args.input_size)
+        else:
+            props = synthetic_proposals(rec, args.input_size,
+                                        args.proposal_bucket, rng)
+        return rec, ep, props
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(host_prep, start_idx) if n > start_idx else None
+    for idx in range(start_idx, n):
+        rec, ep, props = fut.result()
+        # rng states must be captured at the episode boundary, before the
+        # prefetch for idx+1 consumes draws for that episode
+        snap = (capture_rng_states(rng, ds)
+                if args.resume_every and (idx + 1) % args.resume_every == 0
+                else None)
+        if idx + 1 < n:
+            fut = pool.submit(host_prep, idx + 1)
         if generator is not None:
             import jax
 
             gen_key, k = jax.random.split(gen_key)
             props = generator(ep, k)
-        elif args.mask_proposals_path:
-            props = load_proposals(args, idx, args.input_size)
-        else:
-            props = synthetic_proposals(rec, args.input_size, args.proposal_bucket, rng)
         class_name = rec.class_name if args.gt_class_names else None
         pred = np.asarray(model.predict(ep, props, class_name=class_name))
         gt, ig = resized_gt(rec, args.input_size)
@@ -384,7 +477,14 @@ def main(argv=None):
         if idx % 20 == 0:
             miou, fb, _ = meter.compute_iou()
             logger.info(f"[{idx + 1}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}")
+        if snap is not None:
+            save_resume_state(
+                resume_path, idx + 1, meter, timing_rows, snap,
+                gen_key if generator is not None else None)
 
+    pool.shutdown(wait=False)
+    if os.path.exists(resume_path):
+        os.remove(resume_path)  # run completed; a later --resume restarts
     with open(os.path.join(args.log_path, "ranking_time.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["idx", "total_s", "after_text_s", "n_proposals"])

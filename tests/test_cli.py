@@ -113,3 +113,45 @@ def test_gt_class_names_smoke(tmp_path):
     args = _parse(["--benchmark", "synthetic", "--gt-class-names",
                    "--episodes", "1", "--log-path", str(tmp_path)])
     assert args.gt_class_names and args.episodes == 1
+
+
+class TestResume:
+    def test_snapshot_roundtrip_restores_meter_and_rngs(self, tmp_path):
+        import numpy as np
+
+        from mars_tpu.utils import evaluation
+
+        path = str(tmp_path / "resume.pkl")
+        meter = evaluation.AverageMeter("synthetic", [0, 1, 2])
+        meter.update(np.array([1.0, 2.0]), np.array([3.0, 4.0]), 1)
+        rng = np.random.RandomState(0)
+        _ = rng.rand(5)  # advance
+
+        class _DS:
+            rng = np.random.RandomState(7)
+
+        ds = _DS()
+        _ = ds.rng.rand(3)
+        snap = cli.capture_rng_states(rng, ds)
+        want_next = rng.rand(4)  # the draws an uninterrupted run would make
+        want_ds_next = ds.rng.rand(4)
+        cli.save_resume_state(path, 41, meter, [[0, 1.0, 0.9, 7]], snap,
+                              gen_key=np.array([1, 2], np.uint32))
+
+        meter2 = evaluation.AverageMeter("synthetic", [0, 1, 2])
+        rng2 = np.random.RandomState(99)  # different stream
+        ds2 = _DS()
+        ds2.rng = np.random.RandomState(99)
+        st = cli.load_resume_state(path, meter2, rng2, ds2)
+        assert st["next_idx"] == 41
+        assert st["timing_rows"] == [[0, 1.0, 0.9, 7]]
+        np.testing.assert_array_equal(meter2.inter, meter.inter)
+        np.testing.assert_array_equal(meter2.union, meter.union)
+        np.testing.assert_array_equal(st["gen_key"], [1, 2])
+        # restored rngs continue the original streams exactly
+        np.testing.assert_array_equal(rng2.rand(4), want_next)
+        np.testing.assert_array_equal(ds2.rng.rand(4), want_ds_next)
+
+    def test_resume_flag_surface(self):
+        args = _parse(["--resume", "--resume-every", "5"])
+        assert args.resume and args.resume_every == 5
