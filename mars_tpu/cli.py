@@ -162,27 +162,54 @@ def synthetic_proposals(rec, size, bucket, rng):
     return pad_proposals(jnp.asarray(np.stack(props)), bucket)
 
 
-def make_inline_generator(args):
+def bucket_generated_proposals(out, bucket):
+    """Compact a Matcher output into a ranking bucket: valid rows first,
+    best ``final_score`` first.
+
+    generate_proposals returns its FIXED decode layout with dead rows in
+    place (the size-1..3 combination prompt sets are invalid by
+    construction and sit at the front of the n<=8 family), so a plain
+    ``[:bucket]`` truncation could keep only dead slots.  Compaction also
+    restores the ranking stage's dead-chunk-skip precondition (valid rows
+    contiguous at the front)."""
+    import jax.numpy as jnp
+
+    valid = out["proposal_valid"]
+    score = out["final_score"]
+    order = jnp.argsort(jnp.where(valid, -score, jnp.inf))
+    masks = out["proposal_masks"][order] * valid[order][:, None, None]
+    return pad_proposals(masks.astype(jnp.float32), bucket,
+                         valid=valid[order])
+
+
+def make_inline_generator(args, dino_bundle=None):
     """Per-episode Matcher proposal generation inside the eval loop — the
     reference's mask_generator slot (mars/MARS.py:21,46-51), which its
     shipped driver never exercises (it always loads dumps, main_MARS.py:62).
+
+    ``dino_bundle``: optional (params, cfg) to reuse the VVA tower already
+    loaded by build_model instead of holding a second copy in HBM.
     """
     import jax
 
     from mars_tpu.models import zoo
     from mars_tpu.pipeline import amg, matcher
 
-    dino_params, dino_cfg = zoo.build_dinov2(args.models_path,
-                                             args.dino_backbone, args.num_regs)
+    if dino_bundle is not None:
+        dino_params, dino_cfg = dino_bundle
+    else:
+        dino_params, dino_cfg = zoo.build_dinov2(args.models_path,
+                                                 args.dino_backbone,
+                                                 args.num_regs)
+        if args.bf16:
+            from mars_tpu.models.precision import cast_floating
+
+            dino_params = cast_floating(dino_params)
     mcfg = matcher.MatcherConfig(
         input_size=args.input_size,
         grid=args.input_size // dino_cfg.patch_size,
         patch_size=dino_cfg.patch_size,
     )
-    if args.bf16:
-        from mars_tpu.models.precision import cast_floating
-
-        dino_params = cast_floating(dino_params)
 
     if args.proposal_model == "semantic-sam":
         # the reference's Matcher_SemanticSAM configuration, on the native
@@ -202,10 +229,7 @@ def make_inline_generator(args):
                 ep.support_images, ep.support_masks, ep.support_valid,
                 ep.query_image,
             )
-            masks = out["proposal_masks"] * out["proposal_valid"][:, None, None]
-            return pad_proposals(masks.astype(jnp.float32),
-                                 args.proposal_bucket,
-                                 valid=out["proposal_valid"])
+            return bucket_generated_proposals(out, args.proposal_bucket)
 
         return generate
 
@@ -222,9 +246,7 @@ def make_inline_generator(args):
             ep.support_images, ep.support_masks, ep.support_valid,
             ep.query_image,
         )
-        masks = out["proposal_masks"] * out["proposal_valid"][:, None, None]
-        return pad_proposals(masks.astype(jnp.float32), args.proposal_bucket,
-                             valid=out["proposal_valid"])
+        return bucket_generated_proposals(out, args.proposal_bucket)
 
     return generate
 
@@ -394,7 +416,8 @@ def main(argv=None):
     if args.generate_proposals:
         import jax
 
-        generator = make_inline_generator(args)
+        generator = make_inline_generator(
+            args, dino_bundle=(model.dino_params, model.dino_cfg))
         gen_key = jax.random.PRNGKey(args.seed)
     meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
     os.makedirs(args.log_path, exist_ok=True)
@@ -402,7 +425,7 @@ def main(argv=None):
     logger = mlog.initialize(args.log_path, "", args)
     # TensorBoard/Comet analogue: streams running mIoU/FB-IoU + per-episode
     # time to <log-path>/tbd/runs + scalars.csv (reference logger.py:197,259)
-    metrics = mlog.MetricsLogger(args.log_path, meter)
+    metrics = mlog.MetricsLogger(args.log_path, meter, append=args.resume)
     t_start = time.time()
     timing_rows = []
     rng = np.random.RandomState(args.seed)

@@ -72,14 +72,18 @@ SEMANTIC_SAM_TINY = SemanticSamConfig(
 
 
 def _group_norm(p, x, groups: int = 32, eps: float = 1e-5):
-    """GroupNorm over the channel (last) axis of (..., C)."""
+    """GroupNorm over the channel (last) axis of (..., C).
+
+    Statistics in f32 regardless of the tower dtype (the repo invariant:
+    norms stay f32 under bf16 weights — see models/layers.layer_norm)."""
     c = x.shape[-1]
     g = min(groups, c)
-    xs = x.reshape(x.shape[:-1] + (g, c // g))
+    xs = x.reshape(x.shape[:-1] + (g, c // g)).astype(jnp.float32)
     mean = xs.mean(axis=-1, keepdims=True)
     var = ((xs - mean) ** 2).mean(axis=-1, keepdims=True)
     xs = (xs - mean) * jax.lax.rsqrt(var + eps)
-    return xs.reshape(x.shape) * p["scale"] + p["bias"]
+    out = xs.reshape(x.shape) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def _sine_embed_2d(coords: jnp.ndarray, dim: int,

@@ -40,11 +40,14 @@ def initialize(log_root: str, exp_name: str = None, args=None) -> logging.Logger
 
 
 class ScalarWriter:
-    """CSV scalar stream (TensorBoard-lite, no external deps)."""
+    """CSV scalar stream (TensorBoard-lite, no external deps).
 
-    def __init__(self, logpath: str):
+    Fresh runs truncate; ``append=True`` (a --resume continuation)
+    keeps the interrupted run's rows and continues the stream."""
+
+    def __init__(self, logpath: str, append: bool = False):
         self.path = os.path.join(logpath, "scalars.csv")
-        self._f = open(self.path, "a")
+        self._f = open(self.path, "a" if append else "w")
 
     def write(self, step: int, **scalars):
         for k, v in scalars.items():
@@ -65,13 +68,14 @@ class MetricsLogger:
     updates.  API mirrors the reference CometLogger's surface.
     """
 
-    def __init__(self, logpath: str, meter, split: str = "test"):
+    def __init__(self, logpath: str, meter, split: str = "test",
+                 append: bool = False):
         from mars_tpu.utils import tboard
 
         self.meter = meter
         self.split = split
         self.tbd = tboard.SummaryWriter(os.path.join(logpath, "tbd", "runs"))
-        self.csv = ScalarWriter(logpath)
+        self.csv = ScalarWriter(logpath, append=append)
 
     def log_metrics(self, step: int):
         """reference CometLogger.log_metrics:259-264 (running mIoU/FB-IoU)."""

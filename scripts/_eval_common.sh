@@ -9,12 +9,19 @@ set -e
 : "${NLTK_PATH:=}"
 : "${LOG_ROOT:=output/mars/${BENCHMARK}}"
 
+# precomputed proposal dumps when PROPOSALS_PATH is set (the reference's
+# only mode), inline Matcher generation otherwise
+if [ -n "${PROPOSALS_PATH:-}" ]; then
+  PROPOSAL_ARGS=(--mask-proposals-path "${PROPOSALS_PATH}")
+else
+  PROPOSAL_ARGS=(--generate-proposals)
+fi
+
 for fold in ${FOLDS}; do
   python -m mars_tpu.cli \
     --datapath "${DATAPATH}" \
     ${NLTK_PATH:+--nltk-path "${NLTK_PATH}"} \
-    ${PROPOSALS_PATH:+--mask-proposals-path "${PROPOSALS_PATH}"} \
-    ${PROPOSALS_PATH:---generate-proposals} \
+    "${PROPOSAL_ARGS[@]}" \
     --benchmark "${BENCHMARK}" \
     --nshot "${NSHOT}" \
     --fold "${fold}" \

@@ -155,3 +155,31 @@ class TestResume:
     def test_resume_flag_surface(self):
         args = _parse(["--resume", "--resume-every", "5"])
         assert args.resume and args.resume_every == 5
+
+
+def test_bucket_generated_proposals_compacts_valid_rows():
+    """generate_proposals returns a FIXED decode layout whose leading rows
+    can all be invalid (size-1..3 combo prompt sets); bucketing must keep
+    the valid rows (best score first), not the first ``bucket`` slots."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    n, s = 10, 8
+    masks = jnp.asarray(np.arange(n, dtype=np.float32)[:, None, None]
+                        * np.ones((n, s, s), np.float32))
+    valid = jnp.asarray([False] * 6 + [True] * 4)  # dead rows lead
+    score = jnp.asarray([9.0] * 6 + [0.1, 0.9, 0.5, 0.7])
+    out = {"proposal_masks": masks, "proposal_valid": valid,
+           "final_score": score}
+    props = cli.bucket_generated_proposals(out, bucket=4)
+    assert props.masks.shape == (4, s, s)
+    assert bool(props.valid.all())
+    # rows 7 (0.9), 9 (0.7), 8 (0.5), 6 (0.1) in score order
+    np.testing.assert_array_equal(np.asarray(props.masks[:, 0, 0]),
+                                  [7.0, 9.0, 8.0, 6.0])
+    # a dead row must never survive, even when the bucket exceeds the
+    # valid count
+    props2 = cli.bucket_generated_proposals(out, bucket=8)
+    assert int(props2.valid.sum()) == 4
+    assert not bool(props2.valid[4:].any())
+    np.testing.assert_array_equal(np.asarray(props2.masks[4:]), 0.0)
