@@ -492,19 +492,34 @@ def generate_proposals(
     support_valid: jnp.ndarray,  # (S,)
     query_image: jnp.ndarray,  # (H, W, 3) raw [0,1]
     target_mask_low_res: Optional[jnp.ndarray] = None,  # (4G, 4G) cascade
+    timers=None,
 ):
     """Full Matcher flow (reference Matcher.predict :216-249).
 
     Returns dict with proposal masks (N, H, W) bool + valid, scores,
     merged prediction, and the cost matrix / support footprint (reusable
     by the MARS ranking stage).
+
+    ``timers``: optional utils.profiling.StageTimers — COARSE spans only
+    (features+matching / sampling / encode+decode / score+merge): each
+    span forces a device sync that costs a ~35 ms dispatch floor on the
+    tunneled chip, so fine-grained spans would distort more than they
+    measure (tools/matcher_bench.py).
     """
+    import contextlib
+
+    span = (timers.span if timers is not None
+            else (lambda *a, **k: contextlib.nullcontext()))
     g = cfg.grid
-    s_mat, cost, support_fg = _features_and_matrices(
-        dino_params, support_images, support_masks, support_valid, query_image,
-        dino_cfg, g,
-    )
-    points, point_valid = matched_points(s_mat, support_fg, cfg)
+    with span("features+matching"):
+        s_mat, cost, support_fg = _features_and_matrices(
+            dino_params, support_images, support_masks, support_valid,
+            query_image, dino_cfg, g,
+        )
+        points, point_valid = matched_points(s_mat, support_fg, cfg)
+        if timers is not None:
+            from mars_tpu.utils.profiling import force_sync
+            force_sync(point_valid)
 
     key, k1, k2 = jax.random.split(key, 3)
     if not cfg.use_points_or_centers:
@@ -557,7 +572,14 @@ def generate_proposals(
             jnp.minimum(jnp.max(jnp.where(point_valid, points[:, 1], -jnp.inf)), cfg.input_size - 1),
         ])
 
-    embedding = amg.encode_target(sam_params, query_image, sam_cfg)
+    if timers is not None:
+        from mars_tpu.utils.profiling import force_sync
+        with timers.span("prompt_sampling"):
+            force_sync(set_valid)
+    with span("sam_encode"):
+        embedding = amg.encode_target(sam_params, query_image, sam_cfg)
+        if timers is not None:
+            force_sync(embedding)
 
     # decode size-homogeneous groups so each prompt set carries exactly i
     # positive (+ i negative) points + SAM's single pad point, matching the
@@ -591,6 +613,9 @@ def generate_proposals(
             results.append(dec_i)
     dec = amg.concat_decodes(results)
     dec = amg.nms_filter(dec, amg_cfg.box_nms_thresh)
+    if timers is not None:
+        with timers.span("sam_decode+nms"):
+            force_sync(dec["valid"])
 
     if target_mask_low_res is not None:
         # cascaded post-refinement (reference: Matcher target_mask plumbing
@@ -619,12 +644,16 @@ def generate_proposals(
                 ))
         dec = amg.nms_filter(amg.concat_decodes(results), amg_cfg.box_nms_thresh)
 
-    emd_score, purity, coverage = score_masks(
-        dec["masks"], dec["valid"], points, point_valid, support_fg, cost, cfg
-    )
-    merged, final_score, chosen = filter_and_merge(
-        dec["masks"], dec["valid"], emd_score, purity, coverage, cfg
-    )
+    with span("score+merge"):
+        emd_score, purity, coverage = score_masks(
+            dec["masks"], dec["valid"], points, point_valid, support_fg,
+            cost, cfg
+        )
+        merged, final_score, chosen = filter_and_merge(
+            dec["masks"], dec["valid"], emd_score, purity, coverage, cfg
+        )
+        if timers is not None:
+            force_sync(final_score)
     return {
         "proposal_masks": dec["masks"],
         "proposal_valid": dec["valid"],
