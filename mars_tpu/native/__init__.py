@@ -21,10 +21,19 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
-        check=True,
-    )
+    # compile to a temp path then os.replace (atomic): an interrupted build
+    # must not leave a truncated .so that the mtime check would then trust
+    # forever, and concurrent importers must never CDLL a half-written file
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
+            check=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def get_lib() -> ctypes.CDLL:
@@ -58,12 +67,21 @@ def get_lib() -> ctypes.CDLL:
 
 def emd_exact(cost: np.ndarray) -> float:
     """Exact EMD with uniform marginals (== reference ot.emd2 with
-    a=1/t, b=1/c; FilteringMergingModule.py:160-169)."""
+    a=1/t, b=1/c; FilteringMergingModule.py:160-169).
+
+    Degenerate (0-row / 0-col) matrices return 0.0, matching the device
+    path's 'proposals with empty footprints get EMD 0' convention
+    (ot.emd2 raises on them)."""
     c = np.ascontiguousarray(cost, np.float64)
     t, n = c.shape
-    return float(
+    if t == 0 or n == 0:
+        return 0.0
+    r = float(
         get_lib().emd_uniform(c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), t, n)
     )
+    if r < 0.0:  # C++ infeasibility sentinel; unreachable for finite costs
+        raise RuntimeError("emd_uniform reported an infeasible flow")
+    return r
 
 
 def assignment_exact(score: np.ndarray) -> np.ndarray:
@@ -71,7 +89,10 @@ def assignment_exact(score: np.ndarray) -> np.ndarray:
     scipy.optimize.linear_sum_assignment's optimum."""
     s = np.ascontiguousarray(score, np.float64)
     t, n = s.shape
-    assert t <= n
+    if t > n:
+        # hard precondition: a tall matrix drives the C++ augmenting loop
+        # out of bounds (UB), so fail loudly even under python -O
+        raise ValueError(f"assignment_exact needs t <= n, got {t}x{n}")
     out = np.empty(t, np.int32)
     get_lib().lsa_maximize(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), t, n,

@@ -41,7 +41,7 @@ double emd_uniform(const double* cost, int t, int c) {
   std::vector<long long> row_left(t, c), col_left(c, t);
   std::vector<double> pot(n, 0.0);  // Johnson potentials
   std::vector<double> dist(n);
-  std::vector<int> prev_node(n), prev_row(n);
+  std::vector<int> prev_node(n);
   // residual flows on row->col arcs (flow can be pushed back)
   std::vector<long long> flow(static_cast<size_t>(t) * c, 0);
 
@@ -79,11 +79,10 @@ double emd_uniform(const double* cost, int t, int c) {
       if (u == S) {
         for (int i = 0; i < t; ++i) {
           if (row_left[i] > 0) {
-            double nd = d + 0.0 - pot[S] + pot[1 + i];
-            // reduced cost of S->row arc (cost 0)
+            // reduced cost of the S->row arc (arc cost 0)
             double rc = 0.0 + pot[S] - pot[1 + i];
             if (rc < 0) rc = 0;  // numerical guard
-            nd = d + rc;
+            double nd = d + rc;
             if (nd < dist[1 + i]) {
               dist[1 + i] = nd;
               prev_node[1 + i] = S;
@@ -95,8 +94,7 @@ double emd_uniform(const double* cost, int t, int c) {
         int i = u - 1;
         for (int j = 0; j < c; ++j) {
           double rc = cost[i * c + j] + pot[u] - pot[1 + t + j];
-          if (rc < -1e-9) rc = 0;
-          double nd = d + std::max(rc, 0.0);
+          double nd = d + std::max(rc, 0.0);  // clamp = numerical guard
           int v = 1 + t + j;
           if (nd < dist[v]) {
             dist[v] = nd;
@@ -120,13 +118,11 @@ double emd_uniform(const double* cost, int t, int c) {
         for (int i = 0; i < t; ++i) {
           if (flow[static_cast<size_t>(i) * c + j] > 0) {
             double rc = -cost[i * c + j] + pot[u] - pot[1 + i];
-            if (rc < -1e-9) rc = 0;
-            double nd = d + std::max(rc, 0.0);
+            double nd = d + std::max(rc, 0.0);  // clamp = numerical guard
             int v = 1 + i;
             if (nd < dist[v]) {
               dist[v] = nd;
               prev_node[v] = u;
-              prev_row[v] = j;  // remember back-arc col
               pq.push({nd, v});
             }
           }

@@ -73,3 +73,32 @@ class TestRle:
         assert native.rle_encode(z)["counts"] == [25]
         f = np.ones((5, 5), np.uint8)
         assert native.rle_encode(f)["counts"] == [0, 25]
+
+
+def test_rle_decode_matches_lvis_python_decoder():
+    """Two uncompressed-RLE decoders exist (data/lvis.py:rle_to_mask for
+    dataset masks, native.rle_decode for the codec) — pin them
+    bit-identical so a fix to one cannot silently diverge the other."""
+    import numpy as np
+
+    from mars_tpu import native
+    from mars_tpu.data.lvis import rle_to_mask
+
+    rng = np.random.RandomState(5)
+    for h, w in ((7, 9), (16, 16), (33, 21)):
+        mask = (rng.rand(h, w) > 0.6).astype(np.uint8)
+        rle = native.rle_encode(mask)
+        np.testing.assert_array_equal(native.rle_decode(rle),
+                                      rle_to_mask(rle))
+
+
+def test_emd_exact_degenerate_and_guards():
+    import numpy as np
+    import pytest
+
+    from mars_tpu import native
+
+    assert native.emd_exact(np.zeros((0, 5))) == 0.0
+    assert native.emd_exact(np.zeros((5, 0))) == 0.0
+    with pytest.raises(ValueError):
+        native.assignment_exact(np.zeros((5, 3)))  # tall: t > n
