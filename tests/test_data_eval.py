@@ -335,3 +335,59 @@ class TestServing:
                                          request_id=i))
         server.stop()
         assert sorted(r.request_id for r in results) == [0, 1]
+
+
+class TestServingRobustness:
+    def test_host_bucket_resizes_and_reports_drops(self):
+        from mars_tpu.serving import _host_bucket_proposals
+
+        props = np.zeros((5, 30, 40), np.float32)
+        props[:, 10:20, 10:30] = 1
+        stack, valid, dropped = _host_bucket_proposals(props, 16, 3)
+        assert stack.shape == (3, 16, 16) and stack.dtype == np.uint8
+        assert valid.tolist() == [True] * 3
+        assert dropped == 2
+        assert stack[0].sum() > 0  # content survived the resize
+        with pytest.raises(ValueError):
+            _host_bucket_proposals(np.zeros((16, 16)), 16, 3)
+
+    def test_worker_delivers_errors_and_keeps_draining(self):
+        from mars_tpu import serving
+
+        class _Boom:
+            timings = {}
+
+            def predict(self, *a, **k):
+                raise RuntimeError("boom")
+
+        srv = serving.MarsServer(_Boom(), input_size=16, proposal_bucket=2)
+        # route predict() through the real code path but with a model that
+        # raises: the worker must deliver the error and stay alive
+        results = []
+        srv.start(results.append)
+        rec = None
+
+        def fake_predict(req):
+            if req.request_id == 1:
+                raise RuntimeError("boom")
+            return serving.PredictResult(request_id=req.request_id,
+                                         mask=np.zeros((2, 2)))
+
+        srv.predict = fake_predict
+        srv.submit(serving.PredictRequest(rec, np.zeros((1, 4, 4)),
+                                          request_id=1))
+        srv.submit(serving.PredictRequest(rec, np.zeros((1, 4, 4)),
+                                          request_id=2))
+        srv.stop()
+        assert [r.request_id for r in results] == [1, 2]
+        assert isinstance(results[0].error, RuntimeError)
+        assert results[1].error is None
+
+    def test_double_start_raises(self):
+        from mars_tpu import serving
+
+        srv = serving.MarsServer(object(), input_size=16)
+        srv.start(lambda r: None)
+        with pytest.raises(RuntimeError):
+            srv.start(lambda r: None)
+        srv.stop()
