@@ -10,9 +10,12 @@ Weights are random (throughput is weight-independent); shapes/configs match
 the shipped evaluation scripts (scripts/coco_1shot.sh).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline``: speedup vs the torch reference's per-episode ranking time
-measured on CPU and scaled to A100 (see BASELINE.md; currently the
-documented 2.0 s/episode estimate for a single A100).
+``vs_baseline``: speedup vs the torch reference's per-episode ranking time —
+the MEASURED 1.191 s/episode A100-granted denominator from
+BASELINE_MEASURED.json (tools/measure_reference_baseline.py times the
+reference's own towers on this image's CPU and scales per stage with
+documented factors; BASELINE.md).  Falls back to the retired 2.0 s
+round-1 estimate only if that file is missing.
 """
 import json
 import time

@@ -305,6 +305,10 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     scripts/coco_1shot.sh), snake→kebab spelling."""
     p.add_argument("--benchmark", default="synthetic",
                    choices=["coco", "pascal", "pascal5i", "fss", "lvis", "synthetic"])
+    p.add_argument("--annotations-datapath", default=None,
+                   help="override the COCO mask-annotation directory "
+                        "(reference main_MARS.py:114; defaults to "
+                        "<datapath>/COCO2014/annotations)")
     p.add_argument("--datapath", default="",
                    help="dataset root (reference --dataset_path)")
     p.add_argument("--models-path", default=None)
@@ -409,8 +413,11 @@ def main(argv=None):
         raise SystemExit(
             f"--mask-proposals-path does not exist: {args.mask_proposals_path}"
         )
+    ds_kwargs = {}
+    if args.benchmark == "coco" and args.annotations_datapath:
+        ds_kwargs["annotations_path"] = args.annotations_datapath
     ds = build_dataset(args.benchmark, args.datapath, args.fold, "test", args.nshot,
-                       args.seed)
+                       args.seed, **ds_kwargs)
     model = build_model(args)
     generator = None
     if args.generate_proposals:
@@ -513,6 +520,12 @@ def main(argv=None):
         w.writerow(["idx", "total_s", "after_text_s", "n_proposals"])
         w.writerows(timing_rows)
 
+    if n <= start_idx:
+        # zero-episode run (--episodes 0 resolved to 0, or --resume of a
+        # completed run): nothing accumulated — emitting step -1 records /
+        # computing IoU on an empty meter would write NaN rows
+        logger.info("no episodes to run")
+        return 0.0, 0.0
     miou, fb, per_class = meter.compute_iou()
     avg_t = float(np.mean([r[1] for r in timing_rows]))
     logger.info(f"\n*** mIoU: {miou:.2f}  FB-IoU: {fb:.2f}  avg time/img: {avg_t:.3f}s ***")

@@ -40,11 +40,16 @@ class DatasetCOCO20i:
     nfolds = 4
     nclass = 80
 
-    def __init__(self, datapath: str, fold: int, split: str, shot: int, seed: int = 0):
+    def __init__(self, datapath: str, fold: int, split: str, shot: int, seed: int = 0,
+                 annotations_path: str = None):
         self.split = "val" if split in ("val", "test") else "trn"
         self.fold = fold
         self.shot = shot
         self.base_path = os.path.join(datapath, "COCO2014")
+        # --annotations-datapath override (reference main_MARS.py:114 passes
+        # it from scripts/coco_*.sh; its coco.py hardcodes base/annotations)
+        self.annotations_path = annotations_path or os.path.join(
+            self.base_path, "annotations")
         self.rng = np.random.RandomState(seed)
 
         self.class_ids = self.build_class_ids()
@@ -63,7 +68,7 @@ class DatasetCOCO20i:
         return 1000 if self.split == "val" else 3000
 
     def read_mask(self, name: str) -> np.ndarray:
-        path = os.path.join(self.base_path, "annotations", name)
+        path = os.path.join(self.annotations_path, name)
         path = path[: path.index(".jpg")] + ".png"
         return np.array(Image.open(path))
 

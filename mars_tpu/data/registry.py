@@ -7,7 +7,7 @@ def build_dataset(benchmark: str, datapath: str = "", fold: int = 0,
     if benchmark == "coco":
         from mars_tpu.data.coco import DatasetCOCO20i
 
-        return DatasetCOCO20i(datapath, fold, split, shot, seed)
+        return DatasetCOCO20i(datapath, fold, split, shot, seed, **kwargs)
     if benchmark == "pascal5i":
         from mars_tpu.data.pascal5i import DatasetPascal5i
 

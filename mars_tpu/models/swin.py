@@ -51,17 +51,23 @@ SWIN_L = SwinConfig()
 # the tiny test config mirrors the structure at toy scale.
 
 
-def _rel_index(window: int) -> np.ndarray:
-    """(ws², ws²) index into the (2w-1)² relative-position-bias table
-    (standard Swin construction)."""
+def _rel_index(window: int, table_window: int = None) -> np.ndarray:
+    """(ws², ws²) index into the relative-position-bias table (standard
+    Swin construction).  ``table_window`` is the window the TABLE was built
+    for — its rows are laid out with stride ``2*table_window - 1``.  When a
+    small input clamps the runtime window below cfg.window, the index must
+    still use the table's stride (converted checkpoints lay the table out
+    for cfg.window), reading the central sub-range of offsets."""
+    tw = table_window if table_window is not None else window
+    assert window <= tw
     coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
                                   indexing="ij"))  # (2, w, w)
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]  # (2, w², w²)
     rel = rel.transpose(1, 2, 0).astype(np.int64)
-    rel[:, :, 0] += window - 1
-    rel[:, :, 1] += window - 1
-    rel[:, :, 0] *= 2 * window - 1
+    rel[:, :, 0] += tw - 1
+    rel[:, :, 1] += tw - 1
+    rel[:, :, 0] *= 2 * tw - 1
     return (rel[:, :, 0] + rel[:, :, 1]).astype(np.int32)
 
 
@@ -172,7 +178,7 @@ def forward_features(params, images: jnp.ndarray, cfg: SwinConfig):
         window = min(cfg.window, sh, sw)
         shift = 0 if min(sh, sw) <= window else window // 2
         fh, fw = sh + (-sh % window), sw + (-sw % window)
-        rel_idx = jnp.asarray(_rel_index(window))
+        rel_idx = jnp.asarray(_rel_index(window, cfg.window))
         mask = (jnp.asarray(_shift_mask(fh, fw, window, shift))
                 if shift else None)
         sp = params[f"stage{s}"]

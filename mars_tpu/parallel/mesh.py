@@ -46,7 +46,26 @@ _OUT_SHARDED = ("qkv", "fc1", "q", "k", "v", "gate", "up")
 _IN_SHARDED = ("proj", "fc2", "out", "o", "down")
 
 
-def _spec_for(path, arr, n_model: int) -> P:
+def _q4_kernel_paths(params) -> frozenset:
+    """Name-paths of quantized kernel dicts holding a packed-int4 'q4' leaf.
+
+    Their sibling 'scale' must stay replicated to match the replicated q4
+    weight (the Pallas int4 matmul is not GSPMD-partitionable); sharding
+    only the scale would force a reshard in the matmul epilogue."""
+    paths = set()
+
+    def visit(path, leaf):
+        names = tuple(getattr(k, "key", getattr(k, "name", str(k)))
+                      for k in path)
+        if names and names[-1] == "q4":
+            paths.add(names[:-1])
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return frozenset(paths)
+
+
+def _spec_for(path, arr, n_model: int, q4_kernels: frozenset = frozenset()) -> P:
     if n_model <= 1 or arr.ndim == 0:
         return P()
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
@@ -64,7 +83,8 @@ def _spec_for(path, arr, n_model: int) -> P:
             return P("model", None)
         return P()
     if (leaf == "scale" and parent == "kernel" and len(names) >= 3
-            and names[-3] in _OUT_SHARDED and arr.shape[-1] % n_model == 0):
+            and names[-3] in _OUT_SHARDED and arr.shape[-1] % n_model == 0
+            and tuple(names[:-1]) not in q4_kernels):
         return P("model")
     if leaf == "kernel" and arr.ndim == 2:
         if parent in _OUT_SHARDED and arr.shape[1] % n_model == 0:
@@ -79,9 +99,10 @@ def _spec_for(path, arr, n_model: int) -> P:
 def shard_params(params, mesh: Mesh):
     """Place a param pytree: tensor-parallel big kernels, replicate the rest."""
     n_model = mesh.shape["model"]
+    q4 = _q4_kernel_paths(params)
 
     def place(path, arr):
-        spec = _spec_for(path, arr, n_model)
+        spec = _spec_for(path, arr, n_model, q4)
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -90,8 +111,10 @@ def shard_params(params, mesh: Mesh):
 def param_shardings(params, mesh: Mesh):
     """The NamedShardings (for jit in_shardings) matching shard_params."""
     n_model = mesh.shape["model"]
+    q4 = _q4_kernel_paths(params)
     return jax.tree_util.tree_map_with_path(
-        lambda path, arr: NamedSharding(mesh, _spec_for(path, arr, n_model)), params
+        lambda path, arr: NamedSharding(mesh, _spec_for(path, arr, n_model, q4)),
+        params,
     )
 
 

@@ -55,12 +55,20 @@ def make_batched_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg, vta_cfg, fm_cfg,
     if mesh is None:
         return jax.jit(vmapped)
 
-    dsh = NamedSharding(mesh, P("data"))
-    return jax.jit(
+    # Manual shard_map over 'data': each chip runs its local episode shard
+    # with NO possibility of GSPMD inserting cross-chip collectives on
+    # episode tensors (under plain in_shardings GSPMD was observed to
+    # all-gather a conv kernel inside the vmapped AlphaCLIP stage).  The
+    # 'model' axis stays auto, so tensor-parallel params still work.
+    fn = jax.shard_map(
         vmapped,
-        in_shardings=(None,) + (dsh,) * 8,
-        out_shardings=(dsh, dsh),
+        mesh=mesh,
+        axis_names={"data"},
+        in_specs=(P(),) + (P("data"),) * 8,
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
     )
+    return jax.jit(fn)
 
 
 def shard_batch(batch_args, mesh: Mesh):

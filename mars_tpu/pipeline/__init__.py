@@ -1,1 +1,1 @@
-from mars_tpu.pipeline import pir, vva, vta, filtering, backends
+from mars_tpu.pipeline import pir, vva, vta, filtering

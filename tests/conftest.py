@@ -20,3 +20,29 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # parity tests compare against float32 torch; keep matmuls exact on CPU
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Real-corpus NLTK tests: this image ships no corpora and has no egress, so
+# synthesize a tiny genuine data tree (tests/nltk_minicorpus.py) unless real
+# corpora are already installed.  Runs at import so skipif gates see it.
+def _ensure_nltk_data():
+    import sys
+    import tempfile
+
+    try:
+        import nltk.data
+    except ImportError:  # pragma: no cover - nltk is baked into this image
+        return
+    try:
+        nltk.data.find("corpora/wordnet")
+        nltk.data.find("corpora/stopwords")
+        nltk.data.find("tokenizers/punkt_tab/english/")
+        return
+    except LookupError:
+        pass
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nltk_minicorpus import install
+
+    install(os.path.join(tempfile.gettempdir(), "mars_nltk_minidata"))
+
+
+_ensure_nltk_data()

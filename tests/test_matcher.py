@@ -428,33 +428,6 @@ class TestMultiShotMatcher:
         assert int(out["telemetry"]["n_support_patches"]) == 32
 
 
-class TestSamBackend:
-    def test_backend_protocol(self):
-        from mars_tpu.pipeline.backends import SamBackend
-
-        scfg = sam.SamConfig(
-            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
-            global_attn_indexes=(1,), window_size=2, out_chans=16,
-            decoder_mlp_dim=32, decoder_heads=2,
-        )
-        ks = jax.random.split(jax.random.PRNGKey(0), 3)
-        params = {
-            "encoder": sam.init_encoder_params(ks[0], scfg),
-            "prompt_encoder": sam.init_prompt_encoder_params(ks[1], scfg),
-            "decoder": sam.init_decoder_params(ks[2], scfg),
-        }
-        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
-                             sel_stability_score_thresh=0.0, decode_batch=8)
-        backend = SamBackend(params, scfg, acfg)
-        emb = backend.encode(jax.random.uniform(ks[2], (56, 56, 3)))
-        coords = jnp.asarray([[[20.0, 20.0], [40.0, 30.0]]])
-        labels = jnp.ones((1, 2), jnp.int32)
-        out = backend.decode(emb, coords, labels, jnp.ones(1, bool), (56, 56))
-        assert out["masks"].shape[-2:] == (56, 56)
-        dense = backend.dense_sweep(emb, (56, 56))
-        assert dense["masks"].shape[0] == acfg.points_per_side ** 2 * 3
-
-
 class TestMatcherOss:
     """Semantic-SAM-variant driver (matcher_oss) on the SAM adapter."""
 

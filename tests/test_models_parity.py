@@ -239,3 +239,26 @@ class TestSwin:
         m2 = swin._patch_merge(params["stage1"]["downsample"], x, cfg.ln_eps)
         np.testing.assert_allclose(
             np.asarray(m2).reshape(2, -1, 96), d["h2"], atol=3e-5, rtol=1e-4)
+
+    def test_clamped_window_uses_table_stride(self):
+        """When the runtime window clamps below cfg.window, the bias lookup
+        must keep the TABLE's (2*cfg.window-1) stride: token pairs inside a
+        w×w patch read the same table rows the full-window index would."""
+        from mars_tpu.models import swin
+
+        tw = 8
+        for w in (3, 5):
+            clamped = swin._rel_index(w, tw)  # (w², w²)
+            full = swin._rel_index(tw, tw)  # (tw², tw²)
+            # positions of the w×w sub-grid inside the tw-window token order
+            sub = (np.arange(w)[:, None] * tw + np.arange(w)[None, :]).ravel()
+            np.testing.assert_array_equal(clamped, full[np.ix_(sub, sub)])
+            assert clamped.max() < (2 * tw - 1) ** 2
+
+    def test_small_input_forward_with_converted_params(self, setup):
+        """Clamped-window forward must run (and be finite) on converted
+        params whose bias tables are laid out for cfg.window."""
+        swin, cfg, params, sd, d, out = setup
+        img = jnp.asarray(nchw_to_nhwc(d["input"]))[:, :12, :12]  # stage0 res 3 < window 4
+        small = swin.forward_features(params, img, cfg)
+        assert np.isfinite(np.asarray(small["stage2"])).all()

@@ -181,6 +181,22 @@ class TestBatchedRanker:
             np.asarray(scores), np.asarray(scores_ref), atol=1e-3
         )
 
+        # collective-freedom guard: with replicated params (n_model=1) and
+        # the batch sharded over 'data', episode work must never cross chips
+        # — GSPMD should insert ZERO collectives into the compiled ranker
+        m_dp = mesh_lib.make_mesh(n_data=8, n_model=1)
+        ranker_dp = runner.make_batched_ranker(
+            dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg, mesh=m_dp)
+        b8 = lambda x: jnp.concatenate([x, x], axis=0)  # batch 4 -> 8
+        args8 = runner.shard_batch(
+            tuple(b8(x) for x in
+                  (sup_i, sup_m, sup_v, qry, prop_m, prop_v, vta_text,
+                   ac_text)), m_dp)
+        hlo = ranker_dp.lower(params, *args8).compile().as_text()
+        for op in ("all-reduce", "all-gather", "collective-permute",
+                   "all-to-all", "reduce-scatter", "collective-broadcast"):
+            assert op not in hlo, f"episode-parallel ranker emits {op}"
+
 
 class TestVlmTensorParallel:
     """Tensor-parallel ViP-LLaVA decode over the model axis: q/k/v + gate/up
@@ -217,6 +233,23 @@ class TestVlmTensorParallel:
         assert l0["attn"]["q"]["kernel"]["scale"].spec == P("model")
         assert l0["attn"]["o"]["kernel"]["q"].spec == P("model", None)
         assert l0["attn"]["o"]["kernel"]["scale"].spec == P()
+
+    def test_int4_kernel_stays_fully_replicated(self):
+        """Packed-int4 kernels are not GSPMD-partitionable (Pallas matmul),
+        so BOTH the q4 weight and its sibling scale must replicate — a
+        sharded scale next to a replicated weight forces a reshard in the
+        matmul epilogue."""
+        from mars_tpu.models import quantization as Q
+        from mars_tpu.models import vip_llava as vl
+
+        m = mesh_lib.make_mesh(n_data=4, n_model=2)
+        p = vl.init_random_params(0, vl.TINY, dtype=jnp.float32)
+        qp = Q.quantize_params(p, bits=4, min_size=64)
+        sh = mesh_lib.param_shardings(qp, m)
+        l0 = sh["language"]["layer0"]
+        assert l0["attn"]["q"]["kernel"]["q4"].spec == P()
+        assert l0["attn"]["q"]["kernel"]["scale"].spec == P()
+        assert l0["mlp"]["gate"]["kernel"]["scale"].spec == P()
 
     def test_tp_generate_matches_replicated(self):
         """Sharded params must reproduce the replicated greedy tokens
