@@ -14,8 +14,11 @@ import jax.numpy as jnp
 def mask_to_box(mask: jnp.ndarray) -> jnp.ndarray:
     """XYXY box around the nonzero region of a (..., H, W) mask.
 
-    Empty masks produce [0, 0, 0, 0], matching the reference convention
-    (segment_anything/utils/amg.py:310-352).
+    Edges are INCLUSIVE pixel indices ([left, top, right, bottom]) and
+    empty masks produce [0, 0, 0, 0] — exactly the reference's
+    batched_mask_to_box (segment_anything/utils/amg.py:310-352).  The
+    convention feeds NMS: a +1 exclusive right/bottom shifts box IoUs
+    enough to flip suppression decisions near the threshold.
     """
     h, w = mask.shape[-2], mask.shape[-1]
     m = mask > 0
@@ -29,7 +32,7 @@ def mask_to_box(mask: jnp.ndarray) -> jnp.ndarray:
     x0 = jnp.min(jnp.where(cols, ci, big), axis=-1)
     x1 = jnp.max(jnp.where(cols, ci, -1), axis=-1)
     empty = ~jnp.any(rows, axis=-1)
-    box = jnp.stack([x0, y0, x1 + 1, y1 + 1], axis=-1).astype(jnp.int32)
+    box = jnp.stack([x0, y0, x1, y1], axis=-1).astype(jnp.int32)
     return jnp.where(empty[..., None], jnp.zeros_like(box), box)
 
 

@@ -184,7 +184,10 @@ def decode_prompt_sets(
         valid = valid & (iou > iou_thr)
     if st_thr > 0:
         valid = valid & (stab >= st_thr)
-    valid = valid & jnp.any(th, axis=(-1, -2))
+    # NOTE: EMPTY decoded masks stay valid — the reference never drops them
+    # (their [0,0,0,0] boxes are never NMS-suppressed, 0-area IoU, and they
+    # flow into scoring where purity ≈ 1e-6 sinks them); dropping them here
+    # would change the proposal set vs the reference.
     # NMS is applied by the caller across ALL prompt batches of the crop
     # (reference _process_crop :370-376 runs it once after the batch loop)
     return {

@@ -370,8 +370,15 @@ def score_masks(
     g = cfg.grid
     pooled = imaging.pool_mask_to_grid(masks.astype(jnp.float32), g) > 0  # (N, g, g)
 
+    # empty pooled footprint: the reference's threshold trick
+    # (get_mask_scores :1181-1185, thres = max - 1e-6 when max <= 0) turns
+    # it into a FULL-grid footprint, so its EMD is the whole-image transport
+    # cost (~0.5 with unit-normalized features) — NOT 0, which would score
+    # 1-0 = 1.0 and let an empty mask win the merge
+    mask_empty = ~jnp.any(pooled, axis=(1, 2))
+    pooled_for_emd = jnp.where(mask_empty[:, None, None], True, pooled)
     emd = emd_ops.batched_emd(
-        cost, support_fg, pooled.reshape(masks.shape[0], -1),
+        cost, support_fg, pooled_for_emd.reshape(masks.shape[0], -1),
         cfg.emd_row_bucket, cfg.emd_col_bucket,
         col_valid=mask_valid,
     )
@@ -440,12 +447,15 @@ def filter_and_merge(
     order = jnp.argsort(-s, stable=True)
     in_topk = jnp.zeros((n,), bool).at[order[:topk]].set(True) & keep
     if cfg.topk_scores_threshold > 0:
+        # reference :797-799 REASSIGNS topk_scores to the normalized values,
+        # so both the filter and the returned mean use score/max
         smax = jnp.max(jnp.where(in_topk, score, -jnp.inf))
-        chosen = in_topk & (score / smax > cfg.topk_scores_threshold)
+        eff = score / smax
     else:
-        chosen = in_topk & (score > cfg.topk_scores_threshold)
+        eff = score
+    chosen = in_topk & (eff > cfg.topk_scores_threshold)
     merged = jnp.any(masks & chosen[:, None, None], axis=0)
-    final = jnp.sum(jnp.where(chosen, score, 0.0)) / jnp.maximum(jnp.sum(chosen), 1)
+    final = jnp.sum(jnp.where(chosen, eff, 0.0)) / jnp.maximum(jnp.sum(chosen), 1)
     return merged.astype(jnp.float32), final, chosen
 
 

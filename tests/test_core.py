@@ -63,7 +63,8 @@ class TestBoxes:
         m = np.zeros((20, 30), np.float32)
         m[3:7, 10:15] = 1
         box = np.asarray(masks.mask_to_box(jnp.asarray(m)))
-        np.testing.assert_array_equal(box, [10, 3, 15, 7])
+        # inclusive edges (reference batched_mask_to_box)
+        np.testing.assert_array_equal(box, [10, 3, 14, 6])
 
     def test_mask_to_box_empty(self):
         m = jnp.zeros((20, 30))
@@ -73,7 +74,7 @@ class TestBoxes:
         m = np.zeros((2, 8, 8), np.float32)
         m[0, 1:3, 2:5] = 1
         boxes = np.asarray(masks.mask_to_box(jnp.asarray(m)))
-        np.testing.assert_array_equal(boxes[0], [2, 1, 5, 3])
+        np.testing.assert_array_equal(boxes[0], [2, 1, 4, 2])
         np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])
 
     def test_box_iou_identity(self):

@@ -350,8 +350,9 @@ class TestMultiCropAmg:
                                      original_size=(64, 64))
         valid = np.asarray(out["valid"])
         got = np.asarray(out["masks"])[valid]
-        # the reference keeps empty masks (they never win or lose NMS);
-        # ours drops them up front — compare the non-empty sets
+        # empty masks stay valid on both sides (they never win or lose
+        # NMS, reference keeps them) — compare the non-empty sets
+        got = got[got.sum(axis=(1, 2)) > 0]
         want = data["masks"].astype(bool)
         want = want[want.sum(axis=(1, 2)) > 0]
         assert got.shape[0] == want.shape[0]
@@ -384,7 +385,7 @@ class TestPostprocessSmallRegions:
         assert not m[0, 28, 28]    # island gone
         assert np.asarray(out["valid"]).all()
         np.testing.assert_array_equal(
-            np.asarray(out["boxes"][0]), [4, 4, 20, 20]
+            np.asarray(out["boxes"][0]), [4, 4, 19, 19]
         )
 
 

@@ -883,11 +883,297 @@ def make_golden_episode():
         torch.Tensor.cuda, torch.Tensor.half = orig_cuda, orig_half
 
 
+# ------------------------------------------------- golden Matcher.predict
+def make_golden_matcher():
+    """The reference Matcher end-to-end on one tiny episode (reference:
+    matcher/Matcher.py:216-249,619-834): DINOv2 matching → combination
+    prompt sampling → SAM sel-batch decode + NMS → purity/coverage/EMD →
+    metric filters → score-filter merge (and a top-k-path variant).
+
+    Pins the cross-stage WIRING of the proposal path that the piecewise
+    oracles (matching vs scipy, EMD vs exact, AMG fixture) cannot.
+    Geometry/config are chosen so the flow is fully DETERMINISTIC: ≤8
+    matched points → the combinations prompt family (no random.sample),
+    use_points_or_centers=True (no kmeans RNG), sel thresholds 0 (no
+    random-weight rejections).
+    """
+    import types
+    from functools import partial
+
+    _stub_torchvision()
+    _stub_runtime_deps()
+    import importlib.machinery as _ilm
+
+    for name in ("timm", "loralib"):  # import-only in the Matcher chain
+        mod = types.ModuleType(name)
+        mod.__spec__ = _ilm.ModuleSpec(name, None)
+        sys.modules.setdefault(name, mod)
+    if "pytorch_lightning" not in sys.modules:  # utils/misc.py:19
+        pl = types.ModuleType("pytorch_lightning")
+        pl.__spec__ = _ilm.ModuleSpec("pytorch_lightning", None)
+        pl.seed_everything = lambda *a, **k: None
+        sys.modules["pytorch_lightning"] = pl
+    from dinov2.models.vision_transformer import DinoVisionTransformer
+    from segment_anything.automatic_mask_generator import SamAutomaticMaskGenerator
+    from segment_anything.modeling.image_encoder import ImageEncoderViT
+    from segment_anything.modeling.mask_decoder import MaskDecoder
+    from segment_anything.modeling.prompt_encoder import PromptEncoder
+    from segment_anything.modeling.sam import Sam
+    from segment_anything.modeling.transformer import TwoWayTransformer
+    from matcher.Matcher import Matcher
+    from torchvision import transforms as T
+
+    # 64-px episode, DINOv2 patch 8 (grid 8x8), SAM img_size 64: the target
+    # needs NO resize on the SAM path, and inputs are pre-quantized uint8 —
+    # so the reference's mul(255).byte() truncation and PIL-resize round
+    # trip (set_target :199-201, transforms.py:26-31) are exactly lossless
+    # and the fixture pins pipeline semantics, not resampling deltas.
+    S = 64
+    torch.manual_seed(31)
+    dino = DinoVisionTransformer(
+        img_size=S, patch_size=8, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=4, init_values=1e-5, block_chunks=0, num_register_tokens=4,
+    ).eval()
+    enc = ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=4, out_chans=32, qkv_bias=True,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        use_rel_pos=True, window_size=2, global_attn_indexes=(1,),
+    )
+    pe = PromptEncoder(embed_dim=32, image_embedding_size=(4, 4),
+                       input_image_size=(64, 64), mask_in_chans=8)
+    dec = MaskDecoder(
+        transformer_dim=32,
+        transformer=TwoWayTransformer(depth=2, embedding_dim=32, mlp_dim=64,
+                                      num_heads=2),
+        num_multimask_outputs=3,
+    )
+    sam_model = Sam(image_encoder=enc, prompt_encoder=pe, mask_decoder=dec).eval()
+    with torch.no_grad():
+        for p in dino.parameters():
+            p.copy_(torch.randn_like(p) * 0.15)  # feature diversity → EMD spread
+        for p in enc.parameters():
+            p.copy_(torch.randn_like(p) * 0.25)
+        for p in pe.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+        for p in dec.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+    dino.family = "vits14"  # BackboneLoader attribute the Matcher dispatches on
+
+    # Brief synthetic prompt-conditioning training.  With iid random weights
+    # the tiny decoder's output is prompt-INDEPENDENT (the LayerNorm stack
+    # washes the point tokens out), so every prompt set decodes the same
+    # mask and NMS collapses each episode to one proposal.  1500 Adam steps
+    # of "slot k = union of radius-(8+5k) disks around the prompt points"
+    # make decoding genuinely prompt-driven — diverse overlapping proposals,
+    # as with real SAM weights.  Fully seeded → deterministic fixture.
+    opt = torch.optim.Adam(list(dec.parameters()) + list(pe.parameters()),
+                           lr=3e-3)
+    gtr = torch.Generator().manual_seed(5)
+    gy, gx = torch.meshgrid(torch.arange(16.) * 4 + 2,
+                            torch.arange(16.) * 4 + 2, indexing="ij")
+    bt = 4
+    with torch.no_grad():
+        emb_fixed = enc(torch.rand(1, 3, 64, 64, generator=gtr))
+    for _ in range(1500):
+        k = int(torch.randint(1, 4, (1,), generator=gtr))
+        pts = torch.rand(bt, k, 2, generator=gtr) * 56 + 4
+        d2 = ((gy[None, None] - pts[:, :, 1].reshape(bt, -1, 1, 1)) ** 2
+              + (gx[None, None] - pts[:, :, 0].reshape(bt, -1, 1, 1)) ** 2)
+        target = torch.stack([
+            (d2 < (8 + 5 * s) ** 2).any(dim=1).float() for s in range(4)
+        ], dim=1)  # (bt, 4, 16, 16): slot 0 = single-output head
+        sparse, dense = pe(points=(pts, torch.ones(bt, k)), boxes=None,
+                           masks=None)
+        lr_m, iou_p = dec.predict_masks(
+            image_embeddings=emb_fixed, image_pe=pe.get_dense_pe(),
+            sparse_prompt_embeddings=sparse, dense_prompt_embeddings=dense)
+        loss = torch.nn.functional.binary_cross_entropy_with_logits(lr_m, target)
+        loss = loss + ((iou_p - target.mean(dim=(2, 3))) ** 2).mean()
+        opt.zero_grad(); loss.backward(); opt.step()
+    dec.eval(); pe.eval()
+
+    generator = SamAutomaticMaskGenerator(
+        sam_model, points_per_side=4, points_per_batch=16,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0,
+        sel_pred_iou_thresh=0.0, sel_stability_score_thresh=0.0,
+        box_nms_thresh=0.5, output_layer=3, sel_output_layer=3,
+        multimask_output=True, sel_multimask_output=True, dense_pred=False,
+    )
+    score_filter_cfg = dict(emd=0.0, purity=0.02, coverage=0.0,
+                            score_filter=True, score=0.6, score_norm=0.4,
+                            topk_scores_threshold=0.0)
+
+    def run(seed):
+        generator.reset_stored_features()  # per-episode reset (Matcher.clear
+        # :1097-1134 does this between episodes in the reference flow)
+        rng = np.random.RandomState(seed)
+        sup = (rng.randint(0, 256, (1, 1, 3, S, S)) / 255.0).astype(np.float32)
+        qry = (rng.randint(0, 256, (1, 3, S, S)) / 255.0).astype(np.float32)
+        supm = np.zeros((1, 1, S, S), np.float32)
+        supm[..., 16:32, 0:32] = 1  # 8 pooled cells → combinations family
+        m = Matcher(
+            encoder=dino,
+            encoder_transforms=T.Compose([
+                T.Normalize((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+            ]),
+            use_encoder_registers=True, generator=generator, input_size=S,
+            num_centers=8, use_points_or_centers=True, sample_range=(2, 3),
+            max_sample_iterations=4, alpha=1.0, beta=0.0, exp=0.0,
+            score_filter_cfg=dict(score_filter_cfg), num_merging_mask=10,
+            device=torch.device("cpu"),
+        )
+        m.set_reference(torch.from_numpy(sup), torch.from_numpy(supm))
+        m.set_target(torch.from_numpy(qry))
+        # predict, stepwise (predict :216-249) to keep the intermediates
+        ref_feats, tar_feat = m.extract_img_feats()
+        with torch.no_grad():
+            all_points, neg_points, box, S_mat, C_mat, _, _ = \
+                m.patch_level_matching(ref_feats=ref_feats, tar_feat=tar_feat)
+            m.set_rps()
+            merged, final_score = m.mask_generation(
+                m.tar_img_np, all_points, box, all_points, m.ref_masks_pool,
+                C_mat, neg_points)
+        unfiltered = (m.unfiltered_generated_masks.numpy() > 0)
+        # per-mask scores over the post-NMS set (recomputed with the same
+        # helper mask_generation used, get_mask_scores :1152-1210)
+        pur, cov, emdv = [], [], []
+        for mk in unfiltered:
+            p_, c_, e_, *_ = m.rps.get_mask_scores(
+                points=all_points, masks=mk[None], all_points=all_points,
+                emd_cost=C_mat, ref_masks_pool=m.ref_masks_pool)
+            pur.append(float(p_)), cov.append(float(c_)), emdv.append(float(e_))
+        pur, cov, emdv = map(np.asarray, (pur, cov, emdv))
+        # the raw generator artifacts, regenerated deterministically
+        samples_list, label_list = m.rps.sample_points(all_points)
+        with torch.no_grad():
+            dicts = generator.generate(m.tar_img_np,
+                                       select_point_coords=samples_list,
+                                       select_point_labels=label_list)
+        gmasks = np.stack([d["segmentation"] for d in dicts])
+        assert np.array_equal(gmasks, unfiltered), "regen drifted"
+        iou_preds = np.asarray([d["predicted_iou"] for d in dicts], np.float32)
+        stab = np.asarray([d["stability_score"] for d in dicts], np.float32)
+        # top-k-path variant (reference :788-832) on the same episode.
+        # The reference's telemetry line :826-827 indexes the (1,H,W) merged
+        # mask with pixel coords and ALWAYS IndexErrors on this path; the
+        # merge itself completes first (masks_to_merge, :819-821), so
+        # recover the union from stored state and recompute the 3 lines the
+        # crash precedes (topk-normalized mean, :797-799,840).
+        m.score_filter_cfg["score_filter"] = False
+        m.score_filter_cfg["topk_scores_threshold"] = 0.2
+        try:
+            with torch.no_grad():
+                merged_tk, final_tk = m.mask_generation(
+                    m.tar_img_np, all_points, box, all_points,
+                    m.ref_masks_pool, C_mat, neg_points)
+            merged_tk = merged_tk.numpy()
+        except IndexError:
+            merged_tk = (m.masks_to_merge.numpy().sum(0) > 0).astype(np.float32)
+            keep_idx = m.metric_filters["purity"].numpy()
+            sc = np.sort(emdv[keep_idx])[::-1][:10]
+            norm_sc = sc / sc.max()
+            final_tk = float(norm_sc[norm_sc > 0.2].mean())
+        return dict(sup=sup, supm=supm, qry=qry, points=all_points,
+                    s_mat=S_mat.numpy(), cost=C_mat.numpy(),
+                    pool=m.ref_masks_pool.numpy(), masks=unfiltered,
+                    iou=iou_preds, stab=stab, purity=pur, coverage=cov,
+                    emd=emdv, merged=merged.numpy(),
+                    final_score=float(final_score),
+                    merged_topk=merged_tk,
+                    final_topk=float(final_tk))
+
+    def margins(r):
+        """Decision margins: every threshold comparison in the flow must sit
+        clear of the boundary so kernel-level tolerances (Sinkhorn ~1e-3,
+        converters ~1e-5) cannot flip it on the JAX side."""
+        n_pts = len(r["points"])
+        areas = r["masks"].reshape(len(r["masks"]), -1).sum(1)
+        n_live = int((areas > 0).sum())
+        if not (4 <= n_pts <= 8) or n_live < 5:
+            print(f"  shape: n_pts={n_pts} n_masks={len(r['masks'])} "
+                  f"n_live={n_live}")
+            return None
+        # purity metric filter (thres = min(0.02, max))
+        thres_p = min(0.02, r["purity"].max())
+        m_pur = np.abs(r["purity"] - thres_p).min()
+        keep = r["purity"] >= thres_p
+        sc = r["emd"][keep]  # alpha=1, beta=0
+        dist = np.sort(1 - sc)
+        m_score = np.abs(dist - 0.6).min()
+        dnorm = (dist - dist.min()) / (dist.max() + 1e-6)
+        m_norm = np.abs(dnorm - 0.4)[1:].min() if len(dnorm) > 1 else 1.0
+        n_merged = int(((dist < 0.6) & (dnorm < 0.4)).sum())
+        # topk path margin: normalized scores vs 0.2
+        m_topk = np.abs(sc / sc.max() - 0.2).min()
+        # NMS stability: among post-NMS survivors all pairwise box IoUs sit
+        # below the 0.5 threshold with margin (suppression topology frozen);
+        # empty masks' [0,0,0,0] boxes always have IoU 0 — skip them
+        bx = np.asarray([_mask_box(mm) for mm in r["masks"] if mm.any()],
+                        np.float32)
+        m_nms = _min_iou_margin(bx, 0.5)
+        return dict(n_pts=n_pts, n_masks=len(r["masks"]), n_merged=n_merged,
+                    m_pur=m_pur, m_score=m_score, m_norm=m_norm,
+                    m_topk=m_topk, m_nms=m_nms)
+
+    def _mask_box(mask):
+        ys, xs = np.nonzero(mask)
+        return [xs.min(), ys.min(), xs.max(), ys.max()]
+
+    def _min_iou_margin(boxes, thr):
+        n = len(boxes)
+        best = 1.0
+        for i in range(n):
+            for j in range(i + 1, n):
+                xa = max(boxes[i][0], boxes[j][0]); ya = max(boxes[i][1], boxes[j][1])
+                xb = min(boxes[i][2], boxes[j][2]); yb = min(boxes[i][3], boxes[j][3])
+                inter = max(0, xb - xa) * max(0, yb - ya)
+                a = (boxes[i][2] - boxes[i][0]) * (boxes[i][3] - boxes[i][1])
+                b = (boxes[j][2] - boxes[j][0]) * (boxes[j][3] - boxes[j][1])
+                union = a + b - inter
+                iou = inter / union if union > 0 else 0.0
+                best = min(best, abs(iou - thr))
+        return best
+
+    for seed in range(201, 341):
+        r = run(seed)
+        mg = margins(r)
+        print(f"golden matcher seed {seed}: " + (
+            "rejected (shape)" if mg is None else
+            " ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                     for k, v in mg.items())))
+        if mg and mg["n_merged"] >= 2 and mg["m_pur"] > 0.004 \
+                and mg["m_score"] > 0.02 and mg["m_norm"] > 0.02 \
+                and mg["m_topk"] > 0.02 and mg["m_nms"] > 0.015:
+            break
+    else:
+        raise AssertionError("no seed met the margin bar")
+
+    sd = {}
+    sd.update({f"dino.{k}": v for k, v in sd_to_np(dino).items()})
+    sd.update({f"sam.image_encoder.{k}": v for k, v in sd_to_np(enc).items()})
+    sd.update({f"sam.prompt_encoder.{k}": v for k, v in sd_to_np(pe).items()})
+    sd.update({f"sam.mask_decoder.{k}": v for k, v in sd_to_np(dec).items()})
+    save(
+        "golden_matcher_tiny",
+        support_images=r["sup"], support_masks=r["supm"],
+        query_image=r["qry"],
+        s_matrix=r["s_mat"], cost_matrix=r["cost"],
+        ref_masks_pool=r["pool"], points=r["points"].astype(np.int64),
+        proposals=r["masks"].astype(np.uint8), iou_preds=r["iou"],
+        stability=r["stab"], purity=r["purity"], coverage=r["coverage"],
+        emd=r["emd"],
+        merged=r["merged"], final_score=np.float64(r["final_score"]),
+        merged_topk=r["merged_topk"], final_topk=np.float64(r["final_topk"]),
+        **flat("sd.", sd),
+    )
+
+
 if __name__ == "__main__":
     # each generator pollutes sys.modules with stubs differently; run the
     # requested subset (default: everything, in isolated subprocesses)
     ALL = ["dinov2", "clip", "alpha_clip", "sam", "amg_multicrop", "pir",
-           "vip_llava", "swin", "golden_episode"]
+           "vip_llava", "swin", "golden_episode", "golden_matcher"]
     names = sys.argv[1:] or ALL
     if len(names) == 1:
         globals()[f"make_{names[0]}"]()
