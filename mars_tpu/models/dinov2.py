@@ -33,6 +33,9 @@ class DinoV2Config:
     layer_scale_init: float = 1e-5
     ln_eps: float = 1e-6
     pos_embed_grid: int = 37  # grid the checkpoint's pos embed covers
+    # scale-factor kludge for non-native input sizes (reference
+    # vision_transformer.py:204-209); 0.1 is the DINOv2 default
+    interpolate_offset: float = 0.1
 
 
 # reference: dinov2/models/vision_transformer.py:381-437
@@ -60,7 +63,10 @@ def forward_features(params, images, cfg: DinoV2Config, attn_tap_last_n: int = 0
     x = L.conv_patch_embed(params["patch_embed"], images, cfg.patch_size)
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + L.interpolate_pos_embed(params["pos_embed"], (gh, gw), 1, "bicubic")
+    x = x + L.interpolate_pos_embed(
+        params["pos_embed"], (gh, gw), 1, "bicubic",
+        interpolate_offset=cfg.interpolate_offset,
+    )
     if cfg.num_register_tokens:
         regs = jnp.broadcast_to(
             params["register_tokens"], (b, cfg.num_register_tokens, cfg.embed_dim)

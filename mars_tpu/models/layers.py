@@ -167,20 +167,56 @@ def block(
     return x, attn_probs
 
 
+def _torch_cubic_1d(x: jnp.ndarray, out_len: int, scale: float, axis: int,
+                    a: float = -0.75) -> jnp.ndarray:
+    """torch F.interpolate(mode='bicubic', align_corners=False,
+    antialias=False) along one axis: Keys kernel with A=-0.75 (jax.image's
+    'cubic' is Catmull-Rom A=-0.5), source coords (i+0.5)/scale - 0.5 with
+    border replication.  ``scale`` is the torch scale FACTOR — under
+    DINOv2's interpolate_offset kludge it is (w0+offset)/M, NOT w0/M."""
+    in_len = x.shape[axis]
+    src = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) / scale - 0.5
+    i0 = jnp.floor(src).astype(jnp.int32)
+    t = src - i0  # in [0, 1)
+
+    def k(dist):  # Keys cubic kernel
+        d = jnp.abs(dist)
+        near = (a + 2.0) * d ** 3 - (a + 3.0) * d ** 2 + 1.0
+        far = a * d ** 3 - 5.0 * a * d ** 2 + 8.0 * a * d - 4.0 * a
+        return jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
+
+    offs = jnp.arange(-1, 3)
+    weights = k(t[None, :] - offs[:, None])  # (4, out)
+    idx = jnp.clip(i0[None, :] + offs[:, None], 0, in_len - 1)  # (4, out)
+    gathered = jnp.take(x, idx.reshape(-1), axis=axis)
+    gshape = list(x.shape)
+    gshape[axis:axis + 1] = [4, out_len]
+    gathered = gathered.reshape(gshape)
+    wshape = [1] * gathered.ndim
+    wshape[axis], wshape[axis + 1] = 4, out_len
+    return jnp.sum(gathered * weights.reshape(wshape), axis=axis)
+
+
 def interpolate_pos_embed(
     pos_embed: jnp.ndarray,
     grid_hw: Tuple[int, int],
     num_prefix: int = 1,
     method: str = "bicubic",
     antialias: bool = False,
+    interpolate_offset: float = 0.0,
 ) -> jnp.ndarray:
     """Resample a (1, num_prefix + P, D) learned pos embed to a new grid.
 
     Covers DINOv2's bicubic interpolation (reference:
-    dinov2/models/vision_transformer.py:188-221) and CLIP's bilinear
+    dinov2/models/vision_transformer.py:188-222) and CLIP's bilinear
     ``upsample_pos_emb`` (reference: clip/model.py:102-117).  Prefix tokens
-    (CLS) pass through untouched.  torch F.interpolate(align_corners=False)
-    uses half-pixel sampling, which jax.image.resize matches.
+    (CLS) pass through untouched.
+
+    ``method='bicubic'`` reproduces torch semantics exactly: the Keys
+    A=-0.75 kernel, and — when ``interpolate_offset`` is nonzero (DINOv2's
+    default 0.1 "historical kludge", :204-209) — SCALE-FACTOR-based source
+    coordinates (i+0.5)·M/(w0+offset) - 0.5 rather than size-based ones.
+    'bilinear' keeps jax.image.resize (identical to torch half-pixel).
     """
     prefix = pos_embed[:, :num_prefix]
     grid = pos_embed[:, num_prefix:]
@@ -191,8 +227,16 @@ def interpolate_pos_embed(
     if (h, w) == (m, m):
         return pos_embed
     grid = grid.reshape(1, m, m, d).astype(jnp.float32)
-    method = {"bicubic": "cubic", "bilinear": "linear"}.get(method, method)
-    grid = jax.image.resize(grid, (1, h, w, d), method=method, antialias=antialias)
+    if method == "bicubic":
+        assert not antialias, "antialiased bicubic pos-embed not implemented"
+        sy = (h + interpolate_offset) / m if interpolate_offset else h / m
+        sx = (w + interpolate_offset) / m if interpolate_offset else w / m
+        grid = _torch_cubic_1d(grid, h, sy, axis=1)
+        grid = _torch_cubic_1d(grid, w, sx, axis=2)
+    else:
+        jmethod = {"bilinear": "linear"}.get(method, method)
+        grid = jax.image.resize(grid, (1, h, w, d), method=jmethod,
+                                antialias=antialias)
     grid = grid.reshape(1, h * w, d).astype(pos_embed.dtype)
     return jnp.concatenate([prefix.astype(pos_embed.dtype), grid], axis=1)
 

@@ -57,6 +57,27 @@ class TestDinoV2:
             np.asarray(out["attn_mean"][0]), d["attn_mean_last2"], atol=2e-5, rtol=1e-4
         )
 
+    def test_interpolate_offset_pos_embed(self, setup):
+        """Non-native input size: the reference's interpolate_offset=0.1
+        uses scale_factor=(w0+0.1)/M bicubic (vision_transformer.py:204-209)
+        with torch's A=-0.75 Keys kernel — not size-based resampling."""
+        cfg, params, d = setup
+        from mars_tpu.models import layers as L
+
+        pe = L.interpolate_pos_embed(
+            params["pos_embed"], (5, 5), 1, "bicubic",
+            interpolate_offset=cfg.interpolate_offset)
+        np.testing.assert_allclose(
+            np.asarray(pe), d["pos_embed70"], atol=2e-6, rtol=1e-5)
+
+    def test_forward_features_non_native_size(self, setup):
+        cfg, params, d = setup
+        out = dinov2.forward_features(
+            params, jnp.asarray(nchw_to_nhwc(d["input70"])), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out["x_prenorm"]), d["x_prenorm70"], atol=2e-5,
+            rtol=1e-4)
+
 
 class TestClip:
     @pytest.fixture(scope="class")

@@ -50,9 +50,15 @@ def make_dinov2():
         for p in model.parameters():
             p.copy_(torch.randn_like(p) * 0.05)
     x = torch.randn(2, 3, 56, 56)
+    # non-native size: grid 5 ≠ pos-embed grid 4 fires the
+    # interpolate_offset=0.1 scale-factor bicubic (:204-209)
+    x70 = torch.randn(1, 3, 70, 70)
     with torch.no_grad():
         out = model.forward_features(x)
         attn_maps = model.get_last_self_attention(x[:1])
+        out70 = model.forward_features(x70)
+        pe70 = model.interpolate_pos_encoding(
+            torch.zeros(1, 26, 32), 70, 70)  # npatch+1=26 ≠ N+1=17
     # PIR-style stripped mean over last 2 blocks & heads
     # (PriorInformationRefinementModule.py:31-44, num_regs=4)
     stacked = torch.stack([aw[0, :, 5:, 5:] for aw in attn_maps], dim=0)[-2:]
@@ -63,6 +69,9 @@ def make_dinov2():
         x_prenorm=out["x_prenorm"].numpy(),
         x_norm_patch=out["x_norm_patchtokens"].numpy(),
         attn_mean_last2=attn_mean.numpy(),
+        input70=x70.numpy(),
+        x_prenorm70=out70["x_prenorm"].numpy(),
+        pos_embed70=pe70.numpy(),
         **flat("sd.", sd_to_np(model)),
     )
 
