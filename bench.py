@@ -142,19 +142,107 @@ def main():
     per_episode = min(times)
     eps_per_sec = 1.0 / per_episode
 
-    print(
-        json.dumps(
-            {
-                "metric": "episode_ranking_throughput",
-                "value": round(eps_per_sec, 4),
-                "unit": "episodes/sec/chip",
-                "vs_baseline": round(eps_per_sec * BASELINE_EPISODE_SECONDS, 3),
-                "per_episode_ms": round(per_episode * 1000, 1),
-                "compile_s": round(compile_s, 1),
-                "device": str(jax.devices()[0]),
-            }
+    record = {
+        "metric": "episode_ranking_throughput",
+        "value": round(eps_per_sec, 4),
+        "unit": "episodes/sec/chip",
+        "vs_baseline": round(eps_per_sec * BASELINE_EPISODE_SECONDS, 3),
+        "per_episode_ms": round(per_episode * 1000, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+    # ---- full-episode end-to-end: text (int8 7B VLM) + inline proposal
+    # generation (DINOv2-L shared with VVA + SAM) + ranking — the
+    # reference's own headline unit (main_MARS.py:76-89,103 logs the full
+    # per-episode total).  Gated so a degraded remote-compile day can't
+    # sink the primary metric (MARS_BENCH_E2E=0 skips).
+    if _os.environ.get("MARS_BENCH_E2E", "1") == "1":
+        try:
+            record.update(_measure_e2e(
+                dino_params, dcfg, episode_rank, ep, vta_text, ac_text))
+        except Exception as exc:  # noqa: BLE001 — never lose the primary line
+            record["end_to_end_error"] = f"{type(exc).__name__}: {exc}"
+
+    print(json.dumps(record))
+
+
+def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
+    """Measure text + proposal generation + ranking as one eps/s number."""
+    from mars_tpu.cli import bucket_generated_proposals
+    from mars_tpu.models import sam as sam_m, vip_llava as vl, zoo
+    from mars_tpu.models.precision import cast_floating
+    from mars_tpu.pipeline import amg, matcher
+
+    # ViP-LLaVA-7B int8 (the production retriever backend, cli --jax-vlm)
+    vcfg = vl.VipLlavaConfig()
+    vlm_p = vl.init_random_params(0, vcfg, quantize_bits=8)
+    gtok = (vcfg.image_size // vcfg.patch_size) ** 2
+    name_ids = np.full((1, 600), 5, np.int64)  # ≈1176-token multimodal prompt
+    name_ids[0, 10] = vcfg.image_token_index
+    pixels = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+
+    def text_stage():
+        # 1-shot name query (max 20 new tokens) + definition (max 50)
+        # (reference TextRetrieverModule.py:76,118)
+        n = vl.generate_greedy(vlm_p, jnp.asarray(name_ids), pixels, vcfg,
+                               max_new_tokens=20)
+        d = vl.generate_greedy(vlm_p, jnp.asarray(name_ids), pixels, vcfg,
+                               max_new_tokens=50)
+        return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
+
+    sam_params, sam_cfg = zoo.build_sam(None, "vit_b")
+    sam_params = cast_floating(sam_params)
+    mcfg = matcher.MatcherConfig(input_size=518, grid=37, patch_size=14)
+    acfg = amg.AmgConfig()
+    key = jax.random.PRNGKey(0)
+
+    def proposal_stage(k):
+        return matcher.generate_proposals(
+            k, dino_params, dcfg, sam_params, sam_cfg, acfg, mcfg,
+            ep.support_images, ep.support_masks, ep.support_valid,
+            ep.query_image,
         )
-    )
+
+    # compile all three stages once
+    t0 = time.time()
+    text_stage()
+    out = proposal_stage(key)
+    props = bucket_generated_proposals(out, PROPOSAL_BUCKET)
+    merged = episode_rank(ep, props, vta_text, ac_text)
+    _ = float(merged[0, 0])
+    e2e_compile_s = time.time() - t0
+
+    stage_ms = {"text": [], "proposals": [], "ranking": []}
+    totals = []
+    for i in range(3):
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        text_stage()
+        t1 = time.time()
+        out = proposal_stage(k)
+        props = bucket_generated_proposals(out, PROPOSAL_BUCKET)
+        _ = float(props.masks[0, 0, 0])
+        t2 = time.time()
+        merged = episode_rank(ep, props, vta_text, ac_text)
+        _ = float(merged[0, 0])
+        t3 = time.time()
+        stage_ms["text"].append(t1 - t0)
+        stage_ms["proposals"].append(t2 - t1)
+        stage_ms["ranking"].append(t3 - t2)
+        totals.append(t3 - t0)
+    best = min(totals)
+    return {
+        "episode_end_to_end_throughput": round(1.0 / best, 4),
+        "end_to_end_per_episode_ms": round(best * 1000, 1),
+        "end_to_end_stage_ms": {
+            k: round(min(v) * 1000, 1) for k, v in stage_ms.items()
+        },
+        "end_to_end_compile_s": round(e2e_compile_s, 1),
+        "end_to_end_config": "vlm=vip-llava-7b-int8 text=20+50tok "
+                             "proposals=dinov2-l+sam-vit-b@518 "
+                             "ranking=full-128-bucket",
+    }
 
 
 if __name__ == "__main__":

@@ -164,7 +164,8 @@ def synthetic_proposals(rec, size, bucket, rng):
 
 def bucket_generated_proposals(out, bucket):
     """Compact a Matcher output into a ranking bucket: valid rows first,
-    best ``final_score`` first.
+    best per-mask score first (so a bucket smaller than the decode layout
+    keeps the BEST proposals, not arbitrary ones).
 
     generate_proposals returns its FIXED decode layout with dead rows in
     place (the size-1..3 combination prompt sets are invalid by
@@ -175,8 +176,10 @@ def bucket_generated_proposals(out, bucket):
     import jax.numpy as jnp
 
     valid = out["proposal_valid"]
-    score = out["final_score"]
-    order = jnp.argsort(jnp.where(valid, -score, jnp.inf))
+    # per-mask combined score (matcher score_masks/filter_and_merge key);
+    # the scalar final_score is a MERGE statistic, identical across rows
+    score = out["mask_score"] if "mask_score" in out else out["emd_score"]
+    order = jnp.argsort(jnp.where(valid, -score, jnp.inf), stable=True)
     masks = out["proposal_masks"][order] * valid[order][:, None, None]
     return pad_proposals(masks.astype(jnp.float32), bucket,
                          valid=valid[order])

@@ -262,9 +262,15 @@ def no_mask_dense(params, grid_hw: Tuple[int, int]):
 # two-way transformer + mask decoder
 # --------------------------------------------------------------------------
 
-def _attn(p, q, k, v, num_heads):
+def _attn(p, q, k, v, num_heads, key_valid=None):
     """Projection attention with optional internal downsampling (reference
-    transformer.py:185-240)."""
+    transformer.py:185-240).
+
+    ``key_valid`` (B, Nk) masks padded key tokens out of the softmax — with
+    it, a prompt row padded to a common length decodes EXACTLY like the
+    unpadded row (duplicated not_a_point pads would otherwise reweight the
+    softmax), which lets mixed-size prompt sets share one batched decode.
+    """
     q = L.dense(p["q"], q)
     k = L.dense(p["k"], k)
     v = L.dense(p["v"], v)
@@ -274,17 +280,22 @@ def _attn(p, q, k, v, num_heads):
     kh = k.reshape(b, k.shape[1], num_heads, hd)
     vh = v.reshape(b, v.shape[1], num_heads, hd)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / (hd ** 0.5)
+    if key_valid is not None:
+        logits = jnp.where(key_valid[:, None, None, :], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, nq, c)
     return L.dense(p["out"], out)
 
 
-def _two_way_block(p, queries, keys, query_pe, key_pe, num_heads, skip_first_pe):
+def _two_way_block(p, queries, keys, query_pe, key_pe, num_heads, skip_first_pe,
+                   token_valid=None):
     if skip_first_pe:
-        queries = _attn(p["self_attn"], queries, queries, queries, num_heads)
+        queries = _attn(p["self_attn"], queries, queries, queries, num_heads,
+                        key_valid=token_valid)
     else:
         q = queries + query_pe
-        queries = queries + _attn(p["self_attn"], q, q, queries, num_heads)
+        queries = queries + _attn(p["self_attn"], q, q, queries, num_heads,
+                                  key_valid=token_valid)
     queries = L.layer_norm(p["norm1"], queries)
 
     q = queries + query_pe
@@ -297,7 +308,8 @@ def _two_way_block(p, queries, keys, query_pe, key_pe, num_heads, skip_first_pe)
 
     q = queries + query_pe
     k = keys + key_pe
-    keys = keys + _attn(p["cross_attn_i2t"], k, q, queries, num_heads)
+    keys = keys + _attn(p["cross_attn_i2t"], k, q, queries, num_heads,
+                        key_valid=token_valid)
     keys = L.layer_norm(p["norm4"], keys)
     return queries, keys
 
@@ -317,6 +329,7 @@ def decode_masks(
     sparse_prompts,  # (B, N, C)
     dense_prompts,  # (B, G, G, C) or None
     cfg: SamConfig,
+    sparse_valid=None,  # (B, N) bool — pad slots masked out of attention
 ):
     """Predict (B, 4, 4G, 4G) mask logits + (B, 4) IoU for B prompt sets
     against one image embedding (reference mask_decoder.py:112-176).
@@ -324,6 +337,11 @@ def decode_masks(
     The caller selects multimask slices (reference :100-110) — kept out of
     the kernel so one jitted decode serves every output_layer config
     (reference automatic_mask_generator.py:405-415,508-518).
+
+    With ``sparse_valid``, rows of DIFFERENT prompt-set sizes padded to a
+    common N decode exactly as their unpadded selves (pad tokens are
+    attention-masked), so one batched program replaces the reference's
+    per-size batches (automatic_mask_generator.py:455-556).
     """
     d = params
     b = sparse_prompts.shape[0]
@@ -342,11 +360,17 @@ def decode_masks(
     src = src.reshape(b, g * g, c)
     pos = jnp.broadcast_to(image_pe[None], (b, g, g, c)).reshape(b, g * g, c)
 
+    token_valid = None
+    if sparse_valid is not None:
+        token_valid = jnp.concatenate(
+            [jnp.ones((b, 1 + num_mask_tokens), bool), sparse_valid], axis=1)
+
     queries, keys = tokens, src
     t = d["transformer"]
     for i in range(cfg.decoder_depth):
         queries, keys = _two_way_block(
-            t[f"layer{i}"], queries, keys, tokens, pos, cfg.decoder_heads, i == 0
+            t[f"layer{i}"], queries, keys, tokens, pos, cfg.decoder_heads,
+            i == 0, token_valid=token_valid,
         )
     q = queries + tokens
     k = keys + pos

@@ -136,6 +136,16 @@ def decode_prompt_sets(
         params["prompt_encoder"], coords, point_labels, (model_cfg.img_size,) * 2,
         pad=not use_box,
     )
+    # label -1 slots inside the K columns are PADDING, masked out of the
+    # decoder's attention so mixed-size prompt rows decode exactly as their
+    # unpadded selves (the reference batches per size instead,
+    # automatic_mask_generator.py:455-556); the appended canonical pad
+    # point / box tokens stay live.
+    b_rows = point_labels.shape[0]
+    sparse_valid = point_labels != -1
+    extra = 2 if use_box else 1
+    sparse_valid = jnp.concatenate(
+        [sparse_valid, jnp.ones((b_rows, extra), bool)], axis=1)
     if use_box:
         bcoords = sam.transform_coords(box.reshape(2, 2), original_size, model_cfg.img_size)
         bemb = sam.embed_boxes(params["prompt_encoder"], bcoords.reshape(1, 4),
@@ -151,13 +161,20 @@ def decode_prompt_sets(
 
     nb = cfg.decode_batch
     sparse_p = _pad_to_multiple(sparse, nb)
+    valid_p = _pad_to_multiple(sparse_valid, nb)
     n_chunks = sparse_p.shape[0] // nb
     sparse_c = sparse_p.reshape(n_chunks, nb, *sparse.shape[1:])
+    valid_c = valid_p.reshape(n_chunks, nb, valid_p.shape[1])
+    # padded chunk rows must keep at least one live token (all-masked rows
+    # softmax over -inf → NaN); their outputs are sliced away below
+    valid_c = valid_c.at[..., -1].set(True)
 
-    def chunk(sp):
+    def chunk(args):
+        sp, sv = args
         lr, iou = sam.decode_masks(
             params["decoder"], embedding, image_pe, sp,
             jnp.broadcast_to(dense, (nb, g, g, dense.shape[-1])), model_cfg,
+            sparse_valid=sv,
         )  # (nb, 4, 4G, 4G), (nb, 4)
         lr_sel, iou_sel = _select_layers(lr, iou, multimask, out_layer)
         # full-res logits for parity-exact stability/boxes
@@ -168,7 +185,7 @@ def decode_prompt_sets(
         boxes = mask_ops.mask_to_box(th).astype(jnp.float32)
         return th, lr_sel, iou_sel, stab, boxes
 
-    th, lr, iou, stab, boxes = jax.lax.map(chunk, sparse_c)
+    th, lr, iou, stab, boxes = jax.lax.map(chunk, (sparse_c, valid_c))
 
     def flat(x):
         return x.reshape((-1,) + x.shape[3:])

@@ -489,6 +489,146 @@ def _features_and_matrices(dino_params, support_images, support_masks,
     pooled = pooled & support_valid[:, None, None]
     return s_mat, cost, pooled.reshape(-1)
 
+@partial(jax.jit, static_argnames=("dino_cfg", "cfg"))
+def _match_stage(key, dino_params, support_images, support_masks,
+                 support_valid, query_image, dino_cfg, cfg: MatcherConfig):
+    """Program 1 of 2: features + matching (+ optional kmeans centers).
+
+    Everything up to the single host decision point (which prompt family is
+    active) runs as ONE dispatch — on the tunnel-attached chip every
+    dispatch costs ~35 ms, so program count is the latency budget."""
+    s_mat, cost, support_fg = _features_and_matrices(
+        dino_params, support_images, support_masks, support_valid,
+        query_image, dino_cfg, cfg.grid,
+    )
+    points, point_valid = matched_points(s_mat, support_fg, cfg)
+    if not cfg.use_points_or_centers:
+        n_pts = jnp.sum(point_valid)
+        centers, _ = kmeans.kmeans_pp(
+            jax.random.fold_in(key, 0), points, point_valid, cfg.num_centers)
+        centers = jnp.round(centers)
+        c_valid = jnp.arange(cfg.num_centers) < jnp.minimum(n_pts, cfg.num_centers)
+        # pad to the same (L,) layout for sampling
+        pad = points.shape[0] - cfg.num_centers
+        prompt_pts = jnp.pad(centers, ((0, pad), (0, 0)))
+        prompt_valid = jnp.pad(c_valid, (0, pad))
+    else:
+        prompt_pts, prompt_valid = points, point_valid
+    return {
+        "s_mat": s_mat, "cost": cost, "support_fg": support_fg,
+        "points": points, "point_valid": point_valid,
+        "prompt_pts": prompt_pts, "prompt_valid": prompt_valid,
+        "n_prompt": jnp.sum(prompt_valid),
+    }
+
+
+@partial(jax.jit, static_argnames=("sam_cfg", "amg_cfg", "cfg", "rows",
+                                   "use_mask_input"))
+def _propose_stage(key, m, query_image, sam_params, mask_input,
+                   sam_cfg, amg_cfg, cfg: MatcherConfig, rows,
+                   use_mask_input: bool):
+    """Program 2 of 2: prompt sampling → SAM encode → ONE batched decode of
+    the active family (pad slots attention-masked, exact vs the reference's
+    per-size batches :1276-1295) → NMS → scoring → merge."""
+    rows_np = np.asarray(rows, np.int32)
+    k_s = jax.random.fold_in(key, 1)
+    coords, labels, set_valid = sample_prompt_sets(
+        k_s, m["prompt_pts"], m["prompt_valid"], cfg)
+
+    # negative priors: per prompt set, co-sample an equal number of label-0
+    # points from each active negative source (reference :643-660); with
+    # merge_prompt_types the plain positive sets are decoded as well
+    use_negs = (cfg.use_negative_priors_from_discarded
+                or cfg.use_negative_priors_from_cost)
+    groups = []  # (coords, labels, valid) per prompt family
+    if use_negs:
+        neg_sources = []
+        if cfg.use_negative_priors_from_discarded:
+            neg_sources.append(
+                negative_points_from_discarded(m["s_mat"], m["support_fg"], cfg))
+        if cfg.use_negative_priors_from_cost:
+            neg_sources.append(
+                negative_points_from_cost(m["cost"], m["support_fg"], cfg))
+        for si, (neg_pts, neg_valid) in enumerate(neg_sources):
+            kn = jax.random.fold_in(key, 2 + si)
+            ncoords, nlabels = co_sample_negatives(
+                kn, set_valid, neg_pts, neg_valid, cfg)
+            groups.append((
+                jnp.concatenate([coords, ncoords], axis=1),
+                jnp.concatenate([labels, nlabels], axis=1),
+                set_valid,
+            ))
+        if cfg.merge_prompt_types:
+            groups.append((coords, labels, set_valid))
+    else:
+        groups.append((coords, labels, set_valid))
+
+    points, point_valid = m["points"], m["point_valid"]
+    box = None
+    if cfg.use_box:
+        xv = jnp.where(point_valid, points[:, 0], jnp.inf)
+        yv = jnp.where(point_valid, points[:, 1], jnp.inf)
+        box = jnp.asarray([
+            jnp.maximum(jnp.min(xv), 0),
+            jnp.maximum(jnp.min(yv), 0),
+            jnp.minimum(jnp.max(jnp.where(point_valid, points[:, 0], -jnp.inf)), cfg.input_size - 1),
+            jnp.minimum(jnp.max(jnp.where(point_valid, points[:, 1], -jnp.inf)), cfg.input_size - 1),
+        ])
+
+    embedding = amg.encode_target(sam_params, query_image, sam_cfg)
+
+    results = []
+    for gcoords, glabels, gvalid in groups:
+        results.append(amg.decode_prompt_sets(
+            sam_params, embedding,
+            gcoords[rows_np], glabels[rows_np], gvalid[rows_np],
+            sam_cfg, amg_cfg,
+            original_size=(cfg.input_size, cfg.input_size),
+            box=box, use_box=cfg.use_box,
+            mask_input=mask_input, use_mask_input=use_mask_input,
+        ))
+    dec = amg.nms_filter(amg.concat_decodes(results), amg_cfg.box_nms_thresh)
+
+    emd_score, purity, coverage = score_masks(
+        dec["masks"], dec["valid"], points, point_valid, m["support_fg"],
+        m["cost"], cfg,
+    )
+    merged, final_score, chosen = filter_and_merge(
+        dec["masks"], dec["valid"], emd_score, purity, coverage, cfg,
+    )
+    return {
+        "proposal_masks": dec["masks"],
+        "proposal_valid": dec["valid"],
+        "low_res_logits": dec["low_res_logits"],
+        "iou": dec["iou"],
+        "stability": dec["stability"],
+        "emd_score": emd_score,
+        "purity": purity,
+        "coverage": coverage,
+        # per-mask combined score (reference :719-720) — the ranking key
+        # for bucketing proposals downstream (cli.bucket_generated_proposals)
+        "mask_score": cfg.alpha * emd_score
+                      + cfg.beta * purity * coverage ** cfg.exp,
+        "merged": merged,
+        "final_score": final_score,
+        "chosen": chosen,
+        "embedding": embedding,  # reusable for cascaded refinement
+        # internal-state telemetry (reference Matcher getters :1039-1095)
+        "telemetry": {
+            "n_support_patches": jnp.sum(m["support_fg"]),
+            "n_matched_points": jnp.sum(point_valid),
+            "n_prompt_sets": jnp.sum(set_valid) * len(groups),
+            "n_proposals": jnp.sum(dec["valid"]),
+            "n_merged": jnp.sum(chosen),
+            "positive_points_inside_mask": jnp.sum(
+                point_valid
+                & (merged[jnp.clip(points[:, 1].astype(jnp.int32), 0, merged.shape[0] - 1),
+                          jnp.clip(points[:, 0].astype(jnp.int32), 0, merged.shape[1] - 1)] > 0)
+            ),
+        },
+    }
+
+
 def generate_proposals(
     key,
     dino_params,
@@ -510,188 +650,41 @@ def generate_proposals(
     merged prediction, and the cost matrix / support footprint (reusable
     by the MARS ranking stage).
 
-    ``timers``: optional utils.profiling.StageTimers — COARSE spans only
-    (features+matching / sampling / encode+decode / score+merge): each
-    span forces a device sync that costs a ~35 ms dispatch floor on the
-    tunneled chip, so fine-grained spans would distort more than they
-    measure (tools/matcher_bench.py).
+    The whole episode runs as exactly TWO compiled programs split at the
+    single data-dependent host decision (which prompt family is active,
+    n ≤ 8 → combinations, else random draws): dispatches through the
+    tunnel-attached chip cost ~35 ms each, so the old 6-8-program flow
+    paid a ~190 ms host-dispatch gap per episode (BASELINE.md round-2
+    stage profile).  ``timers`` therefore carries two coarse spans
+    ("match", "propose"); use jax.profiler (utils.profiling.trace) for
+    intra-program detail.
     """
     import contextlib
 
     span = (timers.span if timers is not None
             else (lambda *a, **k: contextlib.nullcontext()))
-    g = cfg.grid
-    with span("features+matching"):
-        s_mat, cost, support_fg = _features_and_matrices(
-            dino_params, support_images, support_masks, support_valid,
-            query_image, dino_cfg, g,
-        )
-        points, point_valid = matched_points(s_mat, support_fg, cfg)
-        if timers is not None:
-            from mars_tpu.utils.profiling import force_sync
-            force_sync(point_valid)
-
-    key, k1, k2 = jax.random.split(key, 3)
-    if not cfg.use_points_or_centers:
-        n_pts = jnp.sum(point_valid)
-        centers, _ = kmeans.kmeans_pp(k1, points, point_valid, cfg.num_centers)
-        centers = jnp.round(centers)
-        c_valid = jnp.arange(cfg.num_centers) < jnp.minimum(n_pts, cfg.num_centers)
-        prompt_pts, prompt_valid = centers, c_valid
-        # pad to the same (L,) layout for sampling
-        pad = points.shape[0] - cfg.num_centers
-        prompt_pts = jnp.pad(prompt_pts, ((0, pad), (0, 0)))
-        prompt_valid = jnp.pad(prompt_valid, (0, pad))
-    else:
-        prompt_pts, prompt_valid = points, point_valid
-
-    coords, labels, set_valid = sample_prompt_sets(k2, prompt_pts, prompt_valid, cfg)
-
-    # negative priors: per prompt set, co-sample an equal number of label-0
-    # points from each active negative source (reference :643-660); with
-    # merge_prompt_types the plain positive sets are decoded as well
-    use_negs = cfg.use_negative_priors_from_discarded or cfg.use_negative_priors_from_cost
-    groups = []  # (coords, labels, valid) per prompt family
-    if use_negs:
-        neg_sources = []
-        if cfg.use_negative_priors_from_discarded:
-            neg_sources.append(negative_points_from_discarded(s_mat, support_fg, cfg))
-        if cfg.use_negative_priors_from_cost:
-            neg_sources.append(negative_points_from_cost(cost, support_fg, cfg))
-        for si, (neg_pts, neg_valid) in enumerate(neg_sources):
-            key, kn = jax.random.split(key)
-            ncoords, nlabels = co_sample_negatives(kn, set_valid, neg_pts, neg_valid, cfg)
-            groups.append((
-                jnp.concatenate([coords, ncoords], axis=1),
-                jnp.concatenate([labels, nlabels], axis=1),
-                set_valid,
-            ))
-        if cfg.merge_prompt_types:
-            groups.append((coords, labels, set_valid))
-    else:
-        groups.append((coords, labels, set_valid))
-
-    box = None
-    if cfg.use_box:
-        xv = jnp.where(point_valid, points[:, 0], jnp.inf)
-        yv = jnp.where(point_valid, points[:, 1], jnp.inf)
-        box = jnp.asarray([
-            jnp.maximum(jnp.min(xv), 0),
-            jnp.maximum(jnp.min(yv), 0),
-            jnp.minimum(jnp.max(jnp.where(point_valid, points[:, 0], -jnp.inf)), cfg.input_size - 1),
-            jnp.minimum(jnp.max(jnp.where(point_valid, points[:, 1], -jnp.inf)), cfg.input_size - 1),
-        ])
-
     if timers is not None:
         from mars_tpu.utils.profiling import force_sync
-        with timers.span("prompt_sampling"):
-            force_sync(set_valid)
-    with span("sam_encode"):
-        embedding = amg.encode_target(sam_params, query_image, sam_cfg)
+    with span("match"):
+        m = _match_stage(key, dino_params, support_images, support_masks,
+                         support_valid, query_image, dino_cfg, cfg)
         if timers is not None:
-            force_sync(embedding)
+            force_sync(m["prompt_valid"])
 
-    # decode size-homogeneous groups so each prompt set carries exactly i
-    # positive (+ i negative) points + SAM's single pad point, matching the
-    # reference's per-size batches (reference :1276-1295, _process_sel_batch).
-    # Exactly one prompt family is active per episode; one host sync on the
-    # point count lets us statically decode only that family's rows
-    # (~70% fewer SAM decodes on the typical n>8 path).
-    sizes_np = prompt_set_sizes(cfg)
     combo_rows, draw_rows = prompt_family_rows(cfg)
-    n_pts_host = int(jax.device_get(jnp.sum(prompt_valid)))
-    active_rows = set((draw_rows if n_pts_host > 8 else combo_rows).tolist())
-    kmax = cfg.sample_range[1]
-    results = []
-    for gcoords, glabels, gvalid in groups:
-        with_negs = gcoords.shape[1] > kmax
-        for i in sorted(set(sizes_np.tolist())):
-            rows = np.nonzero(sizes_np == i)[0]
-            rows = rows[np.isin(rows, list(active_rows))]
-            if len(rows) == 0:
-                continue
-            cols_sel = list(range(i)) + (
-                list(range(kmax, kmax + i)) if with_negs else []
-            )
-            dec_i = amg.decode_prompt_sets(
-                sam_params, embedding,
-                gcoords[rows][:, cols_sel], glabels[rows][:, cols_sel],
-                gvalid[rows], sam_cfg, amg_cfg,
-                original_size=(cfg.input_size, cfg.input_size),
-                box=box, use_box=cfg.use_box,
-            )
-            results.append(dec_i)
-    dec = amg.concat_decodes(results)
-    dec = amg.nms_filter(dec, amg_cfg.box_nms_thresh)
-    if timers is not None:
-        with timers.span("sam_decode+nms"):
-            force_sync(dec["valid"])
+    n_pts_host = int(jax.device_get(m["n_prompt"]))
+    rows = tuple((draw_rows if n_pts_host > 8 else combo_rows).tolist())
 
-    if target_mask_low_res is not None:
-        # cascaded post-refinement (reference: Matcher target_mask plumbing
-        # :216,675 + AMG select_mask_input/stored-feature cache
-        # automatic_mask_generator.py:157,312-317,490-495): re-decode the
-        # same prompt sets conditioned on the previous prediction's low-res
-        # logits, reusing the cached image embedding.
-        results = []
-        for gcoords, glabels, gvalid in groups:
-            with_negs = gcoords.shape[1] > kmax
-            for i in sorted(set(sizes_np.tolist())):
-                rows = np.nonzero(sizes_np == i)[0]
-                rows = rows[np.isin(rows, list(active_rows))]
-                if len(rows) == 0:
-                    continue
-                cols_sel = list(range(i)) + (
-                    list(range(kmax, kmax + i)) if with_negs else []
-                )
-                results.append(amg.decode_prompt_sets(
-                    sam_params, embedding,
-                    gcoords[rows][:, cols_sel], glabels[rows][:, cols_sel],
-                    gvalid[rows], sam_cfg, amg_cfg,
-                    original_size=(cfg.input_size, cfg.input_size),
-                    box=box, use_box=cfg.use_box,
-                    mask_input=target_mask_low_res, use_mask_input=True,
-                ))
-        dec = amg.nms_filter(amg.concat_decodes(results), amg_cfg.box_nms_thresh)
-
-    with span("score+merge"):
-        emd_score, purity, coverage = score_masks(
-            dec["masks"], dec["valid"], points, point_valid, support_fg,
-            cost, cfg
-        )
-        merged, final_score, chosen = filter_and_merge(
-            dec["masks"], dec["valid"], emd_score, purity, coverage, cfg
+    with span("propose"):
+        out = _propose_stage(
+            key, m, query_image, sam_params, target_mask_low_res,
+            sam_cfg, amg_cfg, cfg, rows,
+            target_mask_low_res is not None,
         )
         if timers is not None:
-            force_sync(final_score)
-    return {
-        "proposal_masks": dec["masks"],
-        "proposal_valid": dec["valid"],
-        "low_res_logits": dec["low_res_logits"],
-        "iou": dec["iou"],
-        "stability": dec["stability"],
-        "emd_score": emd_score,
-        "purity": purity,
-        "coverage": coverage,
-        "merged": merged,
-        "final_score": final_score,
-        "chosen": chosen,
-        "cost_matrix": cost,
-        "support_fg": support_fg,
-        "embedding": embedding,  # reusable for cascaded refinement
-        "points": points,
-        "point_valid": point_valid,
-        # internal-state telemetry (reference Matcher getters :1039-1095)
-        "telemetry": {
-            "n_support_patches": jnp.sum(support_fg),
-            "n_matched_points": jnp.sum(point_valid),
-            "n_prompt_sets": jnp.sum(set_valid) * len(groups),
-            "n_proposals": jnp.sum(dec["valid"]),
-            "n_merged": jnp.sum(chosen),
-            "positive_points_inside_mask": jnp.sum(
-                point_valid
-                & (merged[jnp.clip(points[:, 1].astype(jnp.int32), 0, merged.shape[0] - 1),
-                          jnp.clip(points[:, 0].astype(jnp.int32), 0, merged.shape[1] - 1)] > 0)
-            ),
-        },
-    }
+            force_sync(out["final_score"])
+    out["cost_matrix"] = m["cost"]
+    out["support_fg"] = m["support_fg"]
+    out["points"] = m["points"]
+    out["point_valid"] = m["point_valid"]
+    return out

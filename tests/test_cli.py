@@ -170,7 +170,7 @@ def test_bucket_generated_proposals_compacts_valid_rows():
     valid = jnp.asarray([False] * 6 + [True] * 4)  # dead rows lead
     score = jnp.asarray([9.0] * 6 + [0.1, 0.9, 0.5, 0.7])
     out = {"proposal_masks": masks, "proposal_valid": valid,
-           "final_score": score}
+           "mask_score": score}
     props = cli.bucket_generated_proposals(out, bucket=4)
     assert props.masks.shape == (4, s, s)
     assert bool(props.valid.all())

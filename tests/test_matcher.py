@@ -429,6 +429,53 @@ class TestMultiShotMatcher:
         assert int(out["telemetry"]["n_support_patches"]) == 32
 
 
+class TestPaddedDecode:
+    def test_masked_padding_matches_exact_slicing(self):
+        """A prompt row padded to a larger K with label -1 slots must decode
+        EXACTLY like the unpadded row: pad tokens are attention-masked in
+        the two-way decoder (sam.decode_masks sparse_valid), which is what
+        lets mixed-size families share one batched decode where the
+        reference batches per size (automatic_mask_generator.py:455-556)."""
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        params = {
+            "encoder": sam.init_encoder_params(ks[0], scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(ks[1], scfg),
+            "decoder": sam.init_decoder_params(ks[2], scfg),
+        }
+        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
+                             sel_stability_score_thresh=0.0,
+                             sel_multimask_output=True, sel_output_layer=3,
+                             decode_batch=4)
+        emb = amg.encode_target(params, jax.random.uniform(ks[3], (56, 56, 3)),
+                                scfg)
+        coords2 = jnp.asarray([[[12.0, 20.0], [40.0, 31.0]],
+                               [[7.0, 7.0], [30.0, 44.0]]])
+        labels2 = jnp.ones((2, 2), jnp.int32)
+        exact = amg.decode_prompt_sets(
+            params, emb, coords2, labels2, jnp.ones((2,), bool), scfg, acfg,
+            original_size=(56, 56))
+        coords6 = jnp.pad(coords2, ((0, 0), (0, 4), (0, 0)),
+                          constant_values=33.0)  # junk coords in pad slots
+        labels6 = jnp.pad(labels2, ((0, 0), (0, 4)), constant_values=-1)
+        padded = amg.decode_prompt_sets(
+            params, emb, coords6, labels6, jnp.ones((2,), bool), scfg, acfg,
+            original_size=(56, 56))
+        np.testing.assert_allclose(np.asarray(padded["iou"]),
+                                   np.asarray(exact["iou"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(padded["low_res_logits"]),
+                                   np.asarray(exact["low_res_logits"]),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(padded["masks"]),
+                                      np.asarray(exact["masks"]))
+        np.testing.assert_array_equal(np.asarray(padded["boxes"]),
+                                      np.asarray(exact["boxes"]))
+
+
 class TestMatcherOss:
     """Semantic-SAM-variant driver (matcher_oss) on the SAM adapter."""
 

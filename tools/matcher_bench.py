@@ -1,10 +1,11 @@
 """Proposal-generation stage profile on one chip (random weights).
 
 Times matcher.generate_proposals at the production geometry (DINOv2-L +
-SAM @518, default MatcherConfig) with the COARSE in-flow spans described
-in generate_proposals' docstring — each span ends in a device sync, so
-per-span numbers carry a ~35 ms dispatch-floor bias on the tunneled chip;
-the un-spanned host dispatch time shows up as total - sum(spans).
+SAM @518, default MatcherConfig).  The flow is TWO compiled programs
+("match" / "propose" spans); each span ends in a device sync, so per-span
+numbers carry a ~35 ms dispatch-floor bias on the tunneled chip; the
+un-spanned host dispatch time shows up as total - sum(spans).  Use
+jax.profiler (MARS_TPU_PROFILE_DIR) for intra-program detail.
 
 Usage: python tools/matcher_bench.py [--episodes 6] [--sam-size vit_b]
        [--negatives]
