@@ -102,15 +102,48 @@ def _sine_embed_2d(coords: jnp.ndarray, dim: int,
 
 
 def _level_grid(h: int, w: int) -> np.ndarray:
-    """(h·w, 2) normalized cell-center xy."""
+    """(h·w, 2) normalized cell-center xy — the deformable REFERENCE-POINT
+    convention (Deformable-DETR get_reference_points: linspace(0.5, H-0.5)/H)."""
     ys = (np.arange(h) + 0.5) / h
     xs = (np.arange(w) + 0.5) / w
     gx, gy = np.meshgrid(xs, ys)
     return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
 
 
+def _pos_grid(h: int, w: int) -> np.ndarray:
+    """(h·w, 2) normalized xy for the SINE POSITION embedding — the
+    cumsum-normalized convention ((i+1)/(n+1e-6)) of detectron2's
+    PositionEmbeddingSine that MaskDINO/Mask2Former pixel decoders are
+    trained with (transformers Mask2FormerSinePositionEmbedding).  Distinct
+    from the cell-center reference-point grid above: released checkpoints
+    bake this half-cell shift into their weights."""
+    ys = (np.arange(h) + 1.0) / (h + 1e-6)
+    xs = (np.arange(w) + 1.0) / (w + 1e-6)
+    gx, gy = np.meshgrid(xs, ys)
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)
+
+
 def _ffn(p, x):
     return x + L.dense(p["fc2"], jax.nn.relu(L.dense(p["fc1"], x)))
+
+
+def _detr_self_attn(p, x, pos, num_heads: int):
+    """DETR-convention self-attention: the position embedding is added to
+    queries and KEYS only — VALUES stay position-free (transformers
+    DeformableDetrMultiheadAttention; torch `self_attn(q, k, value=tgt)`).
+    Uses the packed-qkv param layout, split per component."""
+    b, l, d = x.shape
+    hd = d // num_heads
+    wq, wk, wv = jnp.split(p["qkv"]["kernel"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["qkv"]["bias"], 3)
+    xp = x + pos
+    q = (jnp.einsum("blc,cd->bld", xp, wq) + bq).reshape(b, l, num_heads, hd)
+    k = (jnp.einsum("blc,cd->bld", xp, wk) + bk).reshape(b, l, num_heads, hd)
+    v = (jnp.einsum("blc,cd->bld", x, wv) + bv).reshape(b, l, num_heads, hd)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q * (hd ** -0.5), k)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b, l, d)
+    return L.dense(p["proj"], out)
 
 
 def _mlp3(p, x):
@@ -142,7 +175,7 @@ def encode_image(params, image: jnp.ndarray, cfg: SemanticSamConfig):
         b, h, w, c = f.shape
         shapes.append((h, w))
         srcs.append(f.reshape(b, h * w, c))
-        grid = jnp.asarray(_level_grid(h, w))
+        grid = jnp.asarray(_pos_grid(h, w))
         pos.append(_sine_embed_2d(grid, cfg.hidden)[None]
                    + params["level_embed"][lev][None, None])
     memory = jnp.concatenate(srcs, axis=1)
@@ -199,9 +232,9 @@ def predict_points(params, memory, mask_feats,
 
     for i in range(cfg.dec_layers):
         lp = params[f"dec{i}"]
-        # self-attention among the click's granularity queries
-        sa, _ = L.mha(lp["self_attn"], q + pos, cfg.num_heads,
-                      force_xla=True)
+        # self-attention among the click's granularity queries (DETR
+        # convention: pos on q/k, values pos-free)
+        sa = _detr_self_attn(lp["self_attn"], q, pos, cfg.num_heads)
         q = L.layer_norm(lp["ln1"], q + sa)
         ca = da.msda_layer(lp["msda"], q + pos, refs, mem,
                            shapes, cfg.num_heads, cfg.num_points)

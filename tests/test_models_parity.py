@@ -283,3 +283,298 @@ class TestSwin:
         img = jnp.asarray(nchw_to_nhwc(d["input"]))[:, :12, :12]  # stage0 res 3 < window 4
         small = swin.forward_features(params, img, cfg)
         assert np.isfinite(np.asarray(small["stage2"])).all()
+
+
+class TestSemanticSamDecoder:
+    """Pixel/point-decoder oracles for the native Semantic-SAM
+    (models/semantic_sam.py).  The MSDA kernel itself is oracle-tested in
+    test_ops; these pin the LAYER WIRING against the in-image transformers
+    implementations of the same architecture family, and the whole
+    interactive point decoder against an independent numpy re-derivation:
+
+      - sine position embedding vs Mask2FormerSinePositionEmbedding
+        (the cumsum-normalized (i+1)/n convention MaskDINO trains with)
+      - pixel-decoder encoder layer vs Mask2FormerPixelDecoderEncoderLayer
+      - point-decoder layer vs DeformableDetrDecoderLayer
+    """
+
+    def _dense(self, mod):
+        return {"kernel": jnp.asarray(mod.weight.detach().numpy().T),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    def _ln(self, mod):
+        return {"scale": jnp.asarray(mod.weight.detach().numpy()),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    def test_sine_pos_matches_mask2former(self):
+        import torch
+        from transformers.models.mask2former.modeling_mask2former import (
+            Mask2FormerSinePositionEmbedding,
+        )
+
+        from mars_tpu.models import semantic_sam as ss
+
+        h, w, dim = 5, 7, 32
+        emb = Mask2FormerSinePositionEmbedding(num_pos_feats=dim // 2,
+                                               normalize=True)
+        want = emb(torch.Size((1, dim, h, w)), "cpu", torch.float32)
+        want = want[0].permute(1, 2, 0).reshape(h * w, dim).numpy()
+        got = ss._sine_embed_2d(jnp.asarray(ss._pos_grid(h, w)), dim)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_encoder_layer_matches_mask2former(self):
+        import torch
+        from transformers import Mask2FormerConfig
+        from transformers.models.mask2former.modeling_mask2former import (
+            Mask2FormerPixelDecoderEncoderLayer,
+        )
+
+        from mars_tpu.models import layers as L
+        from mars_tpu.models import semantic_sam as ss
+        from mars_tpu.ops import deformable_attention as da
+
+        torch.manual_seed(0)
+        c, nh, npnt = 32, 4, 4
+        cfg = Mask2FormerConfig(feature_size=c, num_attention_heads=nh,
+                                encoder_feedforward_dim=64, dropout=0.0)
+        layer = Mask2FormerPixelDecoderEncoderLayer(cfg).eval()
+        with torch.no_grad():
+            for p in layer.parameters():
+                p.copy_(torch.randn_like(p) * 0.1)
+
+        shapes = ((4, 6), (2, 3), (1, 2))
+        l_total = sum(hh * ww for hh, ww in shapes)
+        g = torch.Generator().manual_seed(1)
+        mem = torch.randn(1, l_total, c, generator=g)
+        pos = torch.randn(1, l_total, c, generator=g)
+        refs = torch.rand(1, l_total, len(shapes), 2, generator=g)
+        with torch.no_grad():
+            want = layer(
+                hidden_states=mem, attention_mask=None,
+                position_embeddings=pos,
+                reference_points=refs[:, :, None].expand(-1, -1, 1, -1, -1)[:, :, 0],
+                spatial_shapes_list=list(shapes),
+                level_start_index=None,
+            )[0].numpy()
+
+        lp = {
+            "msda": {
+                "value_proj": self._dense(layer.self_attn.value_proj),
+                "sampling_offsets": self._dense(layer.self_attn.sampling_offsets),
+                "attention_weights": self._dense(layer.self_attn.attention_weights),
+                "output_proj": self._dense(layer.self_attn.output_proj),
+            },
+            "ln1": self._ln(layer.self_attn_layer_norm),
+            "ln2": self._ln(layer.final_layer_norm),
+            "ffn": {"fc1": self._dense(layer.fc1),
+                    "fc2": self._dense(layer.fc2)},
+        }
+        memory = jnp.asarray(mem.numpy())
+        q = memory + jnp.asarray(pos.numpy())
+        attn = da.msda_layer(lp["msda"], q, jnp.asarray(refs.numpy()),
+                             memory, shapes, nh, npnt)
+        out = L.layer_norm(lp["ln1"], memory + attn)
+        out = L.layer_norm(lp["ln2"], ss._ffn(lp["ffn"], out))
+        np.testing.assert_allclose(np.asarray(out)[0], want[0], atol=2e-5,
+                                   rtol=1e-4)
+
+    def test_decoder_layer_matches_deformable_detr(self):
+        import torch
+        from transformers import DeformableDetrConfig
+        from transformers.models.deformable_detr.modeling_deformable_detr \
+            import DeformableDetrDecoderLayer
+
+        from mars_tpu.models import layers as L
+        from mars_tpu.models import semantic_sam as ss
+        from mars_tpu.ops import deformable_attention as da
+
+        torch.manual_seed(2)
+        c, nh, npnt = 32, 4, 4
+        cfg = DeformableDetrConfig(
+            d_model=c, decoder_attention_heads=nh, decoder_ffn_dim=64,
+            dropout=0.0, activation_dropout=0.0, num_feature_levels=3,
+            decoder_n_points=npnt, activation_function="relu")
+        layer = DeformableDetrDecoderLayer(cfg).eval()
+        with torch.no_grad():
+            for p in layer.parameters():
+                p.copy_(torch.randn_like(p) * 0.1)
+
+        shapes = ((4, 6), (2, 3), (1, 2))
+        l_total = sum(hh * ww for hh, ww in shapes)
+        g = torch.Generator().manual_seed(3)
+        kq = 6
+        tgt = torch.randn(1, kq, c, generator=g)
+        qpos = torch.randn(1, kq, c, generator=g)
+        mem = torch.randn(1, l_total, c, generator=g)
+        refs = torch.rand(1, kq, len(shapes), 2, generator=g)
+        with torch.no_grad():
+            want = layer(
+                hidden_states=tgt, position_embeddings=qpos,
+                reference_points=refs,
+                spatial_shapes=torch.tensor(shapes),
+                spatial_shapes_list=list(shapes),
+                level_start_index=torch.tensor(
+                    np.cumsum([0] + [hh * ww for hh, ww in shapes[:-1]])),
+                encoder_hidden_states=mem,
+            )[0].numpy()
+
+        # pack q/k/v into our packed-qkv layout (torch keeps them separate)
+        qkv_w = np.concatenate([
+            layer.self_attn.q_proj.weight.detach().numpy().T,
+            layer.self_attn.k_proj.weight.detach().numpy().T,
+            layer.self_attn.v_proj.weight.detach().numpy().T,
+        ], axis=1)
+        qkv_b = np.concatenate([
+            layer.self_attn.q_proj.bias.detach().numpy(),
+            layer.self_attn.k_proj.bias.detach().numpy(),
+            layer.self_attn.v_proj.bias.detach().numpy(),
+        ])
+        lp = {
+            "self_attn": {
+                "qkv": {"kernel": jnp.asarray(qkv_w), "bias": jnp.asarray(qkv_b)},
+                "proj": self._dense(layer.self_attn.out_proj),
+            },
+            "msda": {
+                "value_proj": self._dense(layer.encoder_attn.value_proj),
+                "sampling_offsets": self._dense(layer.encoder_attn.sampling_offsets),
+                "attention_weights": self._dense(layer.encoder_attn.attention_weights),
+                "output_proj": self._dense(layer.encoder_attn.output_proj),
+            },
+            "ln1": self._ln(layer.self_attn_layer_norm),
+            "ln2": self._ln(layer.encoder_attn_layer_norm),
+            "ln3": self._ln(layer.final_layer_norm),
+            "ffn": {"fc1": self._dense(layer.fc1),
+                    "fc2": self._dense(layer.fc2)},
+        }
+        q = jnp.asarray(tgt.numpy())
+        pos = jnp.asarray(qpos.numpy())
+        sa = ss._detr_self_attn(lp["self_attn"], q, pos, nh)
+        q = L.layer_norm(lp["ln1"], q + sa)
+        ca = da.msda_layer(lp["msda"], q + pos, jnp.asarray(refs.numpy()),
+                           jnp.asarray(mem.numpy()), shapes, nh, npnt)
+        q = L.layer_norm(lp["ln2"], q + ca)
+        q = L.layer_norm(lp["ln3"], ss._ffn(lp["ffn"], q))
+        np.testing.assert_allclose(np.asarray(q)[0], want[0], atol=2e-5,
+                                   rtol=1e-4)
+
+    def test_predict_points_numpy_rederivation(self):
+        """The whole interactive point decoder vs an independent numpy
+        implementation of the same math (sine embed, DETR self-attn over
+        granularity queries, deformable cross-attention at the click,
+        FFN, mask/iou heads)."""
+        from mars_tpu.models import semantic_sam as ss
+
+        cfg = ss.SEMANTIC_SAM_TINY
+        params = ss.init_params(jax.random.PRNGKey(0), cfg)
+        shapes = ss.feature_shapes(cfg, cfg.input_size, cfg.input_size)
+        l_total = sum(hh * ww for hh, ww in shapes)
+        rng = np.random.RandomState(4)
+        memory = jnp.asarray(rng.randn(1, l_total, cfg.hidden)
+                             .astype(np.float32))
+        mask_feats = jnp.asarray(
+            rng.randn(1, 16, 16, cfg.hidden).astype(np.float32))
+        pts = jnp.asarray([[0.3, 0.6], [0.75, 0.2]], jnp.float32)
+        masks, iou = ss.predict_points(params, memory, mask_feats, pts, cfg,
+                                       shapes=shapes)
+
+        # ---- numpy re-derivation ----
+        P = jax.tree_util.tree_map(np.asarray, params)
+
+        def dense(p, x):
+            return x @ p["kernel"] + p.get("bias", 0.0)
+
+        def sine(coords, dim):
+            half = dim // 2
+            i = np.arange(half)
+            dim_t = 10000.0 ** (2 * (i // 2) / half)
+            x = coords[..., 0:1] * 2 * np.pi / dim_t
+            y = coords[..., 1:2] * 2 * np.pi / dim_t
+            x = np.where(i % 2 == 0, np.sin(x), np.cos(x))
+            y = np.where(i % 2 == 0, np.sin(y), np.cos(y))
+            return np.concatenate([y, x], axis=-1)
+
+        def softmax(x, axis):
+            e = np.exp(x - x.max(axis=axis, keepdims=True))
+            return e / e.sum(axis=axis, keepdims=True)
+
+        def ln(p, x, eps=1e-5):
+            m = x.mean(-1, keepdims=True)
+            v = ((x - m) ** 2).mean(-1, keepdims=True)
+            return (x - m) / np.sqrt(v + eps) * p["scale"] + p["bias"]
+
+        def np_msda(p, q, refs, value, nh, npnt):
+            b, qn, c = q.shape
+            d = c // nh
+            nl = len(shapes)
+            v = dense(p["value_proj"], value).reshape(-1, nh, d)  # (L,H,D)
+            off = dense(p["sampling_offsets"], q).reshape(
+                b, qn, nh, nl, npnt, 2)
+            w = softmax(dense(p["attention_weights"], q).reshape(
+                b, qn, nh, nl * npnt), -1).reshape(b, qn, nh, nl, npnt)
+            norm = np.asarray([[ww_, hh_] for hh_, ww_ in shapes], np.float32)
+            loc = refs[:, :, None, :, None, :] + off / norm[None, None, None, :, None, :]
+            out = np.zeros((b, qn, nh, d), np.float32)
+            start = 0
+            for lev, (hh_, ww_) in enumerate(shapes):
+                vl = v[start:start + hh_ * ww_].reshape(hh_, ww_, nh, d)
+                start += hh_ * ww_
+                for bi in range(b):
+                    for qi in range(qn):
+                        for hi in range(nh):
+                            for pi in range(npnt):
+                                x01, y01 = loc[bi, qi, hi, lev, pi]
+                                # grid_sample align_corners=False, zero pad
+                                px = x01 * ww_ - 0.5
+                                py = y01 * hh_ - 0.5
+                                x0, y0 = int(np.floor(px)), int(np.floor(py))
+                                acc = np.zeros(d, np.float32)
+                                for dy in (0, 1):
+                                    for dx in (0, 1):
+                                        xi, yi = x0 + dx, y0 + dy
+                                        wgt = ((1 - abs(px - xi))
+                                               * (1 - abs(py - yi)))
+                                        if 0 <= xi < ww_ and 0 <= yi < hh_:
+                                            acc += wgt * vl[yi, xi, hi]
+                                out[bi, qi, hi] += w[bi, qi, hi, lev, pi] * acc
+            return dense(p["output_proj"], out.reshape(b, qn, nh * d))
+
+        k, gq = 2, cfg.num_granularities
+        pts_np = np.asarray(pts)
+        pos = sine(pts_np, cfg.hidden)[:, None]  # (K,1,C)
+        q = np.broadcast_to(P["granularity_embed"][None],
+                            (k, gq, cfg.hidden)).astype(np.float32)
+        refs = np.broadcast_to(pts_np[:, None, None, :],
+                               (k, gq, len(shapes), 2))
+        value = np.asarray(memory)[0]
+        for i in range(cfg.dec_layers):
+            lp = P[f"dec{i}"]
+            wq, wk, wv = np.split(lp["self_attn"]["qkv"]["kernel"], 3, axis=1)
+            bq, bk, bv = np.split(lp["self_attn"]["qkv"]["bias"], 3)
+            hd = cfg.hidden // cfg.num_heads
+            xp = q + pos
+            qh = (xp @ wq + bq).reshape(k, gq, cfg.num_heads, hd)
+            kh = (xp @ wk + bk).reshape(k, gq, cfg.num_heads, hd)
+            vh = (q @ wv + bv).reshape(k, gq, cfg.num_heads, hd)
+            lg = np.einsum("klhd,kmhd->khlm", qh / np.sqrt(hd), kh)
+            pr = softmax(lg, -1)
+            sa = np.einsum("khlm,kmhd->klhd", pr, vh).reshape(k, gq, cfg.hidden)
+            sa = dense(lp["self_attn"]["proj"], sa)
+            q = ln(lp["ln1"], q + sa)
+            ca = np_msda(lp["msda"], q + pos, refs, value,
+                         cfg.num_heads, cfg.num_points)
+            q = ln(lp["ln2"], q + ca)
+            h = dense(lp["ffn"]["fc2"],
+                      np.maximum(dense(lp["ffn"]["fc1"], q), 0.0))
+            q = ln(lp["ln3"], q + h)
+
+        def mlp3(p, x):
+            x = np.maximum(dense(p["l0"], x), 0)
+            x = np.maximum(dense(p["l1"], x), 0)
+            return dense(p["l2"], x)
+
+        emb = mlp3(P["mask_embed"], q)
+        want_masks = np.einsum("kgc,bhwc->kghw", emb, np.asarray(mask_feats))
+        want_iou = mlp3(P["iou_head"], q)[..., 0]
+        np.testing.assert_allclose(np.asarray(masks), want_masks, atol=2e-4,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(iou), want_iou, atol=1e-4)
