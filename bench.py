@@ -103,8 +103,10 @@ def main():
 
     g = vva_cfg.grid
 
-    # the four device stages, jitted separately (matching the orchestrator;
-    # one mega-graph compiles far slower for no steady-state gain)
+    # ONE jitted program for all four device stages — the production
+    # orchestrator's fused single-dispatch graph (pipeline/mars.py _fused);
+    # separate stage programs pay ~25-30 ms of tunnel dispatch each
+    @jax.jit
     def episode_rank(ep, props, vta_text, ac_text):
         vva_prior, cost, support_fg = vva_m.compute(
             dino_params, ep.support_images, ep.support_masks, ep.support_valid,
