@@ -86,7 +86,8 @@ def build_retriever(args):
         from mars_tpu.text.retriever import JaxVipLlava
 
         vlm = JaxVipLlava(args.vlm_path, dtype=jnp.bfloat16,
-                          quantize_bits=bits or 8)
+                          quantize_bits=bits or 8,
+                          int4_format="nf4" if args.vlm4bit_nf4 else "affine")
     else:
         from mars_tpu.text.retriever import HFVipLlava
 
@@ -162,6 +163,9 @@ def synthetic_proposals(rec, size, bucket, rng):
     return pad_proposals(jnp.asarray(np.stack(props)), bucket)
 
 
+_BUCKET_COMPACT = None
+
+
 def bucket_generated_proposals(out, bucket):
     """Compact a Matcher output into a ranking bucket: valid rows first,
     best per-mask score first (so a bucket smaller than the decode layout
@@ -172,17 +176,32 @@ def bucket_generated_proposals(out, bucket):
     construction and sit at the front of the n<=8 family), so a plain
     ``[:bucket]`` truncation could keep only dead slots.  Compaction also
     restores the ranking stage's dead-chunk-skip precondition (valid rows
-    contiguous at the front)."""
-    import jax.numpy as jnp
+    contiguous at the front).
 
-    valid = out["proposal_valid"]
+    Runs as ONE jitted program: the episode-path invariant — eager jnp ops
+    cost ~35 ms of tunnel dispatch EACH, and the old eager chain (argsort +
+    gather + mul + pad) billed ~200 ms/episode on hardware."""
+    global _BUCKET_COMPACT
+    if _BUCKET_COMPACT is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("bucket",))
+        def _compact(masks, valid, score, bucket):
+            order = jnp.argsort(jnp.where(valid, -score, jnp.inf),
+                                stable=True)
+            m = masks[order] * valid[order][:, None, None]
+            return pad_proposals(m.astype(jnp.float32), bucket,
+                                 valid=valid[order])
+
+        _BUCKET_COMPACT = _compact
     # per-mask combined score (matcher score_masks/filter_and_merge key);
     # the scalar final_score is a MERGE statistic, identical across rows
     score = out["mask_score"] if "mask_score" in out else out["emd_score"]
-    order = jnp.argsort(jnp.where(valid, -score, jnp.inf), stable=True)
-    masks = out["proposal_masks"][order] * valid[order][:, None, None]
-    return pad_proposals(masks.astype(jnp.float32), bucket,
-                         valid=valid[order])
+    return _BUCKET_COMPACT(out["proposal_masks"], out["proposal_valid"],
+                           score, bucket=bucket)
 
 
 def make_inline_generator(args, dino_bundle=None):
@@ -342,6 +361,11 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                    default=["red", "green", "blue"])
     p.add_argument("--vlm4bit", action="store_true",
                    help="4-bit weight-only VLM (JAX path)")
+    p.add_argument("--vlm4bit-nf4", action="store_true",
+                   help="with --vlm4bit: quantize with the bitsandbytes NF4 "
+                        "codebook (the reference's load_in_4bit numerics, "
+                        "TextRetrieverModule.py:468-471) instead of the "
+                        "hybrid-affine speed kernel")
     p.add_argument("--vlm8bit", action="store_true",
                    help="8-bit weight-only VLM (JAX path)")
     # --- VTA (reference :143-146) ---

@@ -19,6 +19,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The 16-entry NormalFloat-4 codebook (QLoRA, Dettmers et al. 2023) exactly
+# as published in bitsandbytes — the codebook behind the reference's
+# ``load_in_4bit`` VLM path (reference: TextRetrieverModule.py:468-471,
+# bnb_4bit_quant_type="nf4").  Values are the quantiles of N(0,1) scaled to
+# [-1, 1]; index 7 is an exact zero so sparse weights survive.
+NF4_CODE = np.array(
+    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+     0.7229568362236023, 1.0], np.float32)
+# bnb quantizes by binary search against the interval midpoints
+_NF4_MID = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2.0
+
+NF4_BLOCK = 64  # bitsandbytes' default blocksize for NF4
+
+
+@partial(jax.jit, static_argnums=(1,))
+def quantize_kernel_nf4(w: jnp.ndarray, block: int = NF4_BLOCK):
+    """(in, out) kernel → NF4 leaf: {"nf4": packed codes, "bscale": f32}.
+
+    bitsandbytes blocks the row-major (out, in) weight in runs of 64, i.e.
+    along the input dim of each output row; for the transposed (in, out)
+    kernel layout that is blocks of 64 along axis 0 per output column.
+    Per-block absmax scaling, nearest-codebook rounding (midpoint search —
+    identical to bnb's binary search), two codes packed per byte along the
+    input dim (even row = low nibble).
+    """
+    d_in, d_out = w.shape
+    assert d_in % block == 0 and d_in % 2 == 0, (d_in, block)
+    wf = w.astype(jnp.float32).reshape(d_in // block, block, d_out)
+    bscale = jnp.max(jnp.abs(wf), axis=1)            # (in/block, out)
+    xn = wf / jnp.maximum(bscale, 1e-12)[:, None, :]
+    codes = jnp.searchsorted(jnp.asarray(_NF4_MID), xn.reshape(d_in, d_out))
+    lo, hi = codes[0::2], codes[1::2]
+    packed = (lo | (hi << 4)).astype(jnp.int8)       # bit pattern only
+    return {"nf4": packed, "bscale": bscale.astype(jnp.float32)}
+
+
+def dequantize_nf4(p, dtype=jnp.float32) -> jnp.ndarray:
+    """NF4 leaf → dense (in, out) weights: codebook lookup × block scales."""
+    packed = p["nf4"].astype(jnp.int32) & 0xFF       # undo int8 sign-extend
+    lo, hi = packed & 0xF, (packed >> 4) & 0xF
+    n2, d_out = p["nf4"].shape
+    codes = jnp.stack([lo, hi], axis=1).reshape(n2 * 2, d_out)
+    vals = jnp.take(jnp.asarray(NF4_CODE), codes, axis=0)
+    block = (n2 * 2) // p["bscale"].shape[0]
+    scale = jnp.repeat(p["bscale"], block, axis=0)
+    return (vals * scale).astype(dtype)
+
 
 @partial(jax.jit, static_argnums=(1,))
 def quantize_kernel(w: jnp.ndarray, bits: int = 8):
@@ -47,6 +97,8 @@ def quantize_kernel(w: jnp.ndarray, bits: int = 8):
 
 
 def dequantize_kernel(p) -> jnp.ndarray:
+    if "nf4" in p:
+        return dequantize_nf4(p)
     if "q4" in p:
         from mars_tpu.ops.int4_matmul import unpack_int4
 
@@ -74,7 +126,17 @@ def quantized_dense(p, x):
         if "bias" in p:
             y = y + p["bias"]
         return y
-    if "q4" in k:
+    if "nf4" in k:
+        # Accuracy-parity mode for the reference's NF4 --vlm4bit: dequant to
+        # the activation dtype and run a dense matmul.  The codebook lookup
+        # is a 16-entry gather XLA fuses with the scale multiply; weight HBM
+        # traffic is still the packed bytes + block scales.  The SPEED int4
+        # play stays the hybrid-affine Pallas kernel ("q4") — see
+        # ops/int4_matmul.py and BASELINE.md "Quantization".
+        w = dequantize_nf4(k, x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    elif "q4" in k:
         from mars_tpu.ops import int4_matmul
 
         if jax.default_backend() == "tpu":
@@ -99,14 +161,18 @@ def quantized_dense(p, x):
 
 
 def quantize_params(params, bits: int = 8, min_size: int = 1 << 14,
-                    act_bits: int = None):
+                    act_bits: int = None, int4_format: str = "affine"):
     """Quantize every 2-D floating kernel with ≥ min_size elements.
 
     Leaves biases, norms, embeddings (1-D/3-D+) untouched.  Returns a pytree
     layers.dense consumes transparently.  ``act_bits=8`` (with bits=8) marks
     kernels for dynamic activation quantization too — true s8xs8 MXU
-    matmuls (see quantized_dense).
+    matmuls (see quantized_dense).  ``int4_format`` (with bits=4):
+    "affine" = hybrid-packed uniform int4 (the speed/memory kernel),
+    "nf4" = the bitsandbytes NormalFloat-4 codebook the reference's
+    --vlm4bit uses — numerics parity at a dense-matmul cost.
     """
+    assert int4_format in ("affine", "nf4"), int4_format
 
     def q(path, leaf):
         names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
@@ -121,6 +187,12 @@ def quantize_params(params, bits: int = 8, min_size: int = 1 << 14,
             and jnp.issubdtype(leaf.dtype, jnp.floating)
             and leaf.size >= min_size
         ):
+            if bits == 4 and int4_format == "nf4":
+                arr = jnp.asarray(leaf)
+                if arr.shape[0] % NF4_BLOCK == 0:
+                    return quantize_kernel_nf4(arr)
+                # non-block-multiple input dim (none in the zoo at
+                # production scale): fall through to affine int4
             out = quantize_kernel(jnp.asarray(leaf), bits)
             if act_bits == 8 and bits == 8:
                 out["act8"] = jnp.ones((), jnp.int8)  # marker leaf

@@ -320,7 +320,8 @@ def forward_logits(p, input_ids, pixel_values, cfg: VipLlavaConfig):
 
 def init_random_params(seed: int, cfg: VipLlavaConfig,
                        quantize_bits: int = None,
-                       dtype=jnp.bfloat16) -> dict:
+                       dtype=jnp.bfloat16,
+                       int4_format: str = "affine") -> dict:
     """Random params with convert_hf's exact tree structure — smoke runs
     and throughput benchmarks without local weights (the zoo's random-init
     fallback pattern).  With ``quantize_bits=8`` the 2-D kernels are
@@ -356,6 +357,14 @@ def init_random_params(seed: int, cfg: VipLlavaConfig,
                                    1e-4, 3e-4)
         return {"q4": pack_int4(q), "scale": scale}
 
+    @partial(jax.jit, static_argnums=(1,))
+    def _draw_nf4(s, shape):
+        from mars_tpu.models.quantization import quantize_kernel_nf4
+
+        k = jax.random.PRNGKey(s)
+        w = jax.random.normal(k, shape, jnp.float32) * 0.02
+        return quantize_kernel_nf4(w)
+
     def vec(*shape):
         counter[0] += 1
         return _draw(counter[0], shape, dtype)
@@ -366,6 +375,8 @@ def init_random_params(seed: int, cfg: VipLlavaConfig,
             if quantize_bits == 8:
                 return _draw_q8(counter[0], (din, dout))
             if quantize_bits == 4:  # packed nibbles (ops.int4_matmul)
+                if int4_format == "nf4":
+                    return _draw_nf4(counter[0], (din, dout))
                 return _draw_q4(counter[0], (din, dout))
         return _draw(counter[0], (din, dout), dtype)
 

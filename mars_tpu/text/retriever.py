@@ -94,7 +94,8 @@ class JaxVipLlava:
     """
 
     def __init__(self, model_path: str = "llava-hf/vip-llava-7b-hf",
-                 params=None, cfg=None, dtype=None, quantize_bits=None):
+                 params=None, cfg=None, dtype=None, quantize_bits=None,
+                 int4_format: str = "affine"):
         from transformers import AutoProcessor
 
         from mars_tpu.models import vip_llava as vl
@@ -114,7 +115,8 @@ class JaxVipLlava:
             # int8 fits the full 7B on one v5e (7.35 GB, ~47 tok/s measured)
             from mars_tpu.models.quantization import quantize_params
 
-            params = quantize_params(params, bits=quantize_bits)
+            params = quantize_params(params, bits=quantize_bits,
+                                     int4_format=int4_format)
         self.params = params
         self._vl = vl
 

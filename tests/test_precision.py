@@ -89,3 +89,55 @@ def test_w8a8_dense_accuracy():
     # weight-only path untouched
     q8 = quantize_params({"d": p}, bits=8, min_size=0)["d"]
     assert "act8" not in q8["kernel"]
+
+
+def test_nf4_quantize_matches_numpy_oracle():
+    """NF4 rounding (searchsorted on midpoints) == independent argmin over
+    the published codebook, and block scales reproduce bnb's per-64 absmax
+    (reference --vlm4bit numerics, TextRetrieverModule.py:468-471)."""
+    from mars_tpu.models.quantization import (
+        NF4_CODE, dequantize_nf4, quantize_kernel_nf4)
+
+    rng = np.random.RandomState(7)
+    w = (rng.randn(256, 48) * rng.gamma(1.0, 1.0, (1, 48))).astype(np.float32)
+    leaf = quantize_kernel_nf4(jnp.asarray(w), 64)
+    got = np.asarray(dequantize_nf4(leaf))
+
+    # independent numpy re-derivation: per-block absmax, nearest code value
+    wf = w.reshape(4, 64, 48)
+    bscale = np.abs(wf).max(axis=1)                     # (4, 48)
+    xn = wf / np.maximum(bscale, 1e-12)[:, None, :]
+    idx = np.abs(xn[..., None] - NF4_CODE).argmin(-1)   # nearest VALUE
+    want = (NF4_CODE[idx] * bscale[:, None, :]).reshape(256, 48)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(leaf["bscale"]), bscale, rtol=1e-6)
+    # exact zero survives (code 7 is 0.0) and ±absmax round-trips exactly
+    w2 = w.copy()
+    w2[0, :] = 0.0
+    leaf2 = quantize_kernel_nf4(jnp.asarray(w2), 64)
+    got2 = np.asarray(dequantize_nf4(leaf2))
+    assert (got2[0] == 0.0).all()
+
+
+def test_nf4_dense_path():
+    """quantize_params(int4_format="nf4") leaves flow through layers.dense;
+    error on gaussian weights beats uniform-affine int4 (the NF4 pitch)."""
+    from mars_tpu.models import layers as L
+    from mars_tpu.models.quantization import quantize_params
+
+    rng = np.random.RandomState(3)
+    w = rng.randn(384, 128).astype(np.float32)
+    b = rng.randn(128).astype(np.float32)
+    x = rng.randn(5, 384).astype(np.float32)
+    p = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    nf = quantize_params({"d": p}, bits=4, min_size=0, int4_format="nf4")["d"]
+    assert "nf4" in nf["kernel"] and "bscale" in nf["kernel"]
+    aff = quantize_params({"d": p}, bits=4, min_size=0)["d"]
+    assert "q4" in aff["kernel"]
+    want = x @ w + b
+    err_nf = np.abs(np.asarray(L.dense(nf, jnp.asarray(x))) - want).mean()
+    err_af = np.abs(np.asarray(L.dense(aff, jnp.asarray(x))) - want).mean()
+    assert err_nf < err_af, (err_nf, err_af)
+    # 4-bit noise floor at 384-dim dots is ~sqrt(384)*sigma_q/|y| ~ 0.09
+    rel = err_nf / (np.abs(want).mean() + 1e-6)
+    assert rel < 0.12, rel

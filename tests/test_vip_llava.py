@@ -85,6 +85,34 @@ class TestQuantization:
         rel = float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref)))
         assert rel < 0.2  # int4 is coarse but bounded
 
+    def test_nf4_vlm_generation(self):
+        """NF4-quantized VLM (the reference's --vlm4bit codebook) decodes
+        through the full greedy loop; logits stay within the 4-bit budget."""
+        from mars_tpu.models import quantization as Q
+
+        sd, d = load()
+        cfg = vl.TINY
+        params = vl.convert_hf(sd, cfg)
+        nfp = Q.quantize_params(params, bits=4, min_size=64,
+                                int4_format="nf4")
+        def _has_nf4(tree):
+            if isinstance(tree, dict):
+                return "nf4" in tree or any(_has_nf4(v) for v in tree.values())
+            return False
+
+        # dims divisible by the 64-block get NF4; others (TINY's 32-dim
+        # inputs) legitimately fall back to affine int4
+        assert _has_nf4(nfp)
+        pixels = jnp.asarray(np.transpose(d["pixels"], (0, 2, 3, 1)))
+        ids = jnp.asarray(d["input_ids"])
+        ref_logits = vl.forward_logits(params, ids, pixels, cfg)
+        q_logits = vl.forward_logits(nfp, ids, pixels, cfg)
+        scale = float(jnp.std(ref_logits))
+        err = float(jnp.max(jnp.abs(q_logits - ref_logits)))
+        assert err < 0.8 * scale, (err, scale)  # 4-bit: coarse but bounded
+        toks = vl.generate_greedy(nfp, ids, pixels, cfg, max_new_tokens=4)
+        assert np.asarray(toks).shape[-1] >= 4
+
 
 def test_bucketed_prompt_matches_exact():
     """Right-padded prompt + true_length must produce the same greedy tokens

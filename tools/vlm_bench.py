@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--tokens", type=int, default=40)
     ap.add_argument("--prompt-len", type=int, default=600)
     ap.add_argument("--bits", type=int, default=8, choices=(4, 8))
+    ap.add_argument("--nf4", action="store_true",
+                    help="with --bits 4: NF4 codebook (reference bnb "
+                         "numerics) instead of the hybrid-affine kernel")
     ap.add_argument("--bucket", type=int, default=0,
                     help="right-pad the prompt to this bucket and decode "
                          "with true_length (the production path)")
@@ -35,7 +38,8 @@ def main():
 
     cfg = vl.VipLlavaConfig()
     t0 = time.time()
-    p = vl.init_random_params(0, cfg, quantize_bits=args.bits)
+    p = vl.init_random_params(0, cfg, quantize_bits=args.bits,
+                              int4_format="nf4" if args.nf4 else "affine")
     n = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(p))
     print(f"init {time.time()-t0:.1f}s  params={n/1e9:.2f}B", flush=True)
 
