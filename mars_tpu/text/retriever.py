@@ -120,8 +120,11 @@ class JaxVipLlava:
         self.params = params
         self._vl = vl
 
+    def _eos_id(self):
+        return getattr(self.processor.tokenizer, "eos_token_id", None)
+
     def _decode_row(self, toks):
-        eos = getattr(self.processor.tokenizer, "eos_token_id", None)
+        eos = self._eos_id()
         toks = list(toks)
         if eos is not None and eos in toks:
             toks = toks[: toks.index(eos)]
@@ -142,10 +145,16 @@ class JaxVipLlava:
         ids_np = np.pad(ids_np, ((0, 0), (0, bucket - l0)))
         ids = jnp.asarray(ids_np)
         pixels = jnp.asarray(np.transpose(inputs["pixel_values"], (0, 2, 3, 1)))
+        # eos_id: HF-generate semantics — rows freeze at EOS and the decode
+        # loop exits early (a 3-token class name inside a 20-token budget
+        # skips ~17 weight-streaming steps); min_new_tokens masks EOS like
+        # HF's MinNewTokensLengthLogitsProcessor (the reference's definition
+        # query, TextRetrieverModule.py:118)
         toks = self._vl.generate_greedy(
             self.params, ids, pixels, self.cfg,
             max_new_tokens=max(max_new_tokens, min_new_tokens),
             true_length=jnp.int32(l0),
+            eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
         )
         return self._decode_row(np.asarray(toks)[0])
 
@@ -200,6 +209,7 @@ class JaxVipLlava:
             self.params, jnp.asarray(ids), jnp.asarray(pixels), self.cfg,
             max_new_tokens=max(max_new_tokens, min_new_tokens),
             true_length=jnp.asarray(lens, jnp.int32),
+            eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
         )
         toks = np.asarray(toks)
         return [self._decode_row(toks[i]) for i in range(len(images))]

@@ -114,6 +114,82 @@ class TestQuantization:
         assert np.asarray(toks).shape[-1] >= 4
 
 
+class TestEosDecoding:
+    """HF-generate semantics: EOS freeze + early exit (lax.while_loop) and
+    min_new_tokens EOS suppression (the reference's definition query uses
+    min_new_tokens=20, TextRetrieverModule.py:118)."""
+
+    def setup_method(self):
+        self.sd, self.d = load()
+        self.cfg = vl.TINY
+        self.params = vl.convert_hf(self.sd, self.cfg)
+        self.pixels = jnp.asarray(np.transpose(self.d["pixels"], (0, 2, 3, 1)))
+        self.ids = jnp.asarray(self.d["input_ids"])
+        self.ref = [int(t) for t in self.d["generated"][0]]  # 6 greedy toks
+
+    def test_eos_freezes_and_fills(self):
+        """Declare the token greedily emitted at step 2 as EOS: output must
+        equal the unconstrained greedy prefix through its first occurrence,
+        then EOS-fill — the while_loop exits without touching later slots."""
+        eos = self.ref[2]
+        j = self.ref.index(eos)
+        toks = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos))[0]
+        want = self.ref[: j + 1] + [eos] * (6 - j - 1)
+        np.testing.assert_array_equal(toks, want)
+
+    def test_no_eos_hit_matches_scan_path(self):
+        """With an EOS id the model never emits, the while_loop path must
+        reproduce the fixed-trip scan path token for token."""
+        eos = next(t for t in range(self.cfg.vocab) if t not in self.ref)
+        toks = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos))[0]
+        np.testing.assert_array_equal(toks, self.ref)
+
+    def test_min_new_tokens_suppresses_eos(self):
+        """EOS masked for the first min_new_tokens slots; oracle = greedy
+        loop over full-sequence forward_logits with the same masking."""
+        eos = self.ref[0]  # would otherwise terminate immediately
+        got = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos, min_new_tokens=3))[0]
+        assert not (got[:3] == eos).any()
+
+        cur = np.asarray(self.ids)
+        want = []
+        for i in range(6):
+            logits = np.asarray(vl.forward_logits(
+                self.params, jnp.asarray(cur), self.pixels, self.cfg))[0, -1]
+            if i < 3:
+                logits = logits.copy()
+                logits[eos] = -np.inf
+            nxt = int(np.argmax(logits))
+            want.append(nxt)
+            if nxt == eos:
+                want.extend([eos] * (6 - len(want)))
+                break
+            cur = np.concatenate([cur, [[nxt]]], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_batched_rows_freeze_independently(self):
+        """(B,) true_length + eos: each row freezes on its own; identical
+        rows reproduce the B=1 result."""
+        eos = self.ref[2]
+        l0 = self.ids.shape[1]
+        ids2 = jnp.concatenate([self.ids, self.ids], axis=0)
+        px2 = jnp.concatenate([self.pixels, self.pixels], axis=0)
+        toks = np.asarray(vl.generate_greedy(
+            self.params, ids2, px2, self.cfg, max_new_tokens=6, eos_id=eos,
+            true_length=jnp.asarray([l0, l0], jnp.int32)))
+        single = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos))[0]
+        np.testing.assert_array_equal(toks[0], single)
+        np.testing.assert_array_equal(toks[1], single)
+
+
 def test_bucketed_prompt_matches_exact():
     """Right-padded prompt + true_length must produce the same greedy tokens
     as the exact-length call (the pad slots are causally masked)."""

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="batched variable-length decode (per-row "
                          "true_length): the retriever's ensemble path")
+    ap.add_argument("--eos", action="store_true",
+                    help="decode with eos_id=2 (the production retriever "
+                         "path: lax.while_loop early-exit) — random weights "
+                         "rarely emit EOS, so this measures the while_loop's "
+                         "per-step overhead vs the fixed-trip scan")
     args = ap.parse_args()
 
     cfg = vl.VipLlavaConfig()
@@ -67,7 +72,8 @@ def main():
 
     def run(n_new):
         toks = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
-                                  max_new_tokens=n_new, true_length=true_len)
+                                  max_new_tokens=n_new, true_length=true_len,
+                                  eos_id=2 if args.eos else None)
         return np.asarray(toks)
 
     t0 = time.time(); run(args.tokens); compile_s = time.time() - t0
