@@ -127,15 +127,23 @@ def quantized_dense(p, x):
             y = y + p["bias"]
         return y
     if "nf4" in k:
-        # Accuracy-parity mode for the reference's NF4 --vlm4bit: dequant to
-        # the activation dtype and run a dense matmul.  The codebook lookup
-        # is a 16-entry gather XLA fuses with the scale multiply; weight HBM
-        # traffic is still the packed bytes + block scales.  The SPEED int4
-        # play stays the hybrid-affine Pallas kernel ("q4") — see
-        # ops/int4_matmul.py and BASELINE.md "Quantization".
-        w = dequantize_nf4(k, x.dtype)
-        y = jnp.einsum("...i,io->...o", x, w,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # The reference's NF4 --vlm4bit numerics (bnb codebook + per-64
+        # absmax).  On TPU the Pallas kernel streams packed codes + block
+        # scales and does the 16-entry lookup in VMEM (select tree — no
+        # vector gather on the VPU); elsewhere, dequant to the activation
+        # dtype and run a dense matmul (the XLA einsum over a materialized
+        # bf16 weight measured 304 ms/step on the 7B through the tunnel).
+        from mars_tpu.ops import int4_matmul
+
+        if jax.default_backend() == "tpu" and k["nf4"].shape[0] % 32 == 0:
+            shape = x.shape
+            y = int4_matmul.matmul_nf4(
+                x.reshape(-1, shape[-1]), k["nf4"], k["bscale"])
+            y = y.reshape(shape[:-1] + (k["nf4"].shape[1],)).astype(x.dtype)
+        else:
+            w = dequantize_nf4(k, x.dtype)
+            y = jnp.einsum("...i,io->...o", x, w,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
     elif "q4" in k:
         from mars_tpu.ops import int4_matmul
 

@@ -75,6 +75,127 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=1).reshape(n * 2, out).astype(jnp.int8)
 
 
+def _nf4_code():
+    # single source of truth for the published 16-entry codebook (lazy to
+    # keep ops→models import one-directional at module-load time)
+    from mars_tpu.models.quantization import NF4_CODE
+
+    return NF4_CODE
+
+
+def _nf4_lookup(c: jnp.ndarray) -> jnp.ndarray:
+    """int32 codes in [0, 15] → f32 codebook values.
+
+    Mosaic has no vector gather; a 4-deep binary select tree (15 ``where``s
+    against scalar constants, one per codebook entry) does the 16-entry
+    lookup in pure VPU lane ops."""
+    C = _nf4_code()
+    b0, b1 = (c & 1) != 0, (c & 2) != 0
+    b2, b3 = (c & 4) != 0, (c & 8) != 0
+    lvl = [jnp.where(b0, float(C[2 * i + 1]), float(C[2 * i]))
+           for i in range(8)]
+    lvl = [jnp.where(b1, lvl[2 * i + 1], lvl[2 * i]) for i in range(4)]
+    lvl = [jnp.where(b2, lvl[2 * i + 1], lvl[2 * i]) for i in range(2)]
+    return jnp.where(b3, lvl[1], lvl[0])
+
+
+def _nf4_kernel(x_even_ref, x_odd_ref, wp_ref, bs_ref, o_ref):
+    """NF4 tile matmul: packed codes + per-64-block scales → two MXU dots.
+
+    Unlike the affine kernel there is no epilogue rescale: block scales
+    vary along the INPUT dim, so they fold into the looked-up weights
+    before the dot (packed row r holds original rows 2r/2r+1 — the same
+    64-block, so one expanded scale row serves both nibbles)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    p = wp_ref[...].astype(jnp.int32) & 0xFF  # undo int8 sign-extension
+    vlo = _nf4_lookup(p & 0xF)                # (TILE_IN//2, TILE_OUT) f32
+    vhi = _nf4_lookup((p >> 4) & 0xF)
+    # bs block is (TILE_IN//64, 1, TILE_OUT): the singleton second-minor dim
+    # satisfies Mosaic's block divisibility rule for ANY block count per
+    # tile (tile_in//64 can be 4 at din=11008 where no 512-multiple divides)
+    bs = bs_ref[...]
+    nb, _, t_out = bs.shape
+    rep = jnp.broadcast_to(bs, (nb, 32, t_out))
+    rep = rep.reshape(nb * 32, t_out)         # per-packed-row scale
+    dt = x_even_ref.dtype
+    acc = jax.lax.dot_general(
+        x_even_ref[...], (vlo * rep).astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        x_odd_ref[...], (vhi * rep).astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] += acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_in", "tile_out"))
+def matmul_nf4(x: jnp.ndarray, packed: jnp.ndarray, bscale: jnp.ndarray,
+               interpret: bool = False, tile_in: int = None,
+               tile_out: int = TILE_OUT) -> jnp.ndarray:
+    """x (B, IN) @ nf4_dequant(packed (IN/2, OUT), bscale (IN/64, OUT)).
+
+    The bitsandbytes NF4 layout (models/quantization.quantize_kernel_nf4):
+    unsigned 4-bit codebook indices two-per-byte along the input dim, f32
+    absmax scales per 64-input-row block.  Streams 0.5625 bytes/param
+    (codes + scales) and does the codebook lookup + scale fold in VMEM —
+    the reference's --vlm4bit numerics WITHOUT materializing bf16 weights
+    in HBM (the dense dequant path measured 304 ms/step on the 7B).
+    """
+    b, d_in = x.shape
+    d_out = packed.shape[1]
+    assert packed.shape[0] * 2 == d_in
+    assert bscale.shape == (d_in // 64, d_out), (bscale.shape, d_in, d_out)
+    if tile_in is None:
+        tile_in = next((t for t in (2048, 1024, 512, 256) if d_in % t == 0),
+                       TILE_IN)
+    assert tile_in % 64 == 0
+    out_dtype = x.dtype
+    if interpret and x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)  # CPU interpret lacks bf16 dot support
+
+    pad_in = -d_in % tile_in
+    pad_out = -d_out % tile_out
+    if pad_in:
+        x = jnp.pad(x, ((0, 0), (0, pad_in)))
+    if pad_in or pad_out:
+        # code 7 is the exact-zero codebook entry: 0x77 pads decode to 0.0
+        wp = jnp.pad(packed, ((0, pad_in // 2), (0, pad_out)),
+                     constant_values=0x77)
+        bscale = jnp.pad(bscale, ((0, pad_in // 64), (0, pad_out)))
+    else:
+        wp = packed
+    x_even, x_odd = x[:, 0::2], x[:, 1::2]
+
+    ip, op = d_in + pad_in, d_out + pad_out
+    grid = (op // tile_out, ip // tile_in)
+    y = pl.pallas_call(
+        _nf4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, tile_in // 2), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tile_in // 2), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_in // 2, tile_out), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_in // 64, 1, tile_out), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile_out), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, op), jnp.float32),
+        interpret=interpret,
+    )(x_even, x_odd, wp, bscale[:, None, :])
+    return y[:, :d_out].astype(out_dtype)
+
+
 def _kernel(x_even_ref, x_odd_ref, wp_ref, o_ref):
     i = pl.program_id(1)  # minor grid dim: input tiles (accumulation)
 

@@ -351,6 +351,42 @@ class TestInt4Matmul:
         np.testing.assert_allclose(
             np.asarray(got.astype(jnp.float32)), want, atol=0.15, rtol=2e-2)
 
+    @pytest.mark.parametrize("shape", [(1, 512, 256), (3, 256, 512),
+                                       (2, 320, 200)])  # last: padding path
+    def test_nf4_kernel_matches_dequant(self, shape):
+        """Pallas NF4 matmul == dequantize_nf4 dense reference (the kernel
+        folds codebook lookup + per-64-block scales in VMEM)."""
+        from mars_tpu.models.quantization import (dequantize_nf4,
+                                                  quantize_kernel_nf4)
+        from mars_tpu.ops.int4_matmul import matmul_nf4
+
+        b, din, dout = shape
+        rng = np.random.RandomState(5)
+        w = jnp.asarray((rng.randn(din, dout) *
+                         rng.gamma(1.0, 1.0, (1, dout))).astype(np.float32))
+        q = quantize_kernel_nf4(w)
+        x = jnp.asarray(rng.randn(b, din).astype(np.float32))
+        got = matmul_nf4(x, q["nf4"], q["bscale"], interpret=True)
+        want = np.asarray(x, np.float32) @ np.asarray(dequantize_nf4(q))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                                   rtol=1e-3)
+
+    def test_nf4_kernel_bf16(self):
+        from mars_tpu.models.quantization import (dequantize_nf4,
+                                                  quantize_kernel_nf4)
+        from mars_tpu.ops.int4_matmul import matmul_nf4
+
+        rng = np.random.RandomState(6)
+        w = jnp.asarray(rng.randn(256, 256).astype(np.float32))
+        q = quantize_kernel_nf4(w)
+        x = jnp.asarray(rng.randn(2, 256).astype(np.float32)).astype(jnp.bfloat16)
+        got = matmul_nf4(x, q["nf4"], q["bscale"], interpret=True)
+        assert got.dtype == jnp.bfloat16
+        want = (np.asarray(x.astype(jnp.float32), np.float32)
+                @ np.asarray(dequantize_nf4(q)))
+        np.testing.assert_allclose(
+            np.asarray(got.astype(jnp.float32)), want, atol=0.15, rtol=2e-2)
+
     def test_quantize_dequantize_roundtrip(self):
         from mars_tpu.models.quantization import (dequantize_kernel,
                                                   quantize_kernel)
