@@ -104,10 +104,14 @@ def main():
     g = vva_cfg.grid
 
     # ONE jitted program for all four device stages — the production
-    # orchestrator's fused single-dispatch graph (pipeline/mars.py _fused);
-    # separate stage programs pay ~25-30 ms of tunnel dispatch each
+    # orchestrator's fused single-dispatch graph (pipeline/mars.py _fused).
+    # Tower params are explicit jit ARGUMENTS, not closure constants: the
+    # axon remote-compile service ships closure constants in the request
+    # body, and ~1 GB of tower weights now trips its length limit
+    # (HTTP 413) — the orchestrator itself already passes params as args.
     @jax.jit
-    def episode_rank(ep, props, vta_text, ac_text):
+    def _episode_rank(dino_params, clip_v, ac_v, ep, props, vta_text,
+                      ac_text):
         vva_prior, cost, support_fg = vva_m.compute(
             dino_params, ep.support_images, ep.support_masks, ep.support_valid,
             ep.query_image, dcfg, vva_cfg,
@@ -126,6 +130,10 @@ def main():
             ac_scores, fm_cfg,
         )
         return merged
+
+    def episode_rank(ep, props, vta_text, ac_text):
+        return _episode_rank(dino_params, clip_v, ac_v, ep, props, vta_text,
+                             ac_text)
 
     t_compile0 = time.time()
     out = episode_rank(ep, props, vta_text, ac_text)
