@@ -87,7 +87,8 @@ def build_retriever(args):
 
         vlm = JaxVipLlava(args.vlm_path, dtype=jnp.bfloat16,
                           quantize_bits=bits or 8,
-                          int4_format="nf4" if args.vlm4bit_nf4 else "affine")
+                          int4_format="nf4" if args.vlm4bit_nf4 else "affine",
+                          draft_tokens=args.vlm_draft_tokens)
     else:
         from mars_tpu.text.retriever import HFVipLlava
 
@@ -368,6 +369,10 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                         "hybrid-affine speed kernel")
     p.add_argument("--vlm8bit", action="store_true",
                    help="8-bit weight-only VLM (JAX path)")
+    p.add_argument("--vlm-draft-tokens", type=int, default=8,
+                   help="prompt-lookup speculative decode width for "
+                        "single-query VLM generates (exact greedy; 0 "
+                        "disables)")
     # --- VTA (reference :143-146) ---
     p.add_argument("--vta-backbone", default="ViT-B/16",
                    choices=["ViT-B/16", "ViT-L/14"])

@@ -244,10 +244,11 @@ def embed_multimodal(p, input_ids, pixel_values, cfg: VipLlavaConfig):
 
 @partial(jax.jit,
          static_argnames=("cfg", "max_new_tokens", "eos_id",
-                          "min_new_tokens"))
+                          "min_new_tokens", "draft_tokens", "ngram"))
 def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
                     max_new_tokens: int = 20, true_length=None,
-                    eos_id: int = None, min_new_tokens: int = 0):
+                    eos_id: int = None, min_new_tokens: int = 0,
+                    draft_tokens: int = 0, ngram: int = 3):
     """Greedy decode (the reference uses greedy generate with
     max_new_tokens=20/50, TextRetrieverModule.py:76,118).
 
@@ -275,12 +276,29 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     uses min_new_tokens=20, TextRetrieverModule.py:118).  ``eos_id=None``
     keeps the fixed-trip ``lax.scan`` (benchmarks; bit-identical to the
     parity fixtures).
+
+    ``draft_tokens=K > 0`` (B=1 only) switches to prompt-lookup
+    speculative decoding — EXACT greedy (the output is bit-identical to
+    the plain paths; tested) but potentially several-fold faster: each
+    loop iteration drafts K continuation tokens by matching the trailing
+    ``ngram`` of the sequence against its own earlier content (prompt +
+    generated so far) and verifies them in ONE forward of K+1 positions.
+    At B=1 a decode step is weight-streaming-bound (~10 ms for the int8
+    7B: every weight byte is read for one row of MACs), so the K+1-token
+    verify costs the same HBM traffic as a 1-token step — every accepted
+    draft is a token at zero marginal cost.  Definitions restate the class
+    name and the prompt's own phrasing (the reference's definition query,
+    TextRetrieverModule.py:101-122), which is exactly what n-gram lookup
+    drafts well; a worst-case prompt with zero matches just degrades to
+    one emitted token per verify (no slower than the plain loop).
     """
     b, l0 = input_ids.shape
     embeds = embed_multimodal(p, input_ids, pixel_values, cfg)
     positions = jnp.broadcast_to(jnp.arange(l0)[None], (b, l0))
 
-    max_len = l0 + max_new_tokens
+    # speculative verify writes K+1 cache rows at positions up to
+    # start+i+K; give the cache that headroom so no write ever clamps
+    max_len = l0 + max_new_tokens + (draft_tokens + 1 if draft_tokens else 0)
     hd = cfg.hidden // cfg.heads
     caches = [
         (jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype),
@@ -316,6 +334,16 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
         next_tok = pick_next(last, 0)
         start = jnp.asarray(true_length, jnp.int32)
 
+    if draft_tokens > 0:
+        if b != 1:
+            raise ValueError("draft_tokens (speculative decode) needs B=1 — "
+                             "batched decode already amortizes the weight "
+                             "stream across rows")
+        start_s = start[0] if per_row else jnp.asarray(start, jnp.int32)
+        return _speculative_greedy(
+            p, cfg, input_ids, caches, next_tok, jnp.asarray(start_s),
+            max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram)
+
     def advance(tok, caches, i):
         """One cached decode step: emit slot i+1's token from slot i's."""
         pos = start + i  # (B,) when per_row else scalar
@@ -326,14 +354,20 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
         return pick_next(logits[:, -1], i + 1), caches
 
     if eos_id is None:  # fixed-trip scan: benchmarks / parity fixtures
+        if max_new_tokens == 1:
+            return next_tok[:, None]
+
         def step(carry, i):
             tok, caches = carry
             nxt, caches = advance(tok, caches, i)
             return (nxt, caches), tok
 
-        (_, _), toks = jax.lax.scan(step, (next_tok, caches),
-                                    jnp.arange(max_new_tokens))
-        return jnp.swapaxes(toks, 0, 1)  # (B, max_new_tokens)
+        # N-1 advances emit slots 0..N-2; the final carry IS slot N-1 — the
+        # old N-trip scan paid one extra decode step for a discarded token
+        (last, _), toks = jax.lax.scan(step, (next_tok, caches),
+                                       jnp.arange(max_new_tokens - 1))
+        return jnp.concatenate(
+            [jnp.swapaxes(toks, 0, 1), last[:, None]], axis=1)
 
     # EOS path: dynamic trip count, static shapes.  ``buf`` starts full of
     # EOS so never-written tail slots read as finished rows downstream.
@@ -364,6 +398,96 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     c = (jnp.int32(0), next_tok, caches, jnp.zeros((b,), bool), buf0)
     _, _, _, _, buf = jax.lax.while_loop(cond, body, c)
     return buf  # (B, max_new_tokens)
+
+
+def _prompt_lookup_draft(seq, end, n: int, K: int):
+    """Draft K tokens by n-gram self-lookup: find the most recent earlier
+    occurrence of seq[end-n+1 .. end] and copy the K tokens that followed
+    it.  No match (or a match whose continuation runs past ``end``) drafts
+    stale/garbage tokens, which verification simply rejects — control flow
+    stays static either way."""
+    L = seq.shape[0]
+    gram = jax.lax.dynamic_slice(seq, (jnp.maximum(end - n + 1, 0),), (n,))
+    idx = jnp.arange(L)
+    # ok[j] ⇔ seq[j-n+1 .. j] == gram, for match END positions j < end
+    ok = (idx >= n - 1) & (idx < end)
+    for t in range(n):  # static n, tiny VPU work over a ~1.3k buffer
+        ok &= jnp.roll(seq, t) == gram[n - 1 - t]
+    q = jnp.max(jnp.where(ok, idx, -1))
+    return jax.lax.dynamic_slice(seq, (jnp.maximum(q + 1, 0),), (K,))
+
+
+def _speculative_greedy(p, cfg, input_ids, caches, next_tok, start,
+                        max_new_tokens: int, eos_id, min_new_tokens: int,
+                        K: int, n: int):
+    """Prompt-lookup speculative greedy loop (B=1).  Invariant: the carry
+    token is a CORRECT greedy next token not yet emitted; each iteration
+    emits it, then one K+1-position verify forward either extends the
+    emission by up to K accepted drafts or (zero accepts) just yields the
+    next carry — never slower than one token per forward."""
+    l0 = input_ids.shape[1]
+    fill = eos_id if eos_id is not None else 0
+    seq_len = l0 + max_new_tokens + K + 1
+    seq0 = jnp.full((seq_len,), -1, input_ids.dtype).at[:l0].set(input_ids[0])
+    buf0 = jnp.full((1, max_new_tokens + K), fill, next_tok.dtype)
+
+    def verify(tok, caches, seq, i):
+        end = start + i  # sequence position of ``tok``
+        d = _prompt_lookup_draft(seq, end, n, K).astype(tok.dtype)
+        x_ids = jnp.concatenate([tok, d])  # (K+1,)
+        emb = p["language"]["embed_tokens"][x_ids][None]
+        positions = (end + jnp.arange(K + 1))[None]
+        logits, caches = llama_forward(p["language"], emb, positions, cfg,
+                                       caches, end)
+        lg = logits[0].astype(jnp.float32)  # (K+1, V)
+        if eos_id is not None and min_new_tokens > 0:
+            emit_idx = i + 1 + jnp.arange(K + 1)
+            masked = lg.at[:, eos_id].set(-jnp.inf)
+            lg = jnp.where((emit_idx < min_new_tokens)[:, None], masked, lg)
+        g = jnp.argmax(lg, axis=-1).astype(tok.dtype)  # (K+1,) greedy truths
+        # accepted prefix: d[j] must equal the greedy continuation g[j-1]
+        acc = jnp.cumprod((d == g[:-1]).astype(jnp.int32))
+        a = jnp.sum(acc)  # 0..K correct tokens beyond g[0]
+        if eos_id is not None:
+            # an EOS inside the accepted prefix becomes the carry (emitted
+            # by the next iteration's top-of-loop, which then freezes)
+            j = jnp.arange(K + 1)
+            is_eos = (g == eos_id) & (j <= a)
+            f = jnp.min(jnp.where(is_eos, j, K + 1))
+            w = jnp.minimum(a, f)
+        else:
+            w = a
+        return w, g[w][None], g[:K], caches
+
+    def skip(tok, caches, seq, i):
+        return jnp.int32(0), tok, jnp.full((K,), fill, tok.dtype), caches
+
+    def cond(c):
+        i, tok, caches, seq, buf, done = c
+        return (i < max_new_tokens) & ~done
+
+    def body(c):
+        i, tok, caches, seq, buf, done = c
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, tok[:, None], i, axis=1)
+        if eos_id is not None:
+            done = done | (tok[0] == eos_id)
+        w, carry, g, caches = jax.lax.cond(
+            ~done & (i + 1 < max_new_tokens), verify, skip,
+            tok, caches, seq, i)
+        # seq gets tok + ALL K verify outputs unconditionally: slots past
+        # the accepted prefix are stale but sit beyond the lookup window
+        # (idx < end) until the next iteration's writes overwrite them
+        seq = jax.lax.dynamic_update_slice(
+            seq, jnp.concatenate([tok, g]).astype(seq.dtype), (start + i,))
+        # buf gets only the w accepted tokens; untouched tail slots keep
+        # the EOS fill (they are never-emitted budget slack)
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, jnp.where(jnp.arange(K) < w, g, fill)[None], i + 1, axis=1)
+        return (i + 1 + w, carry, caches, seq, buf, done)
+
+    c = (jnp.int32(0), next_tok, caches, seq0, buf0, jnp.bool_(False))
+    _, _, _, _, buf, _ = jax.lax.while_loop(cond, body, c)
+    return buf[:, :max_new_tokens]
 
 
 def forward_logits(p, input_ids, pixel_values, cfg: VipLlavaConfig):

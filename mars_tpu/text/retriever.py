@@ -95,11 +95,18 @@ class JaxVipLlava:
 
     def __init__(self, model_path: str = "llava-hf/vip-llava-7b-hf",
                  params=None, cfg=None, dtype=None, quantize_bits=None,
-                 int4_format: str = "affine"):
+                 int4_format: str = "affine", draft_tokens: int = 8,
+                 ngram: int = 3):
         from transformers import AutoProcessor
 
         from mars_tpu.models import vip_llava as vl
 
+        # prompt-lookup speculative decoding for single-query generates
+        # (EXACT greedy; see models.vip_llava.generate_greedy) — the
+        # definition query restates the class name and prompt phrasing,
+        # which n-gram lookup drafts well; 0 disables
+        self.draft_tokens = draft_tokens
+        self.ngram = ngram
         self.processor = AutoProcessor.from_pretrained(model_path)
         self.cfg = cfg or vl.VipLlavaConfig()
         if params is None:
@@ -155,6 +162,7 @@ class JaxVipLlava:
             max_new_tokens=max(max_new_tokens, min_new_tokens),
             true_length=jnp.int32(l0),
             eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
+            draft_tokens=self.draft_tokens, ngram=self.ngram,
         )
         return self._decode_row(np.asarray(toks)[0])
 

@@ -190,6 +190,116 @@ class TestEosDecoding:
         np.testing.assert_array_equal(toks[1], single)
 
 
+class TestSpeculativeDecoding:
+    """Prompt-lookup speculative decode (draft_tokens>0) is EXACT greedy:
+    bit-identical to the plain scan / EOS while_loop paths for any weights
+    and prompt — acceptance only changes how many forwards it takes."""
+
+    def setup_method(self):
+        self.sd, self.d = load()
+        self.cfg = vl.TINY
+        self.params = vl.convert_hf(self.sd, self.cfg)
+        self.pixels = jnp.asarray(np.transpose(self.d["pixels"], (0, 2, 3, 1)))
+        self.ids = jnp.asarray(self.d["input_ids"])
+
+    def test_draft_lookup_unit(self):
+        """The drafter copies the continuation of the most recent earlier
+        occurrence of the trailing n-gram."""
+        seq = jnp.asarray([9, 1, 2, 3, 7, 7, 1, 2, 3, 5, 6, 1, 2, 3, -1, -1])
+        # end=13 → trailing 3-gram (1,2,3); most recent earlier match ends
+        # at 8, so drafts = seq[9:9+4] = 5, 6, 1, 2
+        d = np.asarray(vl._prompt_lookup_draft(seq, jnp.int32(13), 3, 4))
+        np.testing.assert_array_equal(d, [5, 6, 1, 2])
+        # no match anywhere → garbage draft (clamped slice), never crashes
+        seq2 = jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8])
+        d2 = np.asarray(vl._prompt_lookup_draft(seq2, jnp.int32(7), 3, 4))
+        assert d2.shape == (4,)
+
+    def test_matches_scan_path(self):
+        ref = vl.generate_greedy(self.params, self.ids, self.pixels, self.cfg,
+                                 max_new_tokens=6)
+        for K in (2, 8):
+            got = vl.generate_greedy(self.params, self.ids, self.pixels,
+                                     self.cfg, max_new_tokens=6,
+                                     draft_tokens=K)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                          err_msg=f"K={K}")
+
+    def test_matches_eos_path_with_eos_hit(self):
+        ref6 = [int(t) for t in self.d["generated"][0]]
+        eos = ref6[2]
+        want = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos))
+        got = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos, draft_tokens=4))
+        np.testing.assert_array_equal(got, want)
+
+    def test_matches_eos_path_min_new_tokens(self):
+        ref6 = [int(t) for t in self.d["generated"][0]]
+        eos = ref6[0]
+        want = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos, min_new_tokens=3))
+        got = np.asarray(vl.generate_greedy(
+            self.params, self.ids, self.pixels, self.cfg, max_new_tokens=6,
+            eos_id=eos, min_new_tokens=3, draft_tokens=4))
+        np.testing.assert_array_equal(got, want)
+
+    def test_long_generation_many_seeds_exact(self):
+        """Long budgets on tiny random models fall into repetition loops —
+        the drafter then accepts multi-token runs, stressing the KV-cache
+        overwrite and seq bookkeeping.  Output must stay bit-exact."""
+        import jax
+
+        cfg = self.cfg
+        g = (cfg.image_size // cfg.patch_size) ** 2
+        for seed in range(3):
+            p = vl.init_random_params(seed, cfg, dtype=jnp.float32)
+            rng = np.random.RandomState(seed)
+            l0 = g + 7
+            ids = np.zeros((1, l0), np.int64)
+            ids[0] = rng.randint(1, cfg.vocab, size=l0)
+            ids[0, 2:2 + g] = cfg.image_token_index
+            pixels = jnp.asarray(rng.rand(1, 56, 56, 3), jnp.float32)
+            ref = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
+                                     max_new_tokens=24)
+            got = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
+                                     max_new_tokens=24, draft_tokens=6)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                          err_msg=f"seed {seed}")
+
+    def test_bucketed_true_length_exact(self):
+        """Speculative + right-padded bucket + scalar true_length (the
+        retriever's production single-query path)."""
+        cfg = self.cfg
+        p = vl.init_random_params(11, cfg, dtype=jnp.float32)
+        g = (cfg.image_size // cfg.patch_size) ** 2
+        l0 = g + 9
+        ids = np.full((1, l0), 5, np.int64)
+        ids[0, 3:3 + g] = cfg.image_token_index
+        pixels = jnp.asarray(np.random.RandomState(2).rand(1, 56, 56, 3),
+                             jnp.float32)
+        padded = np.pad(ids, ((0, 0), (0, 16)))
+        want = vl.generate_greedy(p, jnp.asarray(padded), pixels, cfg,
+                                  max_new_tokens=10, true_length=jnp.int32(l0),
+                                  eos_id=3)
+        got = vl.generate_greedy(p, jnp.asarray(padded), pixels, cfg,
+                                 max_new_tokens=10, true_length=jnp.int32(l0),
+                                 eos_id=3, draft_tokens=5)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_batched_rejects(self):
+        import pytest
+
+        ids2 = jnp.concatenate([self.ids, self.ids], axis=0)
+        px2 = jnp.concatenate([self.pixels, self.pixels], axis=0)
+        with pytest.raises(ValueError, match="B=1"):
+            vl.generate_greedy(self.params, ids2, px2, self.cfg,
+                               max_new_tokens=4, draft_tokens=4)
+
+
 def test_bucketed_prompt_matches_exact():
     """Right-padded prompt + true_length must produce the same greedy tokens
     as the exact-length call (the pad slots are causally masked)."""

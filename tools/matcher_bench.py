@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--input-size", type=int, default=518)
     ap.add_argument("--negatives", action="store_true",
                     help="enable cost-matrix negative priors")
+    ap.add_argument("--int8-dino", action="store_true",
+                    help="weight-only int8 DINOv2 (the e2e bench shares the "
+                         "ranking path's int8 tower with proposal generation)")
     args = ap.parse_args()
 
     dino_params, dino_cfg = zoo.build_dinov2(None, "vit_large", 4)
@@ -41,6 +44,10 @@ def main():
     from mars_tpu.models.precision import cast_floating
 
     dino_params, sam_params = cast_floating(dino_params), cast_floating(sam_params)
+    if args.int8_dino:
+        from mars_tpu.models.quantization import quantize_params
+
+        dino_params = quantize_params(dino_params)
     mcfg = matcher.MatcherConfig(
         input_size=args.input_size,
         grid=args.input_size // dino_cfg.patch_size,

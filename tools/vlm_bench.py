@@ -39,7 +39,14 @@ def main():
                          "path: lax.while_loop early-exit) — random weights "
                          "rarely emit EOS, so this measures the while_loop's "
                          "per-step overhead vs the fixed-trip scan")
+    ap.add_argument("--draft", type=int, default=0,
+                    help="prompt-lookup speculative decode width (B=1 only). "
+                         "Random weights accept ~0 drafts, so the measured "
+                         "ms/step IS the K+1-token verify cost — parity with "
+                         "the plain step shows accepted tokens come free")
     args = ap.parse_args()
+    if args.draft and args.batch > 1:
+        ap.error("--draft needs --batch 1")
 
     cfg = vl.VipLlavaConfig()
     t0 = time.time()
@@ -73,7 +80,8 @@ def main():
     def run(n_new):
         toks = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
                                   max_new_tokens=n_new, true_length=true_len,
-                                  eos_id=2 if args.eos else None)
+                                  eos_id=2 if args.eos else None,
+                                  draft_tokens=args.draft)
         return np.asarray(toks)
 
     t0 = time.time(); run(args.tokens); compile_s = time.time() - t0
