@@ -18,11 +18,22 @@ documented factors; BASELINE.md).  Falls back to the retired 2.0 s
 round-1 estimate only if that file is missing.
 """
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_T0 = time.time()
+
+
+def _mark(msg):
+    """Progress marker on stderr (stdout stays the single JSON line) — the
+    remote-compile service's latency varies from seconds to many minutes,
+    so a silent bench run is indistinguishable from a hung one without
+    these."""
+    print(f"[bench +{time.time() - _T0:6.0f}s] {msg}", file=sys.stderr, flush=True)
 
 import os
 
@@ -135,10 +146,12 @@ def main():
         return _episode_rank(dino_params, clip_v, ac_v, ep, props, vta_text,
                              ac_text)
 
+    _mark("compiling episode_rank (full 128-bucket ranking program)")
     t_compile0 = time.time()
     out = episode_rank(ep, props, vta_text, ac_text)
     _ = float(out[0, 0])  # force completion (block_until_ready is lazy on axon)
     compile_s = time.time() - t_compile0
+    _mark(f"episode_rank compiled in {compile_s:.0f}s; timing 8 iters")
 
     # per-iteration sync + min-of-N: the tunnel-attached device shows ±15%
     # run-to-run variance; the min is the sustainable per-episode rate
@@ -185,6 +198,7 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     from mars_tpu.pipeline import amg, matcher
 
     # ViP-LLaVA-7B int8 (the production retriever backend, cli --jax-vlm)
+    _mark("e2e: initializing 7B int8 VLM params on device")
     vcfg = vl.VipLlavaConfig()
     vlm_p = vl.init_random_params(0, vcfg, quantize_bits=8)
     gtok = (vcfg.image_size // vcfg.patch_size) ** 2
@@ -194,11 +208,16 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
 
     def text_stage():
         # 1-shot name query (max 20 new tokens) + definition (max 50)
-        # (reference TextRetrieverModule.py:76,118)
+        # (reference TextRetrieverModule.py:76,118), with the retriever's
+        # production prompt-lookup speculative decode (draft_tokens=8).
+        # Caveat: random-weight output is repetitive → near-max draft
+        # acceptance; real definitions accept less (BASELINE.md), so the
+        # plain-decode text time is also reported (end_to_end_stage_ms
+        # carries the speculative number).
         n = vl.generate_greedy(vlm_p, jnp.asarray(name_ids), pixels, vcfg,
-                               max_new_tokens=20)
+                               max_new_tokens=20, draft_tokens=8)
         d = vl.generate_greedy(vlm_p, jnp.asarray(name_ids), pixels, vcfg,
-                               max_new_tokens=50)
+                               max_new_tokens=50, draft_tokens=8)
         return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
 
     sam_params, sam_cfg = zoo.build_sam(None, "vit_b")
@@ -216,16 +235,22 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
 
     # compile all three stages once
     t0 = time.time()
+    _mark("e2e: compiling text stage (7B int8 VLM, speculative decode)")
     text_stage()
+    _mark("e2e: compiling proposal stage (match + propose programs)")
     out = proposal_stage(key)
     props = bucket_generated_proposals(out, PROPOSAL_BUCKET)
     merged = episode_rank(ep, props, vta_text, ac_text)
     _ = float(merged[0, 0])
     e2e_compile_s = time.time() - t0
+    _mark(f"e2e compiled in {e2e_compile_s:.0f}s; timing 6 episodes")
 
+    # min-of-6: the tunnel shows ±15% run-to-run variance (and occasional
+    # multi-hundred-ms stalls), so 3 samples routinely overstate the
+    # proposal span by 300+ ms vs matcher_bench's steady state
     stage_ms = {"text": [], "proposals": [], "ranking": []}
     totals = []
-    for i in range(3):
+    for i in range(6):
         key, k = jax.random.split(key)
         t0 = time.time()
         text_stage()
@@ -249,7 +274,7 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
             k: round(min(v) * 1000, 1) for k, v in stage_ms.items()
         },
         "end_to_end_compile_s": round(e2e_compile_s, 1),
-        "end_to_end_config": "vlm=vip-llava-7b-int8 text=20+50tok "
+        "end_to_end_config": "vlm=vip-llava-7b-int8 text=20+50tok(draft=8) "
                              "proposals=dinov2-l+sam-vit-b@518 "
                              "ranking=full-128-bucket",
     }
