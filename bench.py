@@ -230,7 +230,7 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         return matcher.generate_proposals(
             k, dino_params, dcfg, sam_params, sam_cfg, acfg, mcfg,
             ep.support_images, ep.support_masks, ep.support_valid,
-            ep.query_image,
+            ep.query_image, bucket=PROPOSAL_BUCKET,
         )
 
     # compile all three stages once

@@ -20,7 +20,7 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from mars_tpu.core.episode import pad_proposals
+from mars_tpu.core.episode import Proposals, pad_proposals
 from mars_tpu.data import build_dataset, to_device_episode
 from mars_tpu.data.base import resized_gt
 from mars_tpu.pipeline import mars as mars_lib
@@ -181,7 +181,11 @@ def bucket_generated_proposals(out, bucket):
 
     Runs as ONE jitted program: the episode-path invariant — eager jnp ops
     cost ~35 ms of tunnel dispatch EACH, and the old eager chain (argsort +
-    gather + mul + pad) billed ~200 ms/episode on hardware."""
+    gather + mul + pad) billed ~200 ms/episode on hardware.  When the
+    Matcher already compacted in-program (generate_proposals(bucket=...)
+    emits "bucket_masks"/"bucket_valid"), this is a zero-dispatch view."""
+    if "bucket_masks" in out and out["bucket_masks"].shape[0] == bucket:
+        return Proposals(masks=out["bucket_masks"], valid=out["bucket_valid"])
     global _BUCKET_COMPACT
     if _BUCKET_COMPACT is None:
         import functools
@@ -267,7 +271,7 @@ def make_inline_generator(args, dino_bundle=None):
         out = matcher.generate_proposals(
             key, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
             ep.support_images, ep.support_masks, ep.support_valid,
-            ep.query_image,
+            ep.query_image, bucket=args.proposal_bucket,
         )
         return bucket_generated_proposals(out, args.proposal_bucket)
 

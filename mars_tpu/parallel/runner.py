@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mars_tpu.core import imaging
+from mars_tpu.ops import emd as emd_ops
 from mars_tpu.pipeline import filtering, vta as vta_m, vva as vva_m
 
 
@@ -75,3 +76,112 @@ def shard_batch(batch_args, mesh: Mesh):
     """Place a tuple of per-episode-batched arrays on the data axis."""
     dsh = NamedSharding(mesh, P("data"))
     return tuple(jax.device_put(x, dsh) for x in batch_args)
+
+
+def _masked_min_max_psharded(x, valid, axis):
+    """imaging.masked_min_max_scale with the vector sharded over ``axis``:
+    the min/max reductions cross chips, the scaling stays local."""
+    big = jnp.finfo(x.dtype).max
+    mn = jax.lax.pmin(jnp.min(jnp.where(valid, x, big)), axis)
+    mx = jax.lax.pmax(jnp.max(jnp.where(valid, x, -big)), axis)
+    return jnp.where(valid, (x - mn) / (mx - mn + 1e-8), 0.0)
+
+
+def make_proposal_parallel_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg,
+                                  vta_cfg, fm_cfg, mesh: Mesh,
+                                  axis: str = "data"):
+    """Single-episode ranking with the PROPOSAL bucket sharded over ``axis``.
+
+    The full-bucket worst case is dominated by per-proposal work — the
+    AlphaCLIP tower over every proposal's alpha mask plus the Sinkhorn EMD
+    (BASELINE.md: 554 + 178 of ~610 ms on one v5e) — which is
+    embarrassingly parallel over the bucket, so sharding proposals cuts
+    single-episode LATENCY near-linearly where episode-parallelism
+    (make_batched_ranker) only adds throughput.  The per-episode towers
+    (VVA support/query pass, VTA Grad-CAM) are replicated compute on every
+    chip; cross-chip traffic is only the cross-proposal reductions of
+    score_and_merge (reference FilteringMergingModule.py:104-132,209-221):
+    the (g, g) footprint union, the min-max score bounds, the top-score
+    threshold, and the (H, W) merged-mask union — all tiny next to ICI
+    bandwidth.
+
+    → rank(params_bundle, sup_i, sup_m, sup_v, qry, prop_masks, prop_valid,
+           vta_text, ac_text) with prop_masks (P, H, W) / prop_valid (P,)
+    sharded over ``axis`` (P divisible by the axis size); returns
+    (merged (H, W) replicated, final scores (P,) sharded).
+    """
+    g = vva_cfg.grid
+    n_shards = mesh.shape[axis]
+
+    def rank(params, sup_i, sup_m, sup_v, qry, prop_m, prop_v,
+             vta_text, ac_text):
+        # per-episode priors: replicated compute (identical on every chip)
+        vva_prior, cost, support_fg = vva_m.compute(
+            params["dino"], sup_i, sup_m, sup_v, qry, dino_cfg, vva_cfg)
+        vta_prior = vta_m.compute(
+            params["clip_v"], qry, vta_text, params["logit_scale"],
+            clip_vcfg, vta_cfg)
+        vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
+        vta_prior = (vta_prior - vta_prior.min()) / (
+            1e-7 + vta_prior.max() - vta_prior.min())
+
+        # per-proposal work on the local shard: AlphaCLIP keeps its
+        # dead-chunk skip per chip (a shard with no valid rows pays no
+        # tower compute), EMD rows are independent
+        ac_local = filtering.alphaclip_scores(
+            params["ac_v"], qry, prop_m, ac_text, ac_vcfg, fm_cfg,
+            proposal_valid=prop_v)
+        pl = prop_m.shape[0]
+        pooled = imaging.pool_mask_to_grid(prop_m, g) > 0
+        pooled = pooled & prop_v[:, None, None]
+
+        # score_and_merge with its cross-proposal reductions as collectives
+        union = jax.lax.pmax(
+            jnp.any(pooled, axis=0).astype(jnp.float32), axis) > 0
+        fp = pooled.reshape(pl, -1).astype(jnp.float32)
+        sizes = jnp.sum(fp, axis=1)
+        coverage = sizes / (1e-7 + jnp.sum(union))
+        pvv = fm_cfg.alpha * (fp @ vva_prior.reshape(-1) / (1e-7 + sizes)) \
+            + (1 - fm_cfg.alpha) * coverage
+        pvt = fm_cfg.alpha * (fp @ vta_prior.reshape(-1) / (1e-7 + sizes)) \
+            + (1 - fm_cfg.alpha) * coverage
+
+        emd = emd_ops.batched_emd(
+            cost, support_fg, pooled.reshape(pl, -1),
+            fm_cfg.emd_row_bucket, fm_cfg.emd_col_bucket, col_valid=prop_v)
+        emd_n = _masked_min_max_psharded(1.0 - emd, prop_v, axis)
+        ac_n = _masked_min_max_psharded(ac_local, prop_v, axis)
+
+        final = (emd_n + ac_n + pvv + pvt) / 4.0
+        final = jnp.where(prop_v, final, -jnp.inf)
+        top = jax.lax.pmax(jnp.max(final), axis)
+        thr = jnp.where(top < fm_cfg.static_threshold,
+                        fm_cfg.dynamic_threshold * top,
+                        fm_cfg.static_threshold)
+        keep = prop_v & (final >= thr)
+        merged_local = jnp.any(
+            prop_m.astype(bool) & keep[:, None, None], axis=0)
+        merged = jax.lax.pmax(merged_local.astype(jnp.float32), axis)
+        return merged, final
+
+    fn = jax.shard_map(
+        rank,
+        mesh=mesh,
+        axis_names={axis},
+        in_specs=(P(),) + (P(),) * 4 + (P(axis), P(axis)) + (P(),) * 2,
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+
+    jitted = jax.jit(fn)
+
+    def call(params, sup_i, sup_m, sup_v, qry, prop_m, prop_v,
+             vta_text, ac_text):
+        if prop_m.shape[0] % n_shards:
+            raise ValueError(
+                f"proposal bucket {prop_m.shape[0]} not divisible by "
+                f"mesh axis '{axis}' of size {n_shards}")
+        return jitted(params, sup_i, sup_m, sup_v, qry, prop_m, prop_v,
+                      vta_text, ac_text)
+
+    return call

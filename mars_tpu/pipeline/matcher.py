@@ -523,10 +523,10 @@ def _match_stage(key, dino_params, support_images, support_masks,
 
 
 @partial(jax.jit, static_argnames=("sam_cfg", "amg_cfg", "cfg", "rows",
-                                   "use_mask_input"))
+                                   "use_mask_input", "bucket"))
 def _propose_stage(key, m, query_image, sam_params, mask_input,
                    sam_cfg, amg_cfg, cfg: MatcherConfig, rows,
-                   use_mask_input: bool):
+                   use_mask_input: bool, bucket=None):
     """Program 2 of 2: prompt sampling → SAM encode → ONE batched decode of
     the active family (pad slots attention-masked, exact vs the reference's
     per-size batches :1276-1295) → NMS → scoring → merge."""
@@ -596,7 +596,25 @@ def _propose_stage(key, m, query_image, sam_params, mask_input,
     merged, final_score, chosen = filter_and_merge(
         dec["masks"], dec["valid"], emd_score, purity, coverage, cfg,
     )
-    return {
+    mask_score = cfg.alpha * emd_score + cfg.beta * purity * coverage ** cfg.exp
+    out = {}
+    if bucket is not None:
+        # ranking-bucket compaction fused into this program: valid rows
+        # first, best mask_score first (the decode layout carries dead rows
+        # IN PLACE — the size-1..3 combination sets lead the n<=8 family).
+        # Doing it here instead of a separate jitted program saves one
+        # ~35 ms tunnel dispatch per episode on the inline-proposal path
+        # (cli.bucket_generated_proposals consumes these keys when present).
+        from mars_tpu.core.episode import pad_proposals
+
+        order = jnp.argsort(jnp.where(dec["valid"], -mask_score, jnp.inf),
+                            stable=True)
+        bm = dec["masks"][order] * dec["valid"][order][:, None, None]
+        props = pad_proposals(bm.astype(jnp.float32), bucket,
+                              valid=dec["valid"][order])
+        out["bucket_masks"] = props.masks
+        out["bucket_valid"] = props.valid
+    return out | {
         "proposal_masks": dec["masks"],
         "proposal_valid": dec["valid"],
         "low_res_logits": dec["low_res_logits"],
@@ -607,8 +625,7 @@ def _propose_stage(key, m, query_image, sam_params, mask_input,
         "coverage": coverage,
         # per-mask combined score (reference :719-720) — the ranking key
         # for bucketing proposals downstream (cli.bucket_generated_proposals)
-        "mask_score": cfg.alpha * emd_score
-                      + cfg.beta * purity * coverage ** cfg.exp,
+        "mask_score": mask_score,
         "merged": merged,
         "final_score": final_score,
         "chosen": chosen,
@@ -643,8 +660,13 @@ def generate_proposals(
     query_image: jnp.ndarray,  # (H, W, 3) raw [0,1]
     target_mask_low_res: Optional[jnp.ndarray] = None,  # (4G, 4G) cascade
     timers=None,
+    bucket: Optional[int] = None,
 ):
     """Full Matcher flow (reference Matcher.predict :216-249).
+
+    ``bucket``: if set, the propose program ALSO emits a compacted ranking
+    bucket ("bucket_masks"/"bucket_valid", best mask_score first) so the
+    inline eval path needs no separate compaction dispatch.
 
     Returns dict with proposal masks (N, H, W) bool + valid, scores,
     merged prediction, and the cost matrix / support footprint (reusable
@@ -679,7 +701,7 @@ def generate_proposals(
         out = _propose_stage(
             key, m, query_image, sam_params, target_mask_low_res,
             sam_cfg, amg_cfg, cfg, rows,
-            target_mask_low_res is not None,
+            target_mask_low_res is not None, bucket=bucket,
         )
         if timers is not None:
             force_sync(out["final_score"])

@@ -150,6 +150,21 @@ class TestEndToEnd:
         # at least one proposal should be live with zeroed thresholds
         assert np.asarray(out["proposal_valid"]).sum() >= 1
 
+        # in-program bucket compaction (bucket=) must match the standalone
+        # cli.bucket_generated_proposals program bit-for-bit
+        from mars_tpu import cli
+
+        out_b = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, jnp.ones((s,), bool), qry, bucket=8,
+        )
+        fused = cli.bucket_generated_proposals(out_b, bucket=8)
+        standalone = cli.bucket_generated_proposals(out, bucket=8)
+        np.testing.assert_array_equal(np.asarray(fused.masks),
+                                      np.asarray(standalone.masks))
+        np.testing.assert_array_equal(np.asarray(fused.valid),
+                                      np.asarray(standalone.valid))
+
 
 class TestNegativePriors:
     def test_negatives_disjoint_from_positives(self):

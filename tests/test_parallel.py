@@ -197,6 +197,91 @@ class TestBatchedRanker:
                    "all-to-all", "reduce-scatter", "collective-broadcast"):
             assert op not in hlo, f"episode-parallel ranker emits {op}"
 
+    def test_proposal_parallel_matches_single(self):
+        """Proposal-sharded single-episode ranking == the unsharded fused
+        ranking path (same per-proposal numerics; cross-proposal
+        reductions become collectives)."""
+        from mars_tpu.core import imaging
+        from mars_tpu.models import clip as clip_m, dinov2
+        from mars_tpu.parallel import runner
+        from mars_tpu.pipeline import filtering, vta, vva
+
+        g = 4
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        cvcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=3, num_heads=1, output_dim=16,
+            pos_embed_grid=2,
+        )
+        avcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=2, num_heads=1, output_dim=16,
+            pos_embed_grid=2, alpha_channel=True,
+        )
+        vcfg = vva.VVAConfig(grid=g, attn_tap_last_n=2)
+        tcfg = vta.VTAConfig(input_size=64, grid=4, attn_tap_last_n=2)
+        fcfg = filtering.FilterMergeConfig(
+            grid=g, alpha_clip_size=32, alpha_clip_batch=2,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(1), 8)
+        params = {
+            "dino": dinov2.init_params(ks[0], dcfg),
+            "clip_v": clip_m.init_visual_params(ks[1], cvcfg),
+            "ac_v": clip_m.init_visual_params(ks[2], avcfg),
+            "logit_scale": jnp.float32(1.0),
+        }
+        s_img, p = 56, 16  # 16 proposals over 8 chips = 2 rows/chip
+        sup_i = jax.random.uniform(ks[3], (1, s_img, s_img, 3))
+        sup_m = jnp.zeros((1, s_img, s_img)).at[:, 10:40, 10:40].set(1.0)
+        sup_v = jnp.ones((1,), bool)
+        qry = jax.random.uniform(ks[4], (s_img, s_img, 3))
+        prop_m = (jax.random.uniform(ks[5], (p, s_img, s_img)) > 0.7).astype(jnp.float32)
+        # dead rows in the middle: the per-chip dead-chunk skip and the
+        # valid-masked reductions must both handle a partially-dead shard
+        prop_v = jnp.asarray([True] * 6 + [False] * 4 + [True] * 6)
+        vta_text = jax.random.normal(ks[6], (2, 16))
+        ac_text = jax.random.normal(ks[7], (1, 16))
+        ac_text = ac_text / jnp.linalg.norm(ac_text, axis=-1, keepdims=True)
+
+        m = mesh_lib.make_mesh(n_data=8, n_model=1)
+        ranker = runner.make_proposal_parallel_ranker(
+            dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg, mesh=m)
+        psh = NamedSharding(m, P("data"))
+        merged, final = ranker(
+            params, sup_i, sup_m, sup_v, qry,
+            jax.device_put(prop_m, psh), jax.device_put(prop_v, psh),
+            vta_text, ac_text)
+
+        # reference: the single-device fused ranking graph
+        vva_prior, cost, support_fg = vva.compute(
+            params["dino"], sup_i, sup_m, sup_v, qry, dcfg, vcfg)
+        vta_prior = vta.compute(
+            params["clip_v"], qry, vta_text, params["logit_scale"], cvcfg, tcfg)
+        vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
+        vta_prior = (vta_prior - vta_prior.min()) / (
+            1e-7 + vta_prior.max() - vta_prior.min())
+        ac = filtering.alphaclip_scores(
+            params["ac_v"], qry, prop_m, ac_text, avcfg, fcfg,
+            proposal_valid=prop_v)
+        merged_ref, final_ref = filtering.score_and_merge(
+            prop_m, prop_v, support_fg, cost, vva_prior, vta_prior, ac, fcfg)
+
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(merged_ref),
+                                   atol=1e-5)
+        fin = np.asarray(final)
+        fin_ref = np.asarray(final_ref)
+        vmask = np.asarray(prop_v)
+        np.testing.assert_allclose(fin[vmask], fin_ref[vmask], atol=1e-4)
+
+        # bucket not divisible by the axis → explicit error
+        import pytest
+
+        with pytest.raises(ValueError, match="not divisible"):
+            ranker(params, sup_i, sup_m, sup_v, qry, prop_m[:12],
+                   prop_v[:12], vta_text, ac_text)
+
 
 class TestVlmTensorParallel:
     """Tensor-parallel ViP-LLaVA decode over the model axis: q/k/v + gate/up
