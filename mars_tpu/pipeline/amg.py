@@ -159,6 +159,19 @@ def decode_prompt_sets(
         dense = sam.no_mask_dense(params["prompt_encoder"], (g, g))
     image_pe = sam.dense_pe(params["prompt_encoder"], (g, g))
 
+    # dead-chunk skip (same pattern as the AlphaCLIP / EMD stages): valid
+    # prompt sets are compacted to the front and all-dead chunks skip the
+    # decoder + upscale + stability through a runtime lax.cond.  The combo
+    # family's layout is mostly dead by construction (246 rows of which
+    # only C(n,lo..hi) are live — the size<lo rows and index≥n rows are
+    # invalid), so an n=5 episode decodes 1 chunk instead of ~8.
+    order = jnp.argsort(~set_valid, stable=True)
+    inv_set = jnp.zeros((b0,), jnp.int32).at[order].set(
+        jnp.arange(b0, dtype=jnp.int32))
+    sparse = sparse[order]
+    sparse_valid = sparse_valid[order]
+    n_live = jnp.sum(set_valid)
+
     nb = cfg.decode_batch
     sparse_p = _pad_to_multiple(sparse, nb)
     valid_p = _pad_to_multiple(sparse_valid, nb)
@@ -168,6 +181,7 @@ def decode_prompt_sets(
     # padded chunk rows must keep at least one live token (all-masked rows
     # softmax over -inf → NaN); their outputs are sliced away below
     valid_c = valid_c.at[..., -1].set(True)
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * nb
 
     def chunk(args):
         sp, sv = args
@@ -185,7 +199,18 @@ def decode_prompt_sets(
         boxes = mask_ops.mask_to_box(th).astype(jnp.float32)
         return th, lr_sel, iou_sel, stab, boxes
 
-    th, lr, iou, stab, boxes = jax.lax.map(chunk, (sparse_c, valid_c))
+    out_shapes = jax.eval_shape(chunk, (sparse_c[0], valid_c[0]))
+
+    def guarded(args):
+        sp, sv, start = args
+        return jax.lax.cond(
+            start < n_live,
+            chunk,
+            lambda _: tuple(jnp.zeros(s.shape, s.dtype) for s in out_shapes),
+            (sp, sv),
+        )
+
+    th, lr, iou, stab, boxes = jax.lax.map(guarded, (sparse_c, valid_c, starts))
 
     def flat(x):
         return x.reshape((-1,) + x.shape[3:])
@@ -193,7 +218,12 @@ def decode_prompt_sets(
     th, lr, iou, stab, boxes = flat(th), flat(lr), flat(iou), flat(stab), flat(boxes)
     m = th.shape[0] // sparse_p.shape[0]
     n0 = b0 * m
-    th, lr, iou, stab, boxes = th[:n0], lr[:n0], iou[:n0], stab[:n0], boxes[:n0]
+
+    # un-permute back to the caller's set order (dead rows are all-zero)
+    rows = (inv_set[:, None] * m
+            + jnp.arange(m, dtype=jnp.int32)[None, :]).reshape(-1)
+    th, lr, iou, stab, boxes = (
+        th[rows], lr[rows], iou[rows], stab[rows], boxes[rows])
 
     valid = jnp.repeat(set_valid, m)
     set_index = jnp.repeat(jnp.arange(b0), m)

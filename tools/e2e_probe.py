@@ -66,6 +66,7 @@ def main():
             return 0
 
     key = jax.random.PRNGKey(0)
+    from mars_tpu.utils.profiling import force_sync
 
     def proposal_stage(k):
         out = matcher.generate_proposals(
@@ -76,11 +77,29 @@ def main():
         _ = float(props.masks[0, 0, 0])
         return props
 
+    def proposal_stage_nobucket(k):
+        # matcher_bench's exact pattern: no fused bucket, sync final_score
+        out = matcher.generate_proposals(
+            k, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
+            ep.support_images, ep.support_masks, ep.support_valid,
+            ep.query_image)
+        force_sync(out["final_score"])
+        return out
+
     print("compiling...", flush=True)
     t0 = time.time()
     text_stage()
-    proposal_stage(key)
-    print(f"compiled in {time.time() - t0:.0f}s", flush=True)
+    out0 = matcher.generate_proposals(
+        key, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
+        ep.support_images, ep.support_masks, ep.support_valid,
+        ep.query_image, bucket=PROPOSAL_BUCKET)
+    tele = {k: int(v) for k, v in out0["telemetry"].items()}
+    nprompt = tele["n_matched_points"]
+    print(f"compiled in {time.time() - t0:.0f}s; telemetry {tele} "
+          f"(family: {'combos(246 rows)' if nprompt <= 8 else 'draws(90 rows)'})",
+          flush=True)
+
+    proposal_stage_nobucket(key)  # compile the no-bucket variant too
 
     p1s, p2s, txts = [], [], []
     for i in range(args.iters):
@@ -91,15 +110,15 @@ def main():
         t1 = time.time()
         proposal_stage(k1)
         t2 = time.time()
-        proposal_stage(k2)
+        proposal_stage_nobucket(k2)
         t3 = time.time()
         txts.append(t1 - t0)
         p1s.append(t2 - t1)
         p2s.append(t3 - t2)
-        print(f"iter {i}: text {1e3*(t1-t0):6.0f}  prop#1 {1e3*(t2-t1):6.0f}  "
-              f"prop#2 {1e3*(t3-t2):6.0f} ms", flush=True)
-    print(f"min: text {1e3*min(txts):.0f}  prop#1 {1e3*min(p1s):.0f}  "
-          f"prop#2 {1e3*min(p2s):.0f} ms")
+        print(f"iter {i}: text {1e3*(t1-t0):6.0f}  prop+bucket {1e3*(t2-t1):6.0f}  "
+              f"prop-nobucket {1e3*(t3-t2):6.0f} ms", flush=True)
+    print(f"min: text {1e3*min(txts):.0f}  prop+bucket {1e3*min(p1s):.0f}  "
+          f"prop-nobucket {1e3*min(p2s):.0f} ms")
 
 
 if __name__ == "__main__":
