@@ -97,7 +97,10 @@ def bidirectional_match(s_mat: jnp.ndarray, support_fg: jnp.ndarray):
     t = jnp.sum(support_fg)
 
     def fwd_rows(_):
-        cols = assignment.auction_assignment(s_mat, support_fg)  # (R,)
+        # support_fg is sparse (|footprint| bidders over an R×L matrix) →
+        # chunk-gated bidding: war rounds read only live-bidder chunks
+        cols = assignment.auction_assignment(s_mat, support_fg,
+                                             row_chunk=128)  # (R,)
         tgt = jnp.where(cols >= 0, cols, l)  # out-of-range → dropped
         matched_row = jnp.full((l,), -1, jnp.int32).at[tgt].set(
             jnp.arange(r, dtype=jnp.int32), mode="drop"
@@ -120,7 +123,8 @@ def bidirectional_match(s_mat: jnp.ndarray, support_fg: jnp.ndarray):
     )
 
     # reverse: matched query columns compete for support patches (all R cols)
-    rev = assignment.auction_assignment(s_mat.T, pair_valid)  # (L,) → row in R
+    rev = assignment.auction_assignment(s_mat.T, pair_valid,
+                                        row_chunk=128)  # (L,) → row in R
     retained_raw = pair_valid & support_fg[jnp.clip(rev, 0, r - 1)] & (rev >= 0)
     retained = jax.lax.cond(
         jnp.any(retained_raw), lambda: retained_raw, lambda: pair_valid
@@ -198,6 +202,8 @@ def negative_points_from_cost(cost, support_fg, cfg: MatcherConfig):
     cost_f = jnp.where(pair_valid, cost[jnp.clip(matched_row, 0, r - 1), jnp.arange(l)], -jnp.inf)
     # ε-scaling only when square (carryover is unsound for strongly
     # rectangular valid subsets — multi-shot keeps the single phase)
+    # pair_valid is DENSE here (a full square/tall assignment matches every
+    # column) — chunk-gated bidding would only add per-round overhead
     rev = assignment.auction_assignment(cost.T, pair_valid,
                                         n_phases=5 if r == l else 1)
     outside = pair_valid & ~support_fg[jnp.clip(rev, 0, r - 1)]

@@ -193,6 +193,29 @@ class TestAssignment:
         assert (cols[5:] == -1).all()
         assert len(set(cols[:5].tolist())) == 5
 
+    @pytest.mark.parametrize("seed,t,n,chunk", [
+        (0, 200, 300, 32),   # sparse scattered valid
+        (1, 200, 300, 64),   # chunk not dividing t
+        (2, 96, 96, 32),     # square, dense valid (identity compaction)
+        (3, 150, 150, 32),   # near-tie degenerate values (bidding wars)
+    ])
+    def test_chunk_gated_matches_dense(self, seed, t, n, chunk):
+        """row_chunk compaction + chunk-gated bidding is BIT-EXACT vs the
+        dense path: stable compaction preserves valid rows' relative order,
+        so the largest-row-index tie-break picks the same physical row."""
+        rng = np.random.RandomState(seed)
+        if seed == 3:
+            # degenerate: few distinct values → long bidding wars, ties
+            s = rng.randint(0, 4, (t, n)).astype(np.float32) / 4.0
+        else:
+            s = rng.rand(t, n).astype(np.float32)
+        valid = rng.rand(t) < (0.25 if seed != 2 else 1.1)
+        dense = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid)))
+        chunked = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), row_chunk=chunk))
+        np.testing.assert_array_equal(chunked, dense)
+
 
 class TestNms:
     def test_matches_greedy_oracle(self):

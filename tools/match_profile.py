@@ -33,19 +33,36 @@ from mars_tpu.utils.profiling import force_sync
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use the synthetic-dataset episode (bench.py's e2e "
+                         "inputs) instead of uniform-random arrays — the "
+                         "auction while_loop trip counts are data-dependent")
+    ap.add_argument("--int8", action="store_true")
     args = ap.parse_args()
 
     dino_params, dino_cfg = zoo.build_dinov2(None, "vit_large", 4)
     dino_params = cast_floating(dino_params)
+    if args.int8:
+        from mars_tpu.models.quantization import quantize_params
+
+        dino_params = quantize_params(dino_params)
     mcfg = matcher.MatcherConfig()
     s = mcfg.input_size
 
-    rng = np.random.RandomState(0)
-    sup = jnp.asarray(rng.rand(1, s, s, 3), jnp.float32)
-    qry = jnp.asarray(rng.rand(s, s, 3), jnp.float32)
-    m = np.zeros((1, s, s), np.float32)
-    m[0, 60:240, 80:300] = 1
-    msk, val = jnp.asarray(m), jnp.ones((1,), bool)
+    if args.synthetic:
+        from mars_tpu.data import build_dataset, to_device_episode
+
+        ds = build_dataset("synthetic", shot=1, size=s, num_episodes=2)
+        ep = to_device_episode(ds[0], size=s, max_shots=1)
+        sup, msk, val, qry = (ep.support_images, ep.support_masks,
+                              ep.support_valid, ep.query_image)
+    else:
+        rng = np.random.RandomState(0)
+        sup = jnp.asarray(rng.rand(1, s, s, 3), jnp.float32)
+        qry = jnp.asarray(rng.rand(s, s, 3), jnp.float32)
+        m = np.zeros((1, s, s), np.float32)
+        m[0, 60:240, 80:300] = 1
+        msk, val = jnp.asarray(m), jnp.ones((1,), bool)
     key = jax.random.PRNGKey(0)
 
     @partial(jax.jit, static_argnames=("dino_cfg",))
