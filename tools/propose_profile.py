@@ -39,18 +39,47 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--sam-size", default="vit_b")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny models on CPU — validates the script itself")
     args = ap.parse_args()
 
-    dino_params, dino_cfg = zoo.build_dinov2(None, "vit_large", 4)
-    dino_params = cast_floating(dino_params)
-    if args.int8:
-        from mars_tpu.models.quantization import quantize_params
+    if args.tiny:
+        # JAX_PLATFORMS=cpu is NOT honored with the axon plugin registered
+        # (env-var init still probes the tunnel and hangs during outages);
+        # the config update pre-init is the reliable switch
+        jax.config.update("jax_platforms", "cpu")
+        from mars_tpu.models import dinov2 as dinov2_m, sam as sam_m
 
-        dino_params = quantize_params(dino_params)
-    sam_params, sam_cfg = zoo.build_sam(None, args.sam_size)
-    sam_params = cast_floating(sam_params)
-    mcfg = matcher.MatcherConfig()
-    acfg = amg.AmgConfig()
+        dino_cfg = dinov2_m.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4)
+        dino_params = dinov2_m.init_params(jax.random.PRNGKey(0), dino_cfg)
+        sam_cfg = sam_m.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2)
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        sam_params = {
+            "encoder": sam_m.init_encoder_params(ks[0], sam_cfg),
+            "prompt_encoder": sam_m.init_prompt_encoder_params(ks[1], sam_cfg),
+            "decoder": sam_m.init_decoder_params(ks[2], sam_cfg),
+        }
+        mcfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            emd_row_bucket=16, emd_col_bucket=16)
+        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
+                             sel_stability_score_thresh=0.0, decode_batch=8)
+    else:
+        dino_params, dino_cfg = zoo.build_dinov2(None, "vit_large", 4)
+        dino_params = cast_floating(dino_params)
+        if args.int8:
+            from mars_tpu.models.quantization import quantize_params
+
+            dino_params = quantize_params(dino_params)
+        sam_params, sam_cfg = zoo.build_sam(None, args.sam_size)
+        sam_params = cast_floating(sam_params)
+        mcfg = matcher.MatcherConfig()
+        acfg = amg.AmgConfig()
     s = mcfg.input_size
 
     if args.synthetic:
