@@ -87,16 +87,58 @@ def segmentation_loss(
     return loss, {"focal": focal, "dice": dice, "iou": iou_loss}
 
 
-def make_train_step(cfg: sam.SamConfig, tcfg: TrainConfig = TrainConfig()):
+def make_train_step(cfg: sam.SamConfig, tcfg: TrainConfig = TrainConfig(),
+                    accum_steps: int = 1, remat: bool = False):
     """→ (optimizer, train_step(trainable, opt_state, batch) → (trainable,
     opt_state, metrics)).  jit-able; shard trainable with
-    parallel.mesh.shard_params and the batch over 'data'."""
+    parallel.mesh.shard_params and the batch over 'data'.
+
+    ``accum_steps > 1``: gradient accumulation — the batch's leading axis
+    is split into ``accum_steps`` equal microbatches scanned sequentially,
+    averaging gradients/metrics.  All loss terms are batch means over
+    equal-size microbatches, so the averaged gradient equals the
+    full-batch gradient (tested); use it to train at batch sizes whose
+    activations exceed HBM.  ``remat``: rematerialize the loss forward
+    under ``jax.checkpoint`` — activations are recomputed in the backward
+    pass, trading ~1 extra forward for not holding the decoder/upscale
+    activations live (the (B, 4, 4G, 4G) upscale stack dominates
+    activation memory at production scale)."""
     opt = optax.adamw(tcfg.learning_rate)
+    loss_fn = segmentation_loss
+    if remat:
+        loss_fn = jax.checkpoint(segmentation_loss, static_argnums=(5, 6))
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(trainable, opt_state, embedding, coords, labels, gt_masks):
-        (loss, aux), grads = jax.value_and_grad(segmentation_loss, has_aux=True)(
-            trainable, embedding, coords, labels, gt_masks, cfg, tcfg
-        )
+        if accum_steps == 1:
+            (loss, aux), grads = grad_fn(
+                trainable, embedding, coords, labels, gt_masks, cfg, tcfg)
+        else:
+            b = embedding.shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps {accum_steps}")
+            mb = lambda x: x.reshape((accum_steps, b // accum_steps)
+                                     + x.shape[1:])
+
+            def micro(carry, batch_i):
+                g_acc, l_acc, aux_acc = carry
+                e, c, l, g = batch_i
+                (loss_i, aux_i), grads_i = grad_fn(
+                    trainable, e, c, l, g, cfg, tcfg)
+                return (jax.tree.map(jnp.add, g_acc, grads_i),
+                        l_acc + loss_i,
+                        jax.tree.map(jnp.add, aux_acc, aux_i)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, trainable)
+            aux0 = {"focal": 0.0, "dice": 0.0, "iou": 0.0}
+            (grads, loss, aux), _ = jax.lax.scan(
+                micro, (zeros, 0.0, aux0),
+                (mb(embedding), mb(coords), mb(labels), mb(gt_masks)))
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda x: x * inv, grads)
+            loss = loss * inv
+            aux = jax.tree.map(lambda x: x * inv, aux)
         updates, opt_state = opt.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, {"loss": loss, **aux}

@@ -88,6 +88,51 @@ class TestTrain:
         assert losses[-1] < losses[0], losses
         assert np.isfinite(losses).all()
 
+    def test_accum_and_remat_match_full_batch(self):
+        """accum_steps microbatching and jax.checkpoint rematerialization
+        both reproduce the full-batch update (all loss terms are equal-size
+        batch means, so averaged microbatch grads == full-batch grads)."""
+        cfg = _tiny_cfg()
+        ks = jax.random.split(jax.random.PRNGKey(2), 4)
+        trainable = {
+            "prompt_encoder": sam.init_prompt_encoder_params(ks[0], cfg),
+            "decoder": sam.init_decoder_params(ks[1], cfg),
+        }
+        enc = sam.init_encoder_params(ks[2], cfg)
+        b = 4
+        images = jax.random.uniform(ks[3], (b, 64, 64, 3))
+        embedding = sam.encode_image(enc, images, cfg)
+        coords = jax.random.uniform(jax.random.PRNGKey(7), (b, 3, 2)) * 64
+        labels = jnp.ones((b, 3), jnp.int32)
+        gt = (jax.random.uniform(jax.random.PRNGKey(8), (b, 16, 16)) > 0.7
+              ).astype(jnp.float32)
+
+        outs = {}
+        for name, kw in [("full", {}), ("accum", {"accum_steps": 2}),
+                         ("remat", {"remat": True}),
+                         ("both", {"accum_steps": 2, "remat": True})]:
+            opt, step = train_lib.make_train_step(
+                cfg, train_lib.TrainConfig(learning_rate=1e-3), **kw)
+            st = opt.init(trainable)
+            tr, _, metrics = jax.jit(step)(trainable, st, embedding, coords,
+                                           labels, gt)
+            outs[name] = (tr, float(metrics["loss"]))
+        ref_tr, ref_loss = outs["full"]
+        for name in ("accum", "remat", "both"):
+            tr, loss = outs[name]
+            assert abs(loss - ref_loss) < 1e-5, (name, loss, ref_loss)
+            jax.tree.map(
+                lambda a, b2: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b2), atol=1e-6),
+                tr, ref_tr)
+
+        import pytest
+
+        opt, step = train_lib.make_train_step(cfg, accum_steps=3)
+        with pytest.raises(ValueError, match="not divisible"):
+            jax.jit(step)(trainable, opt.init(trainable), embedding, coords,
+                          labels, gt)
+
     def test_train_step_sharded(self):
         """dp x tp training step runs and matches replicated loss."""
         cfg = _tiny_cfg()
