@@ -327,6 +327,28 @@ class TestBatchedRanker:
             ranker(params, sup_i, sup_m, sup_v, qry, prop_m[:12],
                    prop_v[:12], vta_text, ac_text)
 
+        # 2D production topology: proposals over 'data' AND tensor-parallel
+        # towers over 'model' (shard_map leaves the model axis auto, so
+        # GSPMD partitions the qkv/fc kernels inside each proposal shard)
+        m2 = mesh_lib.make_mesh(n_data=4, n_model=2)
+        params_tp = {
+            "dino": mesh_lib.shard_params(params["dino"], m2),
+            "clip_v": mesh_lib.shard_params(params["clip_v"], m2),
+            "ac_v": mesh_lib.shard_params(params["ac_v"], m2),
+            "logit_scale": params["logit_scale"],
+        }
+        ranker2 = runner.make_proposal_parallel_ranker(
+            dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg, mesh=m2)
+        psh2 = NamedSharding(m2, P("data"))
+        merged2, final2 = ranker2(
+            params_tp, sup_i, sup_m, sup_v, qry,
+            jax.device_put(prop_m, psh2), jax.device_put(prop_v, psh2),
+            vta_text, ac_text)
+        np.testing.assert_allclose(np.asarray(merged2),
+                                   np.asarray(merged_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(final2)[vmask],
+                                   fin_ref[vmask], atol=1e-4)
+
 
 class TestVlmTensorParallel:
     """Tensor-parallel ViP-LLaVA decode over the model axis: q/k/v + gate/up
