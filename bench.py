@@ -206,6 +206,15 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     name_ids[0, 10] = vcfg.image_token_index
     pixels = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
 
+    # name + definition queries share the image and the prompt up to the
+    # question ("Human: <image>\n…", reference helpers/prompts.py:23 +
+    # TextRetrieverModule.py:103-122) — the retriever prefills that prefix
+    # ONCE per episode image and both queries decode suffix-only
+    # (JaxVipLlava shared_prefix / models.vip_llava.prefill_prefix)
+    prefix_len = 580
+    prefix_ids = jnp.asarray(name_ids[:, :prefix_len])
+    suffix_ids = jnp.asarray(name_ids[:, prefix_len:])
+
     def text_stage():
         # 1-shot name query (max 20 new tokens) + definition (max 50)
         # (reference TextRetrieverModule.py:76,118), with the retriever's
@@ -214,10 +223,13 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         # acceptance; real definitions accept less (BASELINE.md), so the
         # plain-decode text time is also reported (end_to_end_stage_ms
         # carries the speculative number).
-        n = vl.generate_greedy(vlm_p, jnp.asarray(name_ids), pixels, vcfg,
-                               max_new_tokens=20, draft_tokens=8)
-        d = vl.generate_greedy(vlm_p, jnp.asarray(name_ids), pixels, vcfg,
-                               max_new_tokens=50, draft_tokens=8)
+        kv = vl.prefill_prefix(vlm_p, prefix_ids, pixels, vcfg)
+        n = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
+                               max_new_tokens=20, draft_tokens=8,
+                               prefix_kv=kv, prefix_len=prefix_len)
+        d = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
+                               max_new_tokens=50, draft_tokens=8,
+                               prefix_kv=kv, prefix_len=prefix_len)
         return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
 
     sam_params, sam_cfg = zoo.build_sam(None, "vit_b")
@@ -274,7 +286,8 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
             k: round(min(v) * 1000, 1) for k, v in stage_ms.items()
         },
         "end_to_end_compile_s": round(e2e_compile_s, 1),
-        "end_to_end_config": "vlm=vip-llava-7b-int8 text=20+50tok(draft=8) "
+        "end_to_end_config": "vlm=vip-llava-7b-int8 "
+                             "text=20+50tok(draft=8,prefix-kv) "
                              "proposals=dinov2-l+sam-vit-b@518 "
                              "ranking=full-128-bucket",
     }

@@ -242,13 +242,41 @@ def embed_multimodal(p, input_ids, pixel_values, cfg: VipLlavaConfig):
     return jnp.where(is_img[..., None], gathered.astype(embeds.dtype), embeds)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill_prefix(p, prefix_ids, pixel_values, cfg: VipLlavaConfig):
+    """KV caches for a shared multimodal prompt PREFIX, exact length.
+
+    The retriever's name and definition queries share everything up to the
+    question ("Human: <image>\\n…" — reference
+    mars/components/helpers/prompts.py:23 and
+    TextRetrieverModule.py:103-122 reuse the same drawn image), so the
+    vision tower + ~580 prefix positions can be prefilled once and reused:
+    pass the result to ``generate_greedy(prefix_kv=…, prefix_len=…)`` with
+    suffix-only input_ids.  Exact — the prefix KV entries are identical to
+    a full-prompt prefill (RoPE runs at the same absolute positions)."""
+    b, lp = prefix_ids.shape
+    embeds = embed_multimodal(p, prefix_ids, pixel_values, cfg)
+    positions = jnp.broadcast_to(jnp.arange(lp)[None], (b, lp))
+    hd = cfg.hidden // cfg.heads
+    caches = [
+        (jnp.zeros((b, lp, cfg.kv_heads, hd), embeds.dtype),
+         jnp.zeros((b, lp, cfg.kv_heads, hd), embeds.dtype))
+        for _ in range(cfg.layers)
+    ]
+    _, caches = llama_forward(p["language"], embeds, positions, cfg,
+                              caches, 0)
+    return caches
+
+
 @partial(jax.jit,
          static_argnames=("cfg", "max_new_tokens", "eos_id",
-                          "min_new_tokens", "draft_tokens", "ngram"))
+                          "min_new_tokens", "draft_tokens", "ngram",
+                          "prefix_len"))
 def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
                     max_new_tokens: int = 20, true_length=None,
                     eos_id: int = None, min_new_tokens: int = 0,
-                    draft_tokens: int = 0, ngram: int = 3):
+                    draft_tokens: int = 0, ngram: int = 3,
+                    prefix_kv=None, prefix_len: int = 0):
     """Greedy decode (the reference uses greedy generate with
     max_new_tokens=20/50, TextRetrieverModule.py:76,118).
 
@@ -291,22 +319,41 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     TextRetrieverModule.py:101-122), which is exactly what n-gram lookup
     drafts well; a worst-case prompt with zero matches just degrades to
     one emitted token per verify (no slower than the plain loop).
+
+    ``prefix_kv`` + ``prefix_len``: resume from a shared-prefix prefill
+    (see ``prefill_prefix``).  input_ids is then the SUFFIX only
+    (text-only — the vision tower is skipped; pixel_values may be None),
+    ``true_length`` counts suffix tokens, and the prefix KV is copied
+    into the decode cache at positions [0, prefix_len).  Bit-identical to
+    a full-prompt call on every decode path (tested).
     """
     b, l0 = input_ids.shape
-    embeds = embed_multimodal(p, input_ids, pixel_values, cfg)
-    positions = jnp.broadcast_to(jnp.arange(l0)[None], (b, l0))
+    if prefix_kv is not None:
+        # text-only suffix: token embeddings, no multimodal merge
+        embeds = p["language"]["embed_tokens"][input_ids]
+    else:
+        embeds = embed_multimodal(p, input_ids, pixel_values, cfg)
+    positions = jnp.broadcast_to(
+        prefix_len + jnp.arange(l0)[None], (b, l0))
 
     # speculative verify writes K+1 cache rows at positions up to
     # start+i+K; give the cache that headroom so no write ever clamps
-    max_len = l0 + max_new_tokens + (draft_tokens + 1 if draft_tokens else 0)
+    max_len = (prefix_len + l0 + max_new_tokens
+               + (draft_tokens + 1 if draft_tokens else 0))
     hd = cfg.hidden // cfg.heads
     caches = [
         (jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype),
          jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype))
         for _ in range(cfg.layers)
     ]
+    if prefix_kv is not None:
+        caches = [
+            (ck.at[:, :prefix_len].set(pk.astype(ck.dtype)),
+             cv.at[:, :prefix_len].set(pv.astype(cv.dtype)))
+            for (ck, cv), (pk, pv) in zip(caches, prefix_kv)
+        ]
     logits, caches = llama_forward(p["language"], embeds, positions, cfg,
-                                   caches, 0)
+                                   caches, prefix_len)
     per_row = getattr(true_length, "ndim", 0) == 1
 
     def pick_next(last, emit_idx):
@@ -319,20 +366,22 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
                              masked, last)
         return jnp.argmax(last, axis=-1)
 
+    # start: ABSOLUTE cache position of the first generated token
+    # (true_length counts SUFFIX tokens when a prefix is given)
     if true_length is None:
         next_tok = pick_next(logits[:, -1], 0)
-        start = l0
+        start = prefix_len + l0
     elif per_row:
         tl = jnp.asarray(true_length, jnp.int32)  # (B,)
         last = jnp.take_along_axis(logits, (tl - 1)[:, None, None], axis=1)
         next_tok = pick_next(last[:, 0], 0)
-        start = tl
+        start = prefix_len + tl
     else:
         last = jax.lax.dynamic_index_in_dim(
             logits, jnp.asarray(true_length, jnp.int32) - 1, axis=1,
             keepdims=False)
         next_tok = pick_next(last, 0)
-        start = jnp.asarray(true_length, jnp.int32)
+        start = prefix_len + jnp.asarray(true_length, jnp.int32)
 
     if draft_tokens > 0:
         if b != 1:
@@ -340,9 +389,13 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
                              "batched decode already amortizes the weight "
                              "stream across rows")
         start_s = start[0] if per_row else jnp.asarray(start, jnp.int32)
+        # the n-gram lookup buffer holds only the (suffix) input_ids, so it
+        # indexes at buffer-relative positions; cache writes stay absolute
         return _speculative_greedy(
-            p, cfg, input_ids, caches, next_tok, jnp.asarray(start_s),
-            max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram)
+            p, cfg, input_ids, caches, next_tok,
+            jnp.asarray(start_s) - prefix_len,
+            max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram,
+            cache_offset=prefix_len)
 
     def advance(tok, caches, i):
         """One cached decode step: emit slot i+1's token from slot i's."""
@@ -419,12 +472,16 @@ def _prompt_lookup_draft(seq, end, n: int, K: int):
 
 def _speculative_greedy(p, cfg, input_ids, caches, next_tok, start,
                         max_new_tokens: int, eos_id, min_new_tokens: int,
-                        K: int, n: int):
+                        K: int, n: int, cache_offset: int = 0):
     """Prompt-lookup speculative greedy loop (B=1).  Invariant: the carry
     token is a CORRECT greedy next token not yet emitted; each iteration
     emits it, then one K+1-position verify forward either extends the
     emission by up to K accepted drafts or (zero accepts) just yields the
-    next carry — never slower than one token per forward."""
+    next carry — never slower than one token per forward.
+
+    ``start`` is relative to the lookup buffer (== input_ids);
+    ``cache_offset`` shifts KV-cache positions when input_ids is a suffix
+    resumed from a shared-prefix prefill (generate_greedy prefix_kv)."""
     l0 = input_ids.shape[1]
     fill = eos_id if eos_id is not None else 0
     seq_len = l0 + max_new_tokens + K + 1
@@ -432,13 +489,13 @@ def _speculative_greedy(p, cfg, input_ids, caches, next_tok, start,
     buf0 = jnp.full((1, max_new_tokens + K), fill, next_tok.dtype)
 
     def verify(tok, caches, seq, i):
-        end = start + i  # sequence position of ``tok``
+        end = start + i  # buffer position of ``tok``
         d = _prompt_lookup_draft(seq, end, n, K).astype(tok.dtype)
         x_ids = jnp.concatenate([tok, d])  # (K+1,)
         emb = p["language"]["embed_tokens"][x_ids][None]
-        positions = (end + jnp.arange(K + 1))[None]
+        positions = (cache_offset + end + jnp.arange(K + 1))[None]
         logits, caches = llama_forward(p["language"], emb, positions, cfg,
-                                       caches, end)
+                                       caches, cache_offset + end)
         lg = logits[0].astype(jnp.float32)  # (K+1, V)
         if eos_id is not None and min_new_tokens > 0:
             emit_idx = i + 1 + jnp.arange(K + 1)

@@ -107,6 +107,8 @@ class JaxVipLlava:
         # which n-gram lookup drafts well; 0 disables
         self.draft_tokens = draft_tokens
         self.ngram = ngram
+        self._prefix_ids_cache = {}
+        self._prefix_kv_cache = None
         self.processor = AutoProcessor.from_pretrained(model_path)
         self.cfg = cfg or vl.VipLlavaConfig()
         if params is None:
@@ -137,7 +139,12 @@ class JaxVipLlava:
             toks = toks[: toks.index(eos)]
         return self.processor.tokenizer.decode(toks, skip_special_tokens=True).strip()
 
-    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+    # shared-prefix KV reuse is supported (TextRetriever passes the
+    # template prefix — name + definition queries share image + prefix)
+    supports_shared_prefix = True
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0,
+                 shared_prefix: str = None):
         import jax.numpy as jnp
         import numpy as np
         from PIL import Image
@@ -145,26 +152,73 @@ class JaxVipLlava:
         inputs = self.processor(text=prompt, images=Image.fromarray(image),
                                 return_tensors="np")
         ids_np = np.asarray(inputs["input_ids"])
+        l0 = ids_np.shape[1]
+        pixels = jnp.asarray(np.transpose(inputs["pixel_values"], (0, 2, 3, 1)))
+
+        # shared-prefix KV reuse: the retriever's name and definition
+        # queries draw the SAME image and share the prompt up to the
+        # question (reference helpers/prompts.py:23 — "Human: <image>\n{}")
+        # so the vision tower + ~580-position prefill runs once per image.
+        # Guarded by a host-side tokenization check (BPE boundaries could
+        # in principle split differently); mismatch falls back to the
+        # plain full-prompt path.
+        prefix_len, prefix_kv = 0, None
+        if shared_prefix:
+            prefix_len, prefix_kv = self._prefix_state(
+                shared_prefix, image, ids_np, pixels)
+        if prefix_kv is not None:
+            body = ids_np[:, prefix_len:]
+            tl = l0 - prefix_len
+        else:
+            prefix_len, body, tl = 0, ids_np, l0
+
         # right-pad the prompt to a 128-bucket so the decoder compiles once
         # per bucket instead of once per prompt length
-        l0 = ids_np.shape[1]
-        bucket = ((l0 + 127) // 128) * 128
-        ids_np = np.pad(ids_np, ((0, 0), (0, bucket - l0)))
-        ids = jnp.asarray(ids_np)
-        pixels = jnp.asarray(np.transpose(inputs["pixel_values"], (0, 2, 3, 1)))
+        lb = body.shape[1]
+        bucket = ((lb + 127) // 128) * 128
+        body = np.pad(body, ((0, 0), (0, bucket - lb)))
         # eos_id: HF-generate semantics — rows freeze at EOS and the decode
         # loop exits early (a 3-token class name inside a 20-token budget
         # skips ~17 weight-streaming steps); min_new_tokens masks EOS like
         # HF's MinNewTokensLengthLogitsProcessor (the reference's definition
         # query, TextRetrieverModule.py:118)
         toks = self._vl.generate_greedy(
-            self.params, ids, pixels, self.cfg,
+            self.params, jnp.asarray(body),
+            None if prefix_kv is not None else pixels, self.cfg,
             max_new_tokens=max(max_new_tokens, min_new_tokens),
-            true_length=jnp.int32(l0),
+            true_length=jnp.int32(tl),
             eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
             draft_tokens=self.draft_tokens, ngram=self.ngram,
+            prefix_kv=prefix_kv, prefix_len=prefix_len,
         )
         return self._decode_row(np.asarray(toks)[0])
+
+    def _prefix_state(self, shared_prefix, image, ids_np, pixels):
+        """→ (prefix_len, prefix_kv) from the one-slot cache, or (0, None)
+        when the prefix tokenization doesn't prefix-match the full prompt."""
+        import jax.numpy as jnp
+        import numpy as np
+        from PIL import Image
+
+        key_ids = self._prefix_ids_cache.get(shared_prefix)
+        if key_ids is None:
+            pre = self.processor(text=shared_prefix,
+                                 images=Image.fromarray(image),
+                                 return_tensors="np")
+            key_ids = tuple(np.asarray(pre["input_ids"])[0].tolist())
+            self._prefix_ids_cache[shared_prefix] = key_ids
+        lp = len(key_ids)
+        if ids_np.shape[1] <= lp or tuple(ids_np[0, :lp].tolist()) != key_ids:
+            return 0, None
+        cache_key = (key_ids, image.shape, hash(image.tobytes()))
+        if self._prefix_kv_cache is not None \
+                and self._prefix_kv_cache[0] == cache_key:
+            return lp, self._prefix_kv_cache[1]
+        kv = self._vl.prefill_prefix(
+            self.params, jnp.asarray(np.asarray(key_ids)[None]), pixels,
+            self.cfg)
+        self._prefix_kv_cache = (cache_key, kv)  # one slot: ~0.3 GB of KV
+        return lp, kv
 
     # Largest device batch per decode: each row holds ~0.68 GB of bf16 KV
     # cache at the production 1280-token bucket, so 8 rows + 7 GB int8
@@ -290,12 +344,19 @@ class TextRetriever:
             for si, (img, mask) in enumerate(zip(support_images, support_masks))
             for cfg in variants
         ]
+        # prefix KV reuse: name + definition queries share the template up
+        # to the question AND (for the last shot's base-config request) the
+        # drawn image — the VLM prefills "Human: <image>\n" once
+        # (reference helpers/prompts.py:23; TextRetrieverModule.py:103-122)
+        prefix_kw = {}
+        if getattr(self.vlm, "supports_shared_prefix", False):
+            prefix_kw = {"shared_prefix": VLM_SYSTEM_TEMPLATE.split("{}")[0]}
         if len(requests) > 1 and hasattr(self.vlm, "generate_batch"):
             answers = self.vlm.generate_batch(
                 [r[1] for r in requests], [r[2] for r in requests],
                 max_new_tokens=20)
         else:
-            answers = [self.vlm.generate(d, p, max_new_tokens=20)
+            answers = [self.vlm.generate(d, p, max_new_tokens=20, **prefix_kw)
                        for _, d, p in requests]
         names: List[str] = []
         for si in range(len(support_images)):
@@ -315,7 +376,8 @@ class TextRetriever:
         dprompt = VLM_SYSTEM_TEMPLATE.format(
             VISUAL_PROMPTS_DESCRIPTIONS[cfg.prompt_type].format(name, cfg.color, name, name)
         )
-        description = self.vlm.generate(drawn, dprompt, max_new_tokens=50, min_new_tokens=20)
+        description = self.vlm.generate(drawn, dprompt, max_new_tokens=50,
+                                        min_new_tokens=20, **prefix_kw)
 
         synset = get_synset(name, description)
         if synset is not None:

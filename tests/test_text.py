@@ -240,6 +240,89 @@ class TestBatchedEnsemble:
         assert name == "dog"
 
 
+def test_jax_vlm_shared_prefix_reuse_exact():
+    """JaxVipLlava.generate(shared_prefix=...) must (a) produce the same
+    tokens as the plain full-prompt path and (b) prefill the shared prefix
+    once per image, reusing the cached KV for the second query (the
+    retriever's name→definition pair on the same drawn image)."""
+    import jax.numpy as jnp
+
+    from mars_tpu.models import vip_llava as vl
+    from mars_tpu.text.retriever import JaxVipLlava
+
+    cfg = vl.TINY
+    g = (cfg.image_size // cfg.patch_size) ** 2
+
+    class StubTok:
+        eos_token_id = None
+
+        def decode(self, toks, skip_special_tokens=True):
+            return " ".join(str(int(t)) for t in toks)
+
+    class StubProcessor:
+        """Char-level 'tokenizer' whose <image> expands to g slots —
+        prefix-tokenization is exactly a prefix of the full tokenization."""
+
+        tokenizer = StubTok()
+
+        def __call__(self, text, images, return_tensors="np"):
+            left, _, right = text.partition("<image>")
+            ids = ([1] + [ord(c) % 50 + 10 for c in left]
+                   + [cfg.image_token_index] * g
+                   + [ord(c) % 50 + 10 for c in right])
+            arr = np.asarray(images, np.float32)[None] / 255.0
+            pix = np.transpose(arr, (0, 3, 1, 2))
+            return {"input_ids": np.asarray([ids], np.int64),
+                    "pixel_values": pix}
+
+    vlm = object.__new__(JaxVipLlava)
+    vlm.processor = StubProcessor()
+    vlm.cfg = cfg
+    vlm.params = vl.init_random_params(13, cfg, dtype=jnp.float32)
+    vlm._vl = vl
+    vlm.draft_tokens = 0
+    vlm.ngram = 3
+    vlm._prefix_ids_cache = {}
+    vlm._prefix_kv_cache = None
+
+    img = (np.random.RandomState(3).rand(cfg.image_size, cfg.image_size, 3)
+           * 255).astype(np.uint8)
+    pfx = "Human: <image>\n"
+    q1 = pfx + "what is boxed?\nAssistant:"
+    q2 = pfx + "define the dog in the box please\nAssistant:"
+
+    plain1 = vlm.generate(img, q1, max_new_tokens=5)
+    plain2 = vlm.generate(img, q2, max_new_tokens=5)
+    assert vlm._prefix_kv_cache is None  # no shared_prefix → no caching
+
+    calls = []
+    real_prefill = vl.prefill_prefix
+    vlm._vl = type("VlProxy", (), {
+        "generate_greedy": staticmethod(vl.generate_greedy),
+        "prefill_prefix": staticmethod(
+            lambda *a, **k: (calls.append(1), real_prefill(*a, **k))[1]),
+    })
+    got1 = vlm.generate(img, q1, max_new_tokens=5, shared_prefix=pfx)
+    got2 = vlm.generate(img, q2, max_new_tokens=5, shared_prefix=pfx)
+    assert got1 == plain1 and got2 == plain2
+    assert calls == [1]  # ONE prefix prefill served both queries
+
+    # different image → cache miss, fresh prefill, still exact
+    img2 = (np.random.RandomState(9).rand(cfg.image_size, cfg.image_size, 3)
+            * 255).astype(np.uint8)
+    plain3 = vlm.generate(img2, q1, max_new_tokens=5)
+    got3 = vlm.generate(img2, q1, max_new_tokens=5, shared_prefix=pfx)
+    assert got3 == plain3
+    assert calls == [1, 1]
+
+    # a prompt that does NOT start with the prefix falls back cleanly
+    odd = "Different: <image>\nwhatever\nAssistant:"
+    plain4 = vlm.generate(img2, odd, max_new_tokens=5)
+    got4 = vlm.generate(img2, odd, max_new_tokens=5, shared_prefix=pfx)
+    assert got4 == plain4
+    assert calls == [1, 1]  # no prefill attempted on mismatch
+
+
 def test_generate_batch_chunks_to_bound_kv_memory():
     """JaxVipLlava.generate_batch must split request lists longer than
     MAX_DECODE_BATCH (KV-cache footprint cap) and preserve order."""

@@ -323,6 +323,87 @@ def test_bucketed_prompt_matches_exact():
     np.testing.assert_array_equal(np.asarray(exact), np.asarray(bucketed))
 
 
+class TestPrefixResume:
+    """prefill_prefix + generate_greedy(prefix_kv=...) must be bit-identical
+    to the full-prompt call on every decode path: the prefix KV entries are
+    the same values a full prefill writes (same tokens, same RoPE
+    positions), and the suffix recompute sees the identical cache."""
+
+    def setup_method(self):
+        import numpy as np
+
+        from mars_tpu.models import vip_llava as vl
+
+        self.cfg = vl.TINY
+        self.p = vl.init_random_params(11, self.cfg, dtype=jnp.float32)
+        g = (self.cfg.image_size // self.cfg.patch_size) ** 2
+        # prefix = [bos-ish, image block, newline-ish] ; suffix = question
+        self.lp = 2 + g
+        ls = 7
+        ids = np.full((1, self.lp + ls), 5, np.int64)
+        ids[0, 1:1 + g] = self.cfg.image_token_index
+        ids[0, self.lp:] = np.arange(40, 40 + ls)
+        self.ids = jnp.asarray(ids)
+        self.suffix = jnp.asarray(ids[:, self.lp:])
+        self.pixels = jnp.asarray(
+            np.random.RandomState(5).rand(1, 56, 56, 3), jnp.float32)
+        self.kv = vl.prefill_prefix(self.p, self.ids[:, :self.lp],
+                                    self.pixels, self.cfg)
+
+    def _both(self, **kw):
+        from mars_tpu.models import vip_llava as vl
+
+        full = vl.generate_greedy(self.p, self.ids, self.pixels, self.cfg,
+                                  **kw)
+        split = vl.generate_greedy(self.p, self.suffix, None, self.cfg,
+                                   prefix_kv=self.kv, prefix_len=self.lp,
+                                   **kw)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(split),
+                                      err_msg=str(kw))
+
+    def test_scan_path(self):
+        self._both(max_new_tokens=6)
+
+    def test_eos_path(self):
+        from mars_tpu.models import vip_llava as vl
+
+        ref = vl.generate_greedy(self.p, self.ids, self.pixels, self.cfg,
+                                 max_new_tokens=6)
+        eos = int(np.asarray(ref)[0, 2])
+        self._both(max_new_tokens=6, eos_id=eos)
+        self._both(max_new_tokens=6, eos_id=eos, min_new_tokens=4)
+
+    def test_draft_path(self):
+        self._both(max_new_tokens=8, draft_tokens=3)
+        eos_none_ref = None  # draft + eos combination
+        from mars_tpu.models import vip_llava as vl
+
+        ref = vl.generate_greedy(self.p, self.ids, self.pixels, self.cfg,
+                                 max_new_tokens=8)
+        eos = int(np.asarray(ref)[0, 3])
+        self._both(max_new_tokens=8, draft_tokens=3, eos_id=eos)
+
+    def test_bucketed_suffix(self):
+        """Right-padded suffix + suffix-relative true_length."""
+        from mars_tpu.models import vip_llava as vl
+
+        ls = self.suffix.shape[1]
+        pad = jnp.pad(self.suffix, ((0, 0), (0, 16 - ls)), constant_values=5)
+        full = vl.generate_greedy(self.p, self.ids, self.pixels, self.cfg,
+                                  max_new_tokens=6)
+        split = vl.generate_greedy(self.p, pad, None, self.cfg,
+                                   prefix_kv=self.kv, prefix_len=self.lp,
+                                   true_length=jnp.int32(ls),
+                                   max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+        # and through the speculative path
+        split_d = vl.generate_greedy(self.p, pad, None, self.cfg,
+                                     prefix_kv=self.kv, prefix_len=self.lp,
+                                     true_length=jnp.int32(ls),
+                                     max_new_tokens=6, draft_tokens=3)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(split_d))
+
+
 def test_batched_variable_length_matches_per_row():
     """A (B,) true_length batch of different-length prompts must reproduce
     each row's individual greedy decode (per-row start positions + per-row
