@@ -29,14 +29,25 @@ def nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     iou_ord = iou[order][:, order]
     valid_ord = valid[order]
 
-    def body(keep_ord, i):
+    # dynamic trip count: invalid rows sort last and can never be kept, so
+    # the greedy walk stops at the valid count — a mostly-dead decode
+    # layout (combos family, thresholded proposals) pays only for live rows
+    n_valid = jnp.sum(valid)
+
+    def cond(c):
+        i, _ = c
+        return i < n_valid
+
+    def body(c):
+        i, keep_ord = c
         # keep i iff valid and no earlier kept box overlaps > thr
         earlier = jnp.arange(n) < i
         suppressed = jnp.any(keep_ord & earlier & (iou_ord[i] > iou_threshold))
         keep_i = valid_ord[i] & ~suppressed
-        return keep_ord.at[i].set(keep_i), None
+        return i + 1, keep_ord.at[i].set(keep_i)
 
-    keep_ord, _ = jax.lax.scan(body, jnp.zeros((n,), bool), jnp.arange(n))
+    _, keep_ord = jax.lax.while_loop(cond, body,
+                                     (jnp.int32(0), jnp.zeros((n,), bool)))
     # unsort
     keep = jnp.zeros((n,), bool).at[order].set(keep_ord)
     return keep
