@@ -166,18 +166,24 @@ def auction_assignment(
         col_of_row, prices = _auction_phase(scores, row_valid, prices, eps,
                                             max_rounds, row_chunk=row_chunk)
 
-    # greedy cleanup for any leftovers (no-op when the auction converged)
-    taken0 = jnp.zeros((n,), bool).at[jnp.clip(col_of_row, 0, n - 1)].set(col_of_row >= 0)
+    # greedy cleanup for any leftovers — gated: when the auction converged
+    # (the common case) the T sequential fixup steps are skipped entirely
+    def fixup(col_of_row):
+        taken0 = jnp.zeros((n,), bool).at[
+            jnp.clip(col_of_row, 0, n - 1)].set(col_of_row >= 0)
 
-    def fix(i, carry):
-        col_of_row, taken = carry
-        need = (col_of_row[i] < 0) & row_valid[i]
-        j = jnp.argmax(jnp.where(taken, NEG, scores[i]))
-        col_of_row = jnp.where(need, col_of_row.at[i].set(j), col_of_row)
-        taken = jnp.where(need, taken.at[j].set(True), taken)
-        return col_of_row, taken
+        def fix(i, carry):
+            col_of_row, taken = carry
+            need = (col_of_row[i] < 0) & row_valid[i]
+            j = jnp.argmax(jnp.where(taken, NEG, scores[i]))
+            col_of_row = jnp.where(need, col_of_row.at[i].set(j), col_of_row)
+            taken = jnp.where(need, taken.at[j].set(True), taken)
+            return col_of_row, taken
 
-    col_of_row, _ = jax.lax.fori_loop(0, t, fix, (col_of_row, taken0))
+        return jax.lax.fori_loop(0, t, fix, (col_of_row, taken0))[0]
+
+    col_of_row = jax.lax.cond(
+        jnp.any((col_of_row < 0) & row_valid), fixup, lambda c: c, col_of_row)
     col_of_row = jnp.where(row_valid, col_of_row, -1)
     if order is not None:
         col_of_row = jnp.zeros((t,), jnp.int32).at[order].set(col_of_row)
