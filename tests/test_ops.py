@@ -216,6 +216,18 @@ class TestAssignment:
             jnp.asarray(s), jnp.asarray(valid), row_chunk=chunk))
         np.testing.assert_array_equal(chunked, dense)
 
+    def test_chunk_gated_composes_with_phases(self):
+        """row_chunk under Bertsekas ε-scaling (n_phases>1) stays bit-exact
+        vs the dense multi-phase path."""
+        rng = np.random.RandomState(7)
+        s = rng.rand(160, 200).astype(np.float32)
+        valid = rng.rand(160) < 0.3
+        dense = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), n_phases=3))
+        chunked = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), n_phases=3, row_chunk=64))
+        np.testing.assert_array_equal(chunked, dense)
+
 
 class TestNms:
     def test_matches_greedy_oracle(self):
