@@ -201,9 +201,12 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     _mark("e2e: initializing 7B int8 VLM params on device")
     vcfg = vl.VipLlavaConfig()
     vlm_p = vl.init_random_params(0, vcfg, quantize_bits=8)
+    # production prompt shape: the processor expands <image> to gtok=576
+    # slots, so 600 text ids become a 1175-position multimodal prompt
+    # (embed_multimodal requires exactly gtok image tokens per image)
     gtok = (vcfg.image_size // vcfg.patch_size) ** 2
-    name_ids = np.full((1, 600), 5, np.int64)  # ≈1176-token multimodal prompt
-    name_ids[0, 10] = vcfg.image_token_index
+    name_ids = np.full((1, 600 + gtok - 1), 5, np.int64)
+    name_ids[0, 10:10 + gtok] = vcfg.image_token_index
     pixels = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
 
     # name + definition queries share the image and the prompt up to the
@@ -211,7 +214,7 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     # TextRetrieverModule.py:103-122) — the retriever prefills that prefix
     # ONCE per episode image and both queries decode suffix-only
     # (JaxVipLlava shared_prefix / models.vip_llava.prefill_prefix)
-    prefix_len = 580
+    prefix_len = 580 + gtok - 1
     prefix_ids = jnp.asarray(name_ids[:, :prefix_len])
     suffix_ids = jnp.asarray(name_ids[:, prefix_len:])
 

@@ -450,7 +450,14 @@ def main(argv=None):
             f"--mask-proposals-path does not exist: {args.mask_proposals_path}"
         )
     ds_kwargs = {}
-    if args.benchmark == "coco" and args.annotations_datapath:
+    if args.annotations_datapath:
+        # only the COCO reader has a separate annotation tree (the reference
+        # defines the flag, main_MARS.py:114, but never consumes it; here it
+        # is honored for coco and rejected elsewhere instead of silently
+        # evaluating against default annotations)
+        if args.benchmark != "coco":
+            raise SystemExit("--annotations-datapath only applies to "
+                             f"--benchmark coco (got {args.benchmark})")
         ds_kwargs["annotations_path"] = args.annotations_datapath
     ds = build_dataset(args.benchmark, args.datapath, args.fold, "test", args.nshot,
                        args.seed, **ds_kwargs)

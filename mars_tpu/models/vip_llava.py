@@ -395,7 +395,7 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
             p, cfg, input_ids, caches, next_tok,
             jnp.asarray(start_s) - prefix_len,
             max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram,
-            cache_offset=prefix_len)
+            cache_offset=prefix_len)[0]
 
     def advance(tok, caches, i):
         """One cached decode step: emit slot i+1's token from slot i's."""
@@ -520,31 +520,40 @@ def _speculative_greedy(p, cfg, input_ids, caches, next_tok, start,
         return jnp.int32(0), tok, jnp.full((K,), fill, tok.dtype), caches
 
     def cond(c):
-        i, tok, caches, seq, buf, done = c
+        i, r, tok, caches, seq, buf, done = c
         return (i < max_new_tokens) & ~done
 
     def body(c):
-        i, tok, caches, seq, buf, done = c
+        i, r, tok, caches, seq, buf, done = c
         buf = jax.lax.dynamic_update_slice_in_dim(buf, tok[:, None], i, axis=1)
         if eos_id is not None:
             done = done | (tok[0] == eos_id)
+        # the carry must land in seq BEFORE the lookup: the gram ends at
+        # seq[start+i] == tok.  (Writing it only after verify left that slot
+        # stale on iteration 0 and after every full-K acceptance — the next
+        # draft was then always garbage, halving best-case acceptance.)
+        seq = jax.lax.dynamic_update_slice(
+            seq, tok.astype(seq.dtype), (start + i,))
         w, carry, g, caches = jax.lax.cond(
             ~done & (i + 1 < max_new_tokens), verify, skip,
             tok, caches, seq, i)
-        # seq gets tok + ALL K verify outputs unconditionally: slots past
-        # the accepted prefix are stale but sit beyond the lookup window
-        # (idx < end) until the next iteration's writes overwrite them
+        # seq gets ALL K verify outputs unconditionally: slots past the
+        # accepted prefix are stale but sit beyond the lookup window
+        # (idx < end) until later iterations' writes overwrite them
         seq = jax.lax.dynamic_update_slice(
-            seq, jnp.concatenate([tok, g]).astype(seq.dtype), (start + i,))
+            seq, g.astype(seq.dtype), (start + i + 1,))
         # buf gets only the w accepted tokens; untouched tail slots keep
         # the EOS fill (they are never-emitted budget slack)
         buf = jax.lax.dynamic_update_slice_in_dim(
             buf, jnp.where(jnp.arange(K) < w, g, fill)[None], i + 1, axis=1)
-        return (i + 1 + w, carry, caches, seq, buf, done)
+        return (i + 1 + w, r + 1, carry, caches, seq, buf, done)
 
-    c = (jnp.int32(0), next_tok, caches, seq0, buf0, jnp.bool_(False))
-    _, _, _, _, buf, _ = jax.lax.while_loop(cond, body, c)
-    return buf[:, :max_new_tokens]
+    c = (jnp.int32(0), jnp.int32(0), next_tok, caches, seq0, buf0,
+         jnp.bool_(False))
+    _, rounds, _, _, _, buf, _ = jax.lax.while_loop(cond, body, c)
+    # rounds = verify forwards taken (acceptance telemetry: N/rounds is the
+    # mean emitted-tokens-per-forward; tests bound it on periodic output)
+    return buf[:, :max_new_tokens], rounds
 
 
 def forward_logits(p, input_ids, pixel_values, cfg: VipLlavaConfig):

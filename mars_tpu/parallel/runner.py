@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mars_tpu.core import imaging
-from mars_tpu.ops import emd as emd_ops
 from mars_tpu.pipeline import filtering, vta as vta_m, vva as vva_m
 
 
@@ -131,37 +130,15 @@ def make_proposal_parallel_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg,
         ac_local = filtering.alphaclip_scores(
             params["ac_v"], qry, prop_m, ac_text, ac_vcfg, fm_cfg,
             proposal_valid=prop_v)
-        pl = prop_m.shape[0]
-        pooled = imaging.pool_mask_to_grid(prop_m, g) > 0
-        pooled = pooled & prop_v[:, None, None]
 
-        # score_and_merge with its cross-proposal reductions as collectives
-        union = jax.lax.pmax(
-            jnp.any(pooled, axis=0).astype(jnp.float32), axis) > 0
-        fp = pooled.reshape(pl, -1).astype(jnp.float32)
-        sizes = jnp.sum(fp, axis=1)
-        coverage = sizes / (1e-7 + jnp.sum(union))
-        pvv = fm_cfg.alpha * (fp @ vva_prior.reshape(-1) / (1e-7 + sizes)) \
-            + (1 - fm_cfg.alpha) * coverage
-        pvt = fm_cfg.alpha * (fp @ vta_prior.reshape(-1) / (1e-7 + sizes)) \
-            + (1 - fm_cfg.alpha) * coverage
-
-        emd = emd_ops.batched_emd(
-            cost, support_fg, pooled.reshape(pl, -1),
-            fm_cfg.emd_row_bucket, fm_cfg.emd_col_bucket, col_valid=prop_v)
-        emd_n = _masked_min_max_psharded(1.0 - emd, prop_v, axis)
-        ac_n = _masked_min_max_psharded(ac_local, prop_v, axis)
-
-        final = (emd_n + ac_n + pvv + pvt) / 4.0
-        final = jnp.where(prop_v, final, -jnp.inf)
-        top = jax.lax.pmax(jnp.max(final), axis)
-        thr = jnp.where(top < fm_cfg.static_threshold,
-                        fm_cfg.dynamic_threshold * top,
-                        fm_cfg.static_threshold)
-        keep = prop_v & (final >= thr)
-        merged_local = jnp.any(
-            prop_m.astype(bool) & keep[:, None, None], axis=0)
-        merged = jax.lax.pmax(merged_local.astype(jnp.float32), axis)
+        # the SAME score_and_merge math, cross-proposal reductions ride ICI
+        merged, final = filtering.score_and_merge_core(
+            prop_m, prop_v, support_fg, cost, vva_prior, vta_prior,
+            ac_local, fm_cfg,
+            any_reduce=lambda m: jax.lax.pmax(
+                m.astype(jnp.float32), axis) > 0,
+            minmax=lambda s, v: _masked_min_max_psharded(s, v, axis),
+            max_reduce=lambda x: jax.lax.pmax(x, axis))
         return merged, final
 
     fn = jax.shard_map(

@@ -177,10 +177,10 @@ def decode_prompt_sets(
     valid_p = _pad_to_multiple(sparse_valid, nb)
     n_chunks = sparse_p.shape[0] // nb
     sparse_c = sparse_p.reshape(n_chunks, nb, *sparse.shape[1:])
+    # pad ROWS may be all-False: safe — decode_masks always keeps the
+    # IoU/mask output tokens live in every attention row, and pad-row
+    # outputs are sliced away below anyway
     valid_c = valid_p.reshape(n_chunks, nb, valid_p.shape[1])
-    # padded chunk rows must keep at least one live token (all-masked rows
-    # softmax over -inf → NaN); their outputs are sliced away below
-    valid_c = valid_c.at[..., -1].set(True)
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * nb
 
     def chunk(args):

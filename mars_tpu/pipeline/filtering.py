@@ -130,12 +130,33 @@ def score_and_merge(
     cfg: FilterMergeConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (merged mask (H, W) float {0,1}, final scores (P,))."""
+    return score_and_merge_core(proposal_masks, proposal_valid, support_fg,
+                                cost_matrix, vva, vta, aclip_scores, cfg)
+
+
+def score_and_merge_core(
+    proposal_masks, proposal_valid, support_fg, cost_matrix,
+    vva, vta, aclip_scores, cfg: FilterMergeConfig,
+    any_reduce=None, minmax=None, max_reduce=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The scoring/filter/merge math (reference
+    FilteringMergingModule.py:104-132,209-221), parameterized over its
+    cross-proposal reductions so the proposal-sharded ranker
+    (parallel/runner.make_proposal_parallel_ranker) runs the SAME formulas
+    with collectives swapped in: ``any_reduce`` for the footprint/mask
+    unions, ``minmax`` for the masked min-max score scaling, ``max_reduce``
+    for the top-score threshold.  Defaults are the single-device
+    reductions."""
     g = cfg.grid
     p = proposal_masks.shape[0]
+    if minmax is None:
+        minmax = imaging.masked_min_max_scale
 
     pooled = imaging.pool_mask_to_grid(proposal_masks, g) > 0  # (P, g, g)
     pooled = pooled & proposal_valid[:, None, None]
     union = jnp.any(pooled, axis=0)  # (g, g)
+    if any_reduce is not None:
+        union = any_reduce(union)
 
     fp = pooled.reshape(p, -1).astype(jnp.float32)
     sizes = jnp.sum(fp, axis=1)
@@ -152,15 +173,19 @@ def score_and_merge(
     )
     emd_score = 1.0 - emd
 
-    emd_n = imaging.masked_min_max_scale(emd_score, proposal_valid)
-    ac_n = imaging.masked_min_max_scale(aclip_scores, proposal_valid)
+    emd_n = minmax(emd_score, proposal_valid)
+    ac_n = minmax(aclip_scores, proposal_valid)
 
     final = (emd_n + ac_n + pvv + pvt) / 4.0
     final = jnp.where(proposal_valid, final, -jnp.inf)
 
     top = jnp.max(final)
+    if max_reduce is not None:
+        top = max_reduce(top)
     thr = jnp.where(top < cfg.static_threshold,
                     cfg.dynamic_threshold * top, cfg.static_threshold)
     keep = proposal_valid & (final >= thr)
     merged = jnp.any(proposal_masks.astype(bool) & keep[:, None, None], axis=0)
+    if any_reduce is not None:
+        merged = any_reduce(merged)
     return merged.astype(jnp.float32), final

@@ -299,6 +299,36 @@ class TestSpeculativeDecoding:
             vl.generate_greedy(self.params, ids2, px2, self.cfg,
                                max_new_tokens=4, draft_tokens=4)
 
+    def test_full_acceptance_chains(self, monkeypatch):
+        """On perfectly periodic output the drafter must reach full
+        acceptance EVERY round — ceil(N/(K+1)) forwards total.  Regression:
+        the carry token used to land in the lookup buffer only after the
+        verify, so the gram slot was stale on round 0 and after each full-K
+        round, making every other round a wasted 1-token forward (~2x the
+        rounds).  Uses a stub Markov LM (next = (tok+1) mod V) so greedy
+        output is an exact known cycle."""
+        import jax
+
+        V = 8
+
+        def stub_forward(lang, emb, positions, cfg, caches=None, pos0=None):
+            ids = jnp.argmax(emb, axis=-1)  # eye embed ⇒ row == onehot(id)
+            logits = jax.nn.one_hot((ids + 1) % V, V) * 10.0
+            return logits, caches
+
+        monkeypatch.setattr(vl, "llama_forward", stub_forward)
+        p = {"language": {"embed_tokens": jnp.eye(V, dtype=jnp.float32)}}
+        prompt = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 0, 1]], jnp.int32)
+        N, K = 24, 5
+        buf, rounds = vl._speculative_greedy(
+            p, self.cfg, prompt, [], jnp.asarray([2], jnp.int32),
+            jnp.int32(prompt.shape[1]), N, None, 0, K, 3)
+        np.testing.assert_array_equal(
+            np.asarray(buf[0]), (2 + np.arange(N)) % V)
+        assert int(rounds) == -(-N // (K + 1)), (
+            f"{int(rounds)} verify forwards for {N} tokens at K={K} — "
+            "full-acceptance rounds are not chaining")
+
 
 def test_bucketed_prompt_matches_exact():
     """Right-padded prompt + true_length must produce the same greedy tokens

@@ -51,8 +51,10 @@ def main():
     if not args.no_text:
         vcfg = vl.VipLlavaConfig()
         vlm_p = vl.init_random_params(0, vcfg, quantize_bits=8)
-        name_ids = np.full((1, 600), 5, np.int64)
-        name_ids[0, 10] = vcfg.image_token_index
+        # processor-expanded production prompt: gtok=576 image slots
+        gtok = (vcfg.image_size // vcfg.patch_size) ** 2
+        name_ids = np.full((1, 600 + gtok - 1), 5, np.int64)
+        name_ids[0, 10:10 + gtok] = vcfg.image_token_index
         pixels = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
 
         def text_stage():
