@@ -162,3 +162,65 @@ def make_proposal_parallel_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg,
                       vta_text, ac_text)
 
     return call
+
+
+def make_batched_proposal_generator(dino_cfg, sam_cfg, amg_cfg, mcfg,
+                                    mesh: Mesh, bucket: int = 128,
+                                    axis: str = "data"):
+    """Episode-parallel PROPOSAL GENERATION over the mesh ``axis`` — the dp
+    vehicle for the Matcher stage (reference Matcher.predict :216-249 runs
+    one episode per GPU process; here B episodes run one-per-chip).
+
+    The single-episode flow branches on the host between the two prompt
+    families (matcher.generate_proposals); an SPMD batch can't branch per
+    episode, so this decodes matcher.union_family_rows — the inactive
+    family's rows are invalid in place and each chip's dead-chunk
+    ``lax.cond`` skips price only the active family (shard_map keeps the
+    conds live where vmap would select both sides).  Outputs are bit-exact
+    vs the per-episode path (tests/test_parallel.py).
+
+    → gen(params_bundle, keys (B,2) uint32, support_images (B,S,H,W,3),
+         support_masks (B,S,H,W), support_valid (B,S), query (B,H,W,3))
+    with B a multiple of the axis size (each chip lax.maps its local
+    episodes sequentially); params_bundle: {"dino", "sam"}.  Returns dict
+    with the compacted ranking bucket ("bucket_masks"/"bucket_valid",
+    feed make_batched_ranker) plus the proposal path's own outputs
+    ("merged", "final_score", "mask_score"), all (B, ...)."""
+    from mars_tpu.pipeline import matcher
+
+    rows = matcher.union_family_rows(mcfg)
+    n_shards = mesh.shape[axis]
+
+    def body(params, keys, sup_i, sup_m, sup_v, qry):
+        def one(args):
+            key, si, sm, sv, q = args
+            m = matcher._match_stage(key, params["dino"], si, sm, sv, q,
+                                     dino_cfg, mcfg)
+            out = matcher._propose_stage(key, m, q, params["sam"], None,
+                                         sam_cfg, amg_cfg, mcfg, rows,
+                                         False, bucket=bucket)
+            return {"bucket_masks": out["bucket_masks"],
+                    "bucket_valid": out["bucket_valid"],
+                    "merged": out["merged"],
+                    "final_score": out["final_score"],
+                    "mask_score": out["mask_score"]}
+        return jax.lax.map(one, (keys, sup_i, sup_m, sup_v, qry))
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        axis_names={axis},
+        in_specs=(P(),) + (P(axis),) * 5,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    jitted = jax.jit(fn)
+
+    def call(params, keys, sup_i, sup_m, sup_v, qry):
+        if qry.shape[0] % n_shards:
+            raise ValueError(
+                f"episode batch {qry.shape[0]} not divisible by mesh axis "
+                f"'{axis}' of size {n_shards}")
+        return jitted(params, keys, sup_i, sup_m, sup_v, qry)
+
+    return call

@@ -291,6 +291,18 @@ def prompt_family_rows(cfg: MatcherConfig):
     return np.arange(nc), nc + np.arange(nd)
 
 
+def union_family_rows(cfg: MatcherConfig):
+    """Both families' rows as one static tuple.  sample_prompt_sets already
+    gates each family's validity by n (combo_ok has n ≤ 8, draw_ok n > 8),
+    so decoding the UNION is exact with no host decision: the inactive
+    family's rows are invalid in place and the decode/EMD dead-chunk skips
+    price only the active family.  This is the SPMD vehicle — an
+    episode-parallel batch can't branch per episode on the host
+    (parallel/runner.make_batched_proposal_generator)."""
+    combo, draw = prompt_family_rows(cfg)
+    return tuple(np.concatenate([combo, draw]).tolist())
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def sample_prompt_sets(key, points, point_valid, cfg: MatcherConfig):
     """RobustPromptSampler as fixed-shape tables.

@@ -425,3 +425,87 @@ class TestVlmTensorParallel:
             got = vl.generate_greedy(ps, jnp.asarray(ids), pixels, cfg,
                                      max_new_tokens=6)
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+class TestBatchedProposalGenerator:
+    def test_episode_parallel_matches_loop(self):
+        """dp proposal generation (union-family rows, shard_map over data)
+        is bit-exact vs the per-episode generate_proposals host flow for
+        every episode, whichever prompt family each episode activates."""
+        from mars_tpu.models import dinov2
+        from mars_tpu.parallel import runner
+        from mars_tpu.pipeline import amg, matcher
+
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4,
+        )
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2,
+        )
+        mcfg = matcher.MatcherConfig(
+            input_size=56, grid=4, patch_size=14,
+            sample_range=(2, 3), max_sample_iterations=4,
+            emd_row_bucket=16, emd_col_bucket=16,
+        )
+        acfg = amg.AmgConfig(
+            sel_pred_iou_thresh=0.0, sel_stability_score_thresh=0.0,
+            decode_batch=8,
+        )
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = {
+            "dino": dinov2.init_params(k1, dcfg),
+            "sam": {
+                "encoder": sam.init_encoder_params(k2, scfg),
+                "prompt_encoder": sam.init_prompt_encoder_params(k3, scfg),
+                "decoder": sam.init_decoder_params(k4, scfg),
+            },
+        }
+
+        b, s, h, bucket = 8, 1, 56, 8
+        rng = np.random.RandomState(3)
+        sup = jnp.asarray(rng.rand(b, s, h, h, 3), jnp.float32)
+        qry = jnp.asarray(rng.rand(b, h, h, 3), jnp.float32)
+        sup_m = np.zeros((b, s, h, h), np.float32)
+        for i in range(b):
+            # vary footprint size to vary the matched-point count n across
+            # episodes (both prompt families should occur; asserted below)
+            x0, y0 = rng.randint(0, 20, 2)
+            wd = 8 + 5 * i
+            sup_m[i, :, y0:y0 + wd, x0:x0 + wd] = 1.0
+        sup_m = jnp.asarray(sup_m)
+        sup_v = jnp.ones((b, s), bool)
+        keys = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(b)])
+
+        # reference: the per-episode host flow (active-family rows)
+        want, fams = [], set()
+        for i in range(b):
+            out = matcher.generate_proposals(
+                keys[i], params["dino"], dcfg, params["sam"], scfg,
+                acfg, mcfg, sup[i], sup_m[i], sup_v[i], qry[i],
+                bucket=bucket,
+            )
+            n = int(np.sum(np.asarray(out["point_valid"])))
+            fams.add("draws" if n > 8 else "combos")
+            want.append(out)
+
+        m = mesh_lib.make_mesh(n_data=8, n_model=1)
+        gen = runner.make_batched_proposal_generator(
+            dcfg, scfg, acfg, mcfg, m, bucket=bucket)
+        got = gen(params, keys, sup, sup_m, sup_v, qry)
+
+        for i in range(b):
+            np.testing.assert_array_equal(
+                np.asarray(got["bucket_masks"][i]),
+                np.asarray(want[i]["bucket_masks"]), err_msg=f"ep {i}")
+            np.testing.assert_array_equal(
+                np.asarray(got["bucket_valid"][i]),
+                np.asarray(want[i]["bucket_valid"]), err_msg=f"ep {i}")
+            np.testing.assert_array_equal(
+                np.asarray(got["merged"][i]),
+                np.asarray(want[i]["merged"]), err_msg=f"ep {i}")
+        assert fams == {"combos", "draws"}, (
+            f"setup exercised only {fams}; vary masks to cover both families")
