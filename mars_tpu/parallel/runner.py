@@ -194,11 +194,9 @@ def make_batched_proposal_generator(dino_cfg, sam_cfg, amg_cfg, mcfg,
     def body(params, keys, sup_i, sup_m, sup_v, qry):
         def one(args):
             key, si, sm, sv, q = args
-            m = matcher._match_stage(key, params["dino"], si, sm, sv, q,
-                                     dino_cfg, mcfg)
-            out = matcher._propose_stage(key, m, q, params["sam"], None,
-                                         sam_cfg, amg_cfg, mcfg, rows,
-                                         False, bucket=bucket)
+            _, out = matcher._fused_stage(
+                key, params["dino"], params["sam"], si, sm, sv, q, None,
+                dino_cfg, sam_cfg, amg_cfg, mcfg, rows, False, bucket=bucket)
             return {"bucket_masks": out["bucket_masks"],
                     "bucket_valid": out["bucket_valid"],
                     "merged": out["merged"],

@@ -664,6 +664,24 @@ def _propose_stage(key, m, query_image, sam_params, mask_input,
     }
 
 
+@partial(jax.jit, static_argnames=("dino_cfg", "sam_cfg", "amg_cfg", "cfg",
+                                   "rows", "use_mask_input", "bucket"))
+def _fused_stage(key, dino_params, sam_params, support_images, support_masks,
+                 support_valid, query_image, mask_input,
+                 dino_cfg, sam_cfg, amg_cfg, cfg: MatcherConfig, rows,
+                 use_mask_input: bool, bucket=None):
+    """Match + propose as ONE compiled program over ``rows`` (normally
+    union_family_rows — no data-dependent host decision inside).  Shared by
+    generate_proposals(fuse_programs=True) and the episode-parallel dp
+    generator (parallel/runner.make_batched_proposal_generator)."""
+    m = _match_stage(key, dino_params, support_images, support_masks,
+                     support_valid, query_image, dino_cfg, cfg)
+    out = _propose_stage(key, m, query_image, sam_params, mask_input,
+                         sam_cfg, amg_cfg, cfg, rows, use_mask_input,
+                         bucket=bucket)
+    return m, out
+
+
 def generate_proposals(
     key,
     dino_params,
@@ -679,6 +697,7 @@ def generate_proposals(
     target_mask_low_res: Optional[jnp.ndarray] = None,  # (4G, 4G) cascade
     timers=None,
     bucket: Optional[int] = None,
+    fuse_programs: bool = False,
 ):
     """Full Matcher flow (reference Matcher.predict :216-249).
 
@@ -697,7 +716,9 @@ def generate_proposals(
     paid a ~190 ms host-dispatch gap per episode (BASELINE.md round-2
     stage profile).  ``timers`` therefore carries two coarse spans
     ("match", "propose"); use jax.profiler (utils.profiling.trace) for
-    intra-program detail.
+    intra-program detail.  ``fuse_programs=True`` goes further — ONE
+    program decoding the union of both families' rows (bit-exact,
+    tests/test_matcher.py::TestEndToEnd).
     """
     import contextlib
 
@@ -705,6 +726,29 @@ def generate_proposals(
             else (lambda *a, **k: contextlib.nullcontext()))
     if timers is not None:
         from mars_tpu.utils.profiling import force_sync
+
+    if fuse_programs:
+        # ONE program, no host sync: union-family rows replace the host
+        # branch (the inactive family is invalid in place; dead-chunk skips
+        # price only the active one).  Saves one ~35 ms tunnel dispatch plus
+        # the n_prompt device_get round trip, at the cost of the union's
+        # larger static decode/NMS/score buffers — A/B per deployment
+        # (tools/propose_profile.py --fused).
+        rows = union_family_rows(cfg)
+        with span("fused"):
+            m, out = _fused_stage(
+                key, dino_params, sam_params, support_images, support_masks,
+                support_valid, query_image, target_mask_low_res,
+                dino_cfg, sam_cfg, amg_cfg, cfg, rows,
+                target_mask_low_res is not None, bucket=bucket)
+            if timers is not None:
+                force_sync(out["final_score"])
+        out["cost_matrix"] = m["cost"]
+        out["support_fg"] = m["support_fg"]
+        out["points"] = m["points"]
+        out["point_valid"] = m["point_valid"]
+        return out
+
     with span("match"):
         m = _match_stage(key, dino_params, support_images, support_masks,
                          support_valid, query_image, dino_cfg, cfg)

@@ -165,6 +165,22 @@ class TestEndToEnd:
         np.testing.assert_array_equal(np.asarray(fused.valid),
                                       np.asarray(standalone.valid))
 
+        # fuse_programs=True (ONE program, union-family rows, no host
+        # decision) must be bit-exact on the bucket view and the merged
+        # prediction; per-row arrays live in the union layout so only the
+        # compacted outputs are comparable
+        out_f = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, jnp.ones((s,), bool), qry, bucket=8,
+            fuse_programs=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out_f["bucket_masks"]),
+                                      np.asarray(out_b["bucket_masks"]))
+        np.testing.assert_array_equal(np.asarray(out_f["bucket_valid"]),
+                                      np.asarray(out_b["bucket_valid"]))
+        np.testing.assert_array_equal(np.asarray(out_f["merged"]),
+                                      np.asarray(out_b["merged"]))
+
 
 class TestNegativePriors:
     def test_negatives_disjoint_from_positives(self):

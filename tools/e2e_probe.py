@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--no-text", action="store_true",
                     help="drop the VLM text stage from the loop")
+    ap.add_argument("--fused", action="store_true",
+                    help="fuse_programs=True on the bucketed proposal stage "
+                         "(ONE program, union-family rows)")
     args = ap.parse_args()
 
     from mars_tpu.cli import bucket_generated_proposals
@@ -74,7 +77,8 @@ def main():
         out = matcher.generate_proposals(
             k, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
             ep.support_images, ep.support_masks, ep.support_valid,
-            ep.query_image, bucket=PROPOSAL_BUCKET)
+            ep.query_image, bucket=PROPOSAL_BUCKET,
+            fuse_programs=args.fused)
         props = bucket_generated_proposals(out, PROPOSAL_BUCKET)
         _ = float(props.masks[0, 0, 0])
         return props

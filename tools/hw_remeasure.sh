@@ -34,6 +34,8 @@ run match_synth python -u tools/match_profile.py --iters 5 --synthetic --int8
 run propose python -u tools/propose_profile.py --iters 5 --int8
 # 3. e2e probe: proposal span on the synthetic episode, both bucket modes
 run e2e_probe python -u tools/e2e_probe.py --iters 5 --no-text
+# 3b. fused single-program proposal flow A/B (union-family rows)
+run e2e_probe_fused python -u tools/e2e_probe.py --iters 5 --no-text --fused
 # 4. the driver's bench artifact (ranking + full e2e with prefix-kv text)
 run bench python -u bench.py
 echo "[remeasure] done" | tee -a "$OUT/status.log"

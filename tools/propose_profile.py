@@ -136,9 +136,21 @@ def main():
         return matcher._propose_stage(
             key, m1, qry, sam_params, None, sam_cfg, acfg, mcfg, rows, False)
 
+    def gen_e2e(k, fused):
+        out = matcher.generate_proposals(
+            k, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
+            sup, msk, val, qry, bucket=128, fuse_programs=fused)
+        return out["final_score"]
+
     progs = {
         "match (prog 1)": lambda k: matcher._match_stage(
             k, dino_params, sup, msk, val, qry, dino_cfg, mcfg),
+        # e2e A/B: the production 2-program flow (host family decision)
+        # vs fuse_programs=True (ONE program, union rows) — the fused win
+        # is the saved dispatch + n_prompt device_get, its cost is the
+        # union's larger decode/NMS/score buffers
+        "generate (2-prog)": lambda k: gen_e2e(k, False),
+        "generate (fused)": lambda k: gen_e2e(k, True),
         "sample": lambda k: sample(k, m1, mcfg),
         "sample+encode": lambda k: sample_encode(k, m1, qry, sam_params,
                                                  mcfg, sam_cfg),
