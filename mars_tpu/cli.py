@@ -272,6 +272,7 @@ def make_inline_generator(args, dino_bundle=None):
             key, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
             ep.support_images, ep.support_masks, ep.support_valid,
             ep.query_image, bucket=args.proposal_bucket,
+            fuse_programs=getattr(args, "fused_proposals", False),
         )
         return bucket_generated_proposals(out, args.proposal_bucket)
 
@@ -347,6 +348,10 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input-size", type=int, default=518)
     p.add_argument("--episodes", type=int, default=0, help="0 = full split")
     p.add_argument("--proposal-bucket", type=int, default=128)
+    p.add_argument("--fused-proposals", action="store_true",
+                   help="single-program proposal generation (union-family "
+                        "rows; bit-exact, saves a dispatch + host sync per "
+                        "episode — A/B via tools/propose_profile.py)")
     # --- text retrieval / visual prompting (reference :127-141) ---
     p.add_argument("--prompt-type", default="contour",
                    choices=["mask", "bb", "contour", "ellipse"])
