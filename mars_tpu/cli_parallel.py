@@ -1,0 +1,222 @@
+"""Episode-parallel multi-chip evaluation driver.
+
+The serial driver (cli.py) runs one episode at a time — right for the
+single tunneled chip this image exposes.  On a real multi-chip slice the
+scaling axis is whole episodes (SURVEY §2.5, reference has no distributed
+live path): this driver batches episodes over the mesh 'data' axis and
+runs the dp proposal generator + dp batched ranker (parallel/runner), one
+episode per chip per step; tensor-parallel towers over 'model' compose
+via parallel.mesh sharding rules.
+
+Scope: the gt-class-name text path (reference --gt_class_names,
+main_MARS.py:131).  The VLM retriever is a per-episode host-driven stage
+whose device decode is already batched/tensor-parallel (models.vip_llava);
+wiring it in is orthogonal to episode parallelism and stays on the serial
+driver.  Proposals: synthetic stand-ins, precomputed dumps
+(--mask-proposals-path), or inline episode-parallel generation
+(--generate-proposals).
+
+Meter-trace parity vs the serial loop is pinned on the 8-device CPU mesh
+(tests/test_cli_parallel.py).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import numpy as np
+
+from mars_tpu.data import build_dataset, to_device_episode
+from mars_tpu.data.base import resized_gt
+from mars_tpu.utils import evaluation
+
+
+def _text_feats(model, class_name: str, cache: dict):
+    """Per-class text features (cached — folds share ~tens of classes)."""
+    if class_name not in cache:
+        from mars_tpu.text import prompts as prompt_data
+
+        vta_text = model._vta_text_feats(class_name)
+        ac_text = model._alpha_clip_text_feats(
+            prompt_data.alpha_clip_text(class_name, ""))
+        cache[class_name] = (vta_text, ac_text)
+    return cache[class_name]
+
+
+def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
+                      episodes: int = None, proposal_bucket: int = 128,
+                      seed: int = 0, gen_bundle=None, props_fn=None,
+                      log=print):
+    """Run the eval loop in mesh-sized episode batches.
+
+    gen_bundle: (sam_params, sam_cfg, amg_cfg, mcfg) → inline dp proposal
+    generation; otherwise ``props_fn(idx, rec) -> Proposals`` supplies a
+    host-side bucket (dumps or synthetic stand-ins).
+
+    Returns (miou, fb_iou, meter, batch_times).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mars_tpu.parallel import runner
+
+    B = mesh.shape["data"]
+    n = episodes or len(ds)
+    meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
+
+    params = {"dino": model.dino_params, "clip_v": model.clip_v,
+              "ac_v": model.ac_v, "logit_scale": model.clip_scale}
+    ranker = runner.make_batched_ranker(
+        model.dino_cfg, model.clip_vcfg, model.ac_vcfg,
+        model.cfg.vva, model.cfg.vta, model.cfg.filter_merge, mesh=mesh)
+    generator = None
+    if gen_bundle is not None:
+        sam_params, sam_cfg, amg_cfg, mcfg = gen_bundle
+        generator = runner.make_batched_proposal_generator(
+            model.dino_cfg, sam_cfg, amg_cfg, mcfg, mesh,
+            bucket=proposal_bucket)
+        gen_params = {"dino": model.dino_params, "sam": sam_params}
+    base_key = jax.random.PRNGKey(seed)
+
+    cache: dict = {}
+    batch_times = []
+    for b0 in range(0, n, B):
+        t0 = time.time()
+        idxs = list(range(b0, min(b0 + B, n)))
+        live = len(idxs)
+        # pad the final partial batch by repeating the last episode; the
+        # padded rows are computed and discarded (static shapes > ragged)
+        padded = idxs + [idxs[-1]] * (B - live)
+
+        recs, eps, texts, host_props = [], [], [], []
+        for k, idx in enumerate(padded):
+            # pad rows reuse the last live record WITHOUT re-reading the
+            # dataset (COCO-style datasets draw from their RNG per getitem)
+            rec = ds[idx] if k < live else recs[-1]
+            recs.append(rec)
+            eps.append(to_device_episode(rec, input_size, nshot))
+            texts.append(_text_feats(model, rec.class_name, cache))
+            if generator is None:
+                # pad rows reuse the last LIVE bucket: props_fn may consume
+                # host RNG draws, which must match the serial loop's order
+                host_props.append(props_fn(idx, rec) if k < live
+                                  else host_props[-1])
+
+        stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
+        sup_i = stack([e.support_images for e in eps])
+        sup_m = stack([e.support_masks for e in eps])
+        sup_v = stack([e.support_valid for e in eps])
+        qry = stack([e.query_image for e in eps])
+        vta_text = stack([t[0] for t in texts])
+        ac_text = stack([t[1] for t in texts])
+
+        if generator is not None:
+            # per-idx keys: deterministic regardless of batch boundaries
+            keys = jnp.stack([jax.random.fold_in(base_key, i) for i in padded])
+            sh = runner.shard_batch((keys, sup_i, sup_m, sup_v, qry), mesh)
+            gout = generator(gen_params, *sh)
+            prop_m = gout["bucket_masks"]
+            prop_v = gout["bucket_valid"]
+        else:
+            prop_m = stack([p.masks for p in host_props])
+            prop_v = stack([p.valid for p in host_props])
+
+        batch = runner.shard_batch(
+            (sup_i, sup_m, sup_v, qry, prop_m, prop_v, vta_text, ac_text),
+            mesh)
+        merged, _scores = ranker(params, *batch)
+        merged_np = np.asarray(merged)
+
+        for j in range(live):
+            idx, rec = idxs[j], recs[j]
+            gt, ig = resized_gt(rec, input_size)
+            inter, union = evaluation.classify_prediction(merged_np[j], gt, ig)
+            meter.update(inter, union, rec.class_id)
+        batch_times.append(time.time() - t0)
+        if (b0 // B) % 5 == 0:
+            miou, fb, _ = meter.compute_iou()
+            log(f"[{min(b0 + B, n)}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}  "
+                f"({live}/{B} live, {batch_times[-1]:.2f}s/batch)")
+
+    miou, fb, _ = meter.compute_iou()
+    return miou, fb, meter, batch_times
+
+
+def main(argv=None):
+    from mars_tpu import cli
+    from mars_tpu.parallel import mesh as mesh_lib
+
+    p = argparse.ArgumentParser("mars_tpu episode-parallel evaluation")
+    cli.add_eval_args(p)
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-axis size (default: all devices / mesh-model)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel axis size for the towers")
+    args = p.parse_args(argv)
+    if not args.gt_class_names:
+        raise SystemExit(
+            "cli_parallel runs the gt-class-name text path; the VLM "
+            "retriever is per-episode host work — use the serial cli, or "
+            "precompute names (reference --gt_class_names, main_MARS.py:131)")
+    if args.exp_name:
+        args.log_path = os.path.join(args.log_path, args.exp_name)
+
+    np.random.seed(args.seed)
+    ds = build_dataset(args.benchmark, args.datapath, args.fold, "test",
+                       args.nshot, args.seed)
+    model = cli.build_model(args)
+    mesh = mesh_lib.make_mesh(args.mesh_data, args.mesh_model)
+    if args.mesh_model > 1:
+        model.dino_params = mesh_lib.shard_params(model.dino_params, mesh)
+        model.clip_v = mesh_lib.shard_params(model.clip_v, mesh)
+        model.ac_v = mesh_lib.shard_params(model.ac_v, mesh)
+    print(f"mesh: {dict(mesh.shape)}")
+
+    gen_bundle = None
+    props_fn = None
+    if args.generate_proposals:
+        from mars_tpu.models import zoo
+        from mars_tpu.pipeline import amg, matcher
+
+        if args.proposal_model == "semantic-sam":
+            raise SystemExit("episode-parallel generation drives the SAM "
+                             "backend; semantic-sam stays on the serial cli")
+        sam_params, sam_cfg = zoo.build_sam(args.models_path, args.sam_size)
+        if args.bf16:
+            from mars_tpu.models.precision import cast_floating
+
+            sam_params = cast_floating(sam_params)
+        mcfg = matcher.MatcherConfig(
+            input_size=args.input_size,
+            grid=args.input_size // model.dino_cfg.patch_size,
+            patch_size=model.dino_cfg.patch_size)
+        gen_bundle = (sam_params, sam_cfg, amg.AmgConfig(), mcfg)
+    elif args.mask_proposals_path:
+        props_fn = lambda idx, rec: cli.load_proposals(
+            args, idx, args.input_size)
+    else:
+        rng = np.random.RandomState(args.seed)
+        props_fn = lambda idx, rec: cli.synthetic_proposals(
+            rec, args.input_size, args.proposal_bucket, rng)
+
+    os.makedirs(args.log_path, exist_ok=True)
+    t0 = time.time()
+    miou, fb, meter, batch_times = evaluate_parallel(
+        model, ds, mesh, input_size=args.input_size, nshot=args.nshot,
+        episodes=args.episodes, proposal_bucket=args.proposal_bucket,
+        seed=args.seed, gen_bundle=gen_bundle, props_fn=props_fn)
+    total = time.time() - t0
+    n = args.episodes or len(ds)
+    with open(os.path.join(args.log_path, "batch_time.csv"), "w",
+              newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["batch", "seconds"])
+        w.writerows(enumerate(batch_times))
+    print(f"mIoU {miou:.2f}  FB-IoU {fb:.2f}  ({n} episodes, "
+          f"{total:.1f}s total, {total / max(n, 1):.3f}s/episode amortized)")
+
+
+if __name__ == "__main__":
+    main()

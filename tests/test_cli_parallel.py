@@ -1,0 +1,142 @@
+"""Episode-parallel evaluation driver (cli_parallel) vs the serial loop."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mars_tpu.core.episode import pad_proposals
+from mars_tpu.data import build_dataset, to_device_episode
+from mars_tpu.data.base import resized_gt
+from mars_tpu.parallel import mesh as mesh_lib
+from mars_tpu.utils import evaluation
+
+
+def _tiny_mars():
+    from mars_tpu.models import clip as clip_m, dinov2
+    from mars_tpu.pipeline import filtering, mars, vta, vva
+
+    g = 4
+    dcfg = dinov2.DinoV2Config(
+        patch_size=14, embed_dim=32, depth=2, num_heads=2,
+        num_register_tokens=4, pos_embed_grid=4)
+    cvcfg = clip_m.ClipVisualConfig(
+        patch_size=16, width=64, depth=3, num_heads=1, output_dim=16,
+        pos_embed_grid=2)
+    ctcfg = clip_m.ClipTextConfig(width=16, depth=2, num_heads=2,
+                                  output_dim=16)
+    avcfg = clip_m.ClipVisualConfig(
+        patch_size=16, width=64, depth=2, num_heads=1, output_dim=16,
+        pos_embed_grid=2, alpha_channel=True)
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    return mars.Mars(
+        dino=(dinov2.init_params(ks[0], dcfg), dcfg),
+        clip=(clip_m.init_visual_params(ks[1], cvcfg),
+              clip_m.init_text_params(ks[2], ctcfg),
+              jnp.float32(np.log(1 / 0.07)), cvcfg, ctcfg),
+        alpha_clip=(clip_m.init_visual_params(ks[3], avcfg),
+                    clip_m.init_text_params(ks[4], ctcfg),
+                    jnp.float32(np.log(1 / 0.07)), avcfg, ctcfg),
+        retriever=None,
+        cfg=mars.MarsConfig(
+            vva=vva.VVAConfig(grid=g, attn_tap_last_n=2),
+            vta=vta.VTAConfig(input_size=64, grid=4, attn_tap_last_n=2),
+            filter_merge=filtering.FilterMergeConfig(
+                grid=g, alpha_clip_size=32, alpha_clip_batch=4,
+                emd_row_bucket=16, emd_col_bucket=16),
+        ),
+    )
+
+
+class TestEvaluateParallel:
+    def test_meter_trace_matches_serial(self):
+        """10 episodes over the 8-device data mesh (one padded batch) must
+        reproduce the serial Mars.predict loop's meter bit-for-bit."""
+        from mars_tpu import cli_parallel
+
+        size, bucket, n = 56, 4, 10
+        model = _tiny_mars()
+        ds = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+
+        def make_props_fn(seed):
+            # tiny-size stand-in for cli.synthetic_proposals (which assumes
+            # production sizes); stateful rng checks draw-order parity
+            rng = np.random.RandomState(seed)
+
+            def fn(idx, rec):
+                gt, _ = resized_gt(rec, size)
+                props = [gt]
+                for _ in range(bucket - 1):
+                    y, x = rng.randint(0, size - 16, 2)
+                    m = np.zeros_like(gt)
+                    m[y:y + 12, x:x + 12] = 1
+                    props.append(m)
+                return pad_proposals(
+                    jnp.asarray(np.stack(props), jnp.float32), bucket)
+
+            return fn
+
+        # ---- serial reference loop (the cli.py episode path) ----
+        props_fn = make_props_fn(0)
+        meter_s = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
+        for idx in range(n):
+            rec = ds[idx]
+            ep = to_device_episode(rec, size, 1)
+            props = props_fn(idx, rec)
+            pred = np.asarray(
+                model.predict(ep, props, class_name=rec.class_name))
+            gt, ig = resized_gt(rec, size)
+            inter, union = evaluation.classify_prediction(pred, gt, ig)
+            meter_s.update(inter, union, rec.class_id)
+        miou_s, fb_s, _ = meter_s.compute_iou()
+
+        # ---- episode-parallel driver (fresh dataset + rng stream) ----
+        ds2 = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+        mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+        miou_p, fb_p, meter_p, bt = cli_parallel.evaluate_parallel(
+            model, ds2, mesh, input_size=size, nshot=1, episodes=n,
+            proposal_bucket=bucket, props_fn=make_props_fn(0),
+            log=lambda *a: None)
+
+        assert (miou_p, fb_p) == (miou_s, fb_s)
+        np.testing.assert_array_equal(meter_p.inter, meter_s.inter)
+        np.testing.assert_array_equal(meter_p.union, meter_s.union)
+        assert len(bt) == 2  # 8 + 2(+6 pad)
+
+    def test_generated_proposals_smoke(self):
+        """Inline dp proposal generation through the driver (tiny SAM)."""
+        from mars_tpu import cli_parallel
+        from mars_tpu.models import sam
+        from mars_tpu.pipeline import amg, matcher
+
+        size, n = 56, 8
+        model = _tiny_mars()
+        scfg = sam.SamConfig(
+            img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            global_attn_indexes=(1,), window_size=2, out_chans=16,
+            decoder_mlp_dim=32, decoder_heads=2)
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        sam_params = {
+            "encoder": sam.init_encoder_params(ks[0], scfg),
+            "prompt_encoder": sam.init_prompt_encoder_params(ks[1], scfg),
+            "decoder": sam.init_decoder_params(ks[2], scfg),
+        }
+        mcfg = matcher.MatcherConfig(
+            input_size=size, grid=4, patch_size=14,
+            sample_range=(2, 3), max_sample_iterations=4,
+            emd_row_bucket=16, emd_col_bucket=16)
+        acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
+                             sel_stability_score_thresh=0.0, decode_batch=8)
+        ds = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+        mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+        miou, fb, meter, bt = cli_parallel.evaluate_parallel(
+            model, ds, mesh, input_size=size, nshot=1, episodes=n,
+            proposal_bucket=8, gen_bundle=(sam_params, scfg, acfg, mcfg),
+            log=lambda *a: None)
+        assert np.isfinite(miou) and np.isfinite(fb)
+        assert len(bt) == 1
+
+    def test_main_requires_gt_class_names(self):
+        from mars_tpu import cli_parallel
+
+        with pytest.raises(SystemExit, match="gt-class-name"):
+            cli_parallel.main(["--benchmark", "synthetic", "--episodes", "2"])
