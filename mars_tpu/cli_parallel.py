@@ -48,12 +48,15 @@ def _text_feats(model, class_name: str, cache: dict):
 def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
                       episodes: int = None, proposal_bucket: int = 128,
                       seed: int = 0, gen_bundle=None, props_fn=None,
-                      log=print):
+                      local_batch: int = 1, log=print):
     """Run the eval loop in mesh-sized episode batches.
 
     gen_bundle: (sam_params, sam_cfg, amg_cfg, mcfg) → inline dp proposal
     generation; otherwise ``props_fn(idx, rec) -> Proposals`` supplies a
     host-side bucket (dumps or synthetic stand-ins).
+
+    ``local_batch``: episodes per chip per step (the generator lax.maps its
+    locals sequentially — dead-chunk conds stay live; the ranker vmaps).
 
     Returns (miou, fb_iou, meter, batch_times).
     """
@@ -62,7 +65,7 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
 
     from mars_tpu.parallel import runner
 
-    B = mesh.shape["data"]
+    B = mesh.shape["data"] * local_batch
     n = episodes or len(ds)
     meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
 
@@ -154,6 +157,8 @@ def main(argv=None):
                    help="data-axis size (default: all devices / mesh-model)")
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel axis size for the towers")
+    p.add_argument("--local-batch", type=int, default=1,
+                   help="episodes per chip per step")
     args = p.parse_args(argv)
     if not args.gt_class_names:
         raise SystemExit(
@@ -206,7 +211,8 @@ def main(argv=None):
     miou, fb, meter, batch_times = evaluate_parallel(
         model, ds, mesh, input_size=args.input_size, nshot=args.nshot,
         episodes=args.episodes, proposal_bucket=args.proposal_bucket,
-        seed=args.seed, gen_bundle=gen_bundle, props_fn=props_fn)
+        seed=args.seed, gen_bundle=gen_bundle, props_fn=props_fn,
+        local_batch=args.local_batch)
     total = time.time() - t0
     n = args.episodes or len(ds)
     with open(os.path.join(args.log_path, "batch_time.csv"), "w",

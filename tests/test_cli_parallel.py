@@ -102,6 +102,16 @@ class TestEvaluateParallel:
         np.testing.assert_array_equal(meter_p.union, meter_s.union)
         assert len(bt) == 2  # 8 + 2(+6 pad)
 
+        # local_batch=2 → ONE step of 16 with 6 pad rows, same meter
+        ds3 = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+        miou_l, fb_l, meter_l, bt_l = cli_parallel.evaluate_parallel(
+            model, ds3, mesh, input_size=size, nshot=1, episodes=n,
+            proposal_bucket=bucket, props_fn=make_props_fn(0),
+            local_batch=2, log=lambda *a: None)
+        assert (miou_l, fb_l) == (miou_s, fb_s)
+        np.testing.assert_array_equal(meter_l.inter, meter_s.inter)
+        assert len(bt_l) == 1
+
     def test_generated_proposals_smoke(self):
         """Inline dp proposal generation through the driver (tiny SAM)."""
         from mars_tpu import cli_parallel
