@@ -48,7 +48,7 @@ def _text_feats(model, class_name: str, cache: dict):
 def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
                       episodes: int = None, proposal_bucket: int = 128,
                       seed: int = 0, gen_bundle=None, props_fn=None,
-                      local_batch: int = 1, log=print):
+                      local_batch: int = 1, log=print, metrics_fn=None):
     """Run the eval loop in mesh-sized episode batches.
 
     gen_bundle: (sam_params, sam_cfg, amg_cfg, mcfg) → inline dp proposal
@@ -68,6 +68,9 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
     B = mesh.shape["data"] * local_batch
     n = episodes or len(ds)
     meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
+    # e.g. lambda meter: mlog.MetricsLogger(log_path, meter) — the serial
+    # driver's TensorBoard/CSV scalar stream (reference logger.py:197,259)
+    metrics = metrics_fn(meter) if metrics_fn is not None else None
 
     params = {"dino": model.dino_params, "clip_v": model.clip_v,
               "ac_v": model.ac_v, "logit_scale": model.clip_scale}
@@ -137,7 +140,11 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
             gt, ig = resized_gt(rec, input_size)
             inter, union = evaluation.classify_prediction(merged_np[j], gt, ig)
             meter.update(inter, union, rec.class_id)
+            if metrics is not None:
+                metrics.log_metrics(idx)
         batch_times.append(time.time() - t0)
+        if metrics is not None:
+            metrics.log_time_batch(batch_times[-1], b0 // B)
         if (b0 // B) % 5 == 0:
             miou, fb, _ = meter.compute_iou()
             log(f"[{min(b0 + B, n)}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}  "
@@ -207,12 +214,16 @@ def main(argv=None):
             rec, args.input_size, args.proposal_bucket, rng)
 
     os.makedirs(args.log_path, exist_ok=True)
+    from mars_tpu.utils import logging as mlog
+
+    logger = mlog.initialize(args.log_path, "", args)
     t0 = time.time()
     miou, fb, meter, batch_times = evaluate_parallel(
         model, ds, mesh, input_size=args.input_size, nshot=args.nshot,
         episodes=args.episodes, proposal_bucket=args.proposal_bucket,
         seed=args.seed, gen_bundle=gen_bundle, props_fn=props_fn,
-        local_batch=args.local_batch)
+        local_batch=args.local_batch, log=logger.info,
+        metrics_fn=lambda meter: mlog.MetricsLogger(args.log_path, meter))
     total = time.time() - t0
     n = args.episodes or len(ds)
     with open(os.path.join(args.log_path, "batch_time.csv"), "w",
@@ -220,8 +231,9 @@ def main(argv=None):
         w = csv.writer(f)
         w.writerow(["batch", "seconds"])
         w.writerows(enumerate(batch_times))
-    print(f"mIoU {miou:.2f}  FB-IoU {fb:.2f}  ({n} episodes, "
-          f"{total:.1f}s total, {total / max(n, 1):.3f}s/episode amortized)")
+    logger.info(f"mIoU {miou:.2f}  FB-IoU {fb:.2f}  ({n} episodes, "
+                f"{total:.1f}s total, {total / max(n, 1):.3f}s/episode "
+                "amortized)")
 
 
 if __name__ == "__main__":

@@ -138,10 +138,19 @@ class TestEvaluateParallel:
                              sel_stability_score_thresh=0.0, decode_batch=8)
         ds = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
         mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
-        miou, fb, meter, bt = cli_parallel.evaluate_parallel(
-            model, ds, mesh, input_size=size, nshot=1, episodes=n,
-            proposal_bucket=8, gen_bundle=(sam_params, scfg, acfg, mcfg),
-            log=lambda *a: None)
+        import tempfile
+
+        from mars_tpu.utils import logging as mlog
+
+        with tempfile.TemporaryDirectory() as td:
+            miou, fb, meter, bt = cli_parallel.evaluate_parallel(
+                model, ds, mesh, input_size=size, nshot=1, episodes=n,
+                proposal_bucket=8, gen_bundle=(sam_params, scfg, acfg, mcfg),
+                log=lambda *a: None,
+                metrics_fn=lambda m: mlog.MetricsLogger(td, m))
+            import os
+
+            assert os.path.exists(os.path.join(td, "scalars.csv"))
         assert np.isfinite(miou) and np.isfinite(fb)
         assert len(bt) == 1
 
