@@ -36,6 +36,9 @@ run propose python -u tools/propose_profile.py --iters 5 --int8
 run e2e_probe python -u tools/e2e_probe.py --iters 5 --no-text
 # 3b. fused single-program proposal flow A/B (union-family rows)
 run e2e_probe_fused python -u tools/e2e_probe.py --iters 5 --no-text --fused
+# 3c. speculative decode after the stale-gram-slot fix (was 2.3 ms/tok
+#     with every full-K round followed by a wasted verify)
+run vlm_spec python -u tools/vlm_bench.py --draft 8 --prompt-len 1176 --tokens 50
 # 4. the driver's bench artifact (ranking + full e2e with prefix-kv text)
 run bench python -u bench.py
 echo "[remeasure] done" | tee -a "$OUT/status.log"
