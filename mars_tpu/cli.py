@@ -241,6 +241,9 @@ def make_inline_generator(args, dino_bundle=None):
     if args.proposal_model == "semantic-sam":
         # the reference's Matcher_SemanticSAM configuration, on the native
         # network (matcher/Matcher_SemanticSAM.py:151-161)
+        if getattr(args, "fused_proposals", False):
+            raise SystemExit("--fused-proposals applies to the SAM backend "
+                             "only (matcher_oss has its own program flow)")
         from mars_tpu.pipeline import matcher_oss
 
         ss_params, ss_cfg = zoo.build_semantic_sam(args.models_path)

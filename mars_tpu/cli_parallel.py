@@ -28,8 +28,8 @@ import time
 
 import numpy as np
 
-from mars_tpu.data import build_dataset, to_device_episode
-from mars_tpu.data.base import resized_gt
+from mars_tpu.data import build_dataset
+from mars_tpu.data.base import episode_host_u8, resized_gt
 from mars_tpu.utils import evaluation
 
 
@@ -41,7 +41,9 @@ def _text_feats(model, class_name: str, cache: dict):
         vta_text = model._vta_text_feats(class_name)
         ac_text = model._alpha_clip_text_feats(
             prompt_data.alpha_clip_text(class_name, ""))
-        cache[class_name] = (vta_text, ac_text)
+        # cached as numpy: the batch assembly np.stacks host arrays and
+        # ships one transfer per field (device stacks are eager dispatches)
+        cache[class_name] = (np.asarray(vta_text), np.asarray(ac_text))
     return cache[class_name]
 
 
@@ -84,7 +86,12 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
             model.dino_cfg, sam_cfg, amg_cfg, mcfg, mesh,
             bucket=proposal_bucket)
         gen_params = {"dino": model.dino_params, "sam": sam_params}
+    from mars_tpu.data.base import _episode_floats as to_floats
+
     base_key = jax.random.PRNGKey(seed)
+    # per-idx keys in ONE dispatch (deterministic regardless of batching);
+    # a per-episode eager fold_in costs a ~35 ms tunnel round trip each
+    fold_keys = jax.jit(jax.vmap(lambda i: jax.random.fold_in(base_key, i)))
 
     cache: dict = {}
     batch_times = []
@@ -96,13 +103,15 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
         # padded rows are computed and discarded (static shapes > ragged)
         padded = idxs + [idxs[-1]] * (B - live)
 
+        # host-side assembly: everything stays numpy until ONE fixed-shape
+        # transfer per field per batch (uint8 over the wire for images)
         recs, eps, texts, host_props = [], [], [], []
         for k, idx in enumerate(padded):
             # pad rows reuse the last live record WITHOUT re-reading the
             # dataset (COCO-style datasets draw from their RNG per getitem)
             rec = ds[idx] if k < live else recs[-1]
             recs.append(rec)
-            eps.append(to_device_episode(rec, input_size, nshot))
+            eps.append(episode_host_u8(rec, input_size, nshot))
             texts.append(_text_feats(model, rec.class_name, cache))
             if generator is None:
                 # pad rows reuse the last LIVE bucket: props_fn may consume
@@ -110,24 +119,25 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
                 host_props.append(props_fn(idx, rec) if k < live
                                   else host_props[-1])
 
-        stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
-        sup_i = stack([e.support_images for e in eps])
-        sup_m = stack([e.support_masks for e in eps])
-        sup_v = stack([e.support_valid for e in eps])
-        qry = stack([e.query_image for e in eps])
-        vta_text = stack([t[0] for t in texts])
-        ac_text = stack([t[1] for t in texts])
+        sup_i, sup_m, qry = to_floats(
+            jnp.asarray(np.stack([e[0] for e in eps])),
+            jnp.asarray(np.stack([e[1] for e in eps])),
+            jnp.asarray(np.stack([e[2] for e in eps])))
+        sup_v = jnp.asarray(np.stack([e[3] for e in eps]))
+        vta_text = jnp.asarray(np.stack([t[0] for t in texts]))
+        ac_text = jnp.asarray(np.stack([t[1] for t in texts]))
 
         if generator is not None:
-            # per-idx keys: deterministic regardless of batch boundaries
-            keys = jnp.stack([jax.random.fold_in(base_key, i) for i in padded])
+            keys = fold_keys(jnp.asarray(padded, jnp.int32))
             sh = runner.shard_batch((keys, sup_i, sup_m, sup_v, qry), mesh)
             gout = generator(gen_params, *sh)
             prop_m = gout["bucket_masks"]
             prop_v = gout["bucket_valid"]
         else:
-            prop_m = stack([p.masks for p in host_props])
-            prop_v = stack([p.valid for p in host_props])
+            prop_m = jnp.asarray(
+                np.stack([np.asarray(p.masks) for p in host_props]))
+            prop_v = jnp.asarray(
+                np.stack([np.asarray(p.valid) for p in host_props]))
 
         batch = runner.shard_batch(
             (sup_i, sup_m, sup_v, qry, prop_m, prop_v, vta_text, ac_text),
@@ -172,12 +182,25 @@ def main(argv=None):
             "cli_parallel runs the gt-class-name text path; the VLM "
             "retriever is per-episode host work — use the serial cli, or "
             "precompute names (reference --gt_class_names, main_MARS.py:131)")
+    if args.resume or args.bad_preds_path:
+        # accepted by add_eval_args but only the serial loop implements
+        # them — reject instead of silently starting over / dropping the
+        # bad-preds meter (a --resume restart would also truncate
+        # scalars.csv)
+        raise SystemExit("--resume and --bad-preds-path are serial-cli "
+                         "features; cli_parallel does not implement them")
     if args.exp_name:
         args.log_path = os.path.join(args.log_path, args.exp_name)
 
     np.random.seed(args.seed)
+    ds_kwargs = {}
+    if args.annotations_datapath:
+        if args.benchmark != "coco":
+            raise SystemExit("--annotations-datapath only applies to "
+                             f"--benchmark coco (got {args.benchmark})")
+        ds_kwargs["annotations_path"] = args.annotations_datapath
     ds = build_dataset(args.benchmark, args.datapath, args.fold, "test",
-                       args.nshot, args.seed)
+                       args.nshot, args.seed, **ds_kwargs)
     model = cli.build_model(args)
     mesh = mesh_lib.make_mesh(args.mesh_data, args.mesh_model)
     if args.mesh_model > 1:

@@ -43,6 +43,25 @@ def to_device_episode(rec: EpisodeRecord, size: int = 518, max_shots: int = 1) -
     of the device program (every new source shape would otherwise compile a
     fresh resize executable — ~seconds per episode on real datasets, where
     each record has its own resolution)."""
+    sup, msk, qry, valid = episode_host_u8(rec, size, max_shots)
+    # uint8 over the wire (4x less host->device traffic), one jitted
+    # conversion on device
+    sup_f, sup_mf, qry_f = _episode_floats(
+        jnp.asarray(sup), jnp.asarray(msk), jnp.asarray(qry))
+    return Episode(
+        support_images=sup_f,
+        support_masks=sup_mf,
+        support_valid=jnp.asarray(valid),
+        query_image=qry_f,
+        class_id=jnp.int32(rec.class_id),
+    )
+
+
+def episode_host_u8(rec: EpisodeRecord, size: int, max_shots: int):
+    """to_device_episode's HOST half: resized uint8 numpy fields with no
+    transfer.  Batch drivers (cli_parallel) stack B of these and ship ONE
+    fixed-shape transfer per field per batch — per-episode eager dispatches
+    cost ~35 ms each on a tunnel-attached chip."""
     from PIL import Image
 
     def prep_img(img):
@@ -60,19 +79,8 @@ def to_device_episode(rec: EpisodeRecord, size: int = 518, max_shots: int = 1) -
     for _ in range(max_shots - s):
         sup_i.append(np.zeros((size, size, 3), np.uint8))
         sup_m.append(np.zeros((size, size), np.uint8))
-    # uint8 over the wire (4x less host->device traffic), one jitted
-    # conversion on device
-    sup_iu = jnp.asarray(np.stack(sup_i))
-    sup_mu = jnp.asarray(np.stack(sup_m))
-    qry_u = jnp.asarray(prep_img(rec.query_img))
-    sup_f, sup_mf, qry_f = _episode_floats(sup_iu, sup_mu, qry_u)
-    return Episode(
-        support_images=sup_f,
-        support_masks=sup_mf,
-        support_valid=jnp.arange(max_shots) < s,
-        query_image=qry_f,
-        class_id=jnp.int32(rec.class_id),
-    )
+    return (np.stack(sup_i), np.stack(sup_m), prep_img(rec.query_img),
+            np.arange(max_shots) < s)
 
 
 @jax.jit

@@ -98,7 +98,7 @@ def main():
     out0 = matcher.generate_proposals(
         key, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
         ep.support_images, ep.support_masks, ep.support_valid,
-        ep.query_image, bucket=PROPOSAL_BUCKET)
+        ep.query_image, bucket=PROPOSAL_BUCKET, fuse_programs=args.fused)
     tele = {k: int(v) for k, v in out0["telemetry"].items()}
     nprompt = tele["n_matched_points"]
     print(f"compiled in {time.time() - t0:.0f}s; telemetry {tele} "
