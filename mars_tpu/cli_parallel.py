@@ -50,7 +50,9 @@ def _text_feats(model, class_name: str, cache: dict):
 def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
                       episodes: int = None, proposal_bucket: int = 128,
                       seed: int = 0, gen_bundle=None, props_fn=None,
-                      local_batch: int = 1, log=print, metrics_fn=None):
+                      local_batch: int = 1, log=print, metrics_fn=None,
+                      meter=None, start_idx: int = 0, snapshot=None,
+                      bad_idxs=frozenset()):
     """Run the eval loop in mesh-sized episode batches.
 
     gen_bundle: (sam_params, sam_cfg, amg_cfg, mcfg) → inline dp proposal
@@ -59,6 +61,12 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
 
     ``local_batch``: episodes per chip per step (the generator lax.maps its
     locals sequentially — dead-chunk conds stay live; the ranker vmaps).
+
+    Resume: pass a restored ``meter`` + batch-aligned ``start_idx``;
+    ``snapshot(next_idx, meter)`` fires after every completed batch (the
+    host RNG states it must capture advance only during batch prep, so a
+    batch boundary is a clean cut — same contract as the serial driver's
+    capture_rng_states).
 
     Returns (miou, fb_iou, meter, batch_times).
     """
@@ -69,7 +77,12 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
 
     B = mesh.shape["data"] * local_batch
     n = episodes or len(ds)
-    meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
+    if start_idx < n and start_idx % B:
+        raise ValueError(
+            f"start_idx {start_idx} is not aligned to the batch size {B} — "
+            "resume with the same mesh/local-batch the snapshot was taken at")
+    if meter is None:
+        meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
     # e.g. lambda meter: mlog.MetricsLogger(log_path, meter) — the serial
     # driver's TensorBoard/CSV scalar stream (reference logger.py:197,259)
     metrics = metrics_fn(meter) if metrics_fn is not None else None
@@ -95,7 +108,7 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
 
     cache: dict = {}
     batch_times = []
-    for b0 in range(0, n, B):
+    for b0 in range(start_idx, n, B):
         t0 = time.time()
         idxs = list(range(b0, min(b0 + B, n)))
         live = len(idxs)
@@ -150,11 +163,15 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
             gt, ig = resized_gt(rec, input_size)
             inter, union = evaluation.classify_prediction(merged_np[j], gt, ig)
             meter.update(inter, union, rec.class_id)
+            if idx in bad_idxs:
+                meter.update_bad_preds(inter, union, rec.class_id)
             if metrics is not None:
                 metrics.log_metrics(idx)
         batch_times.append(time.time() - t0)
         if metrics is not None:
             metrics.log_time_batch(batch_times[-1], b0 // B)
+        if snapshot is not None:
+            snapshot(min(b0 + B, n), meter)
         if (b0 // B) % 5 == 0:
             miou, fb, _ = meter.compute_iou()
             log(f"[{min(b0 + B, n)}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}  "
@@ -182,13 +199,6 @@ def main(argv=None):
             "cli_parallel runs the gt-class-name text path; the VLM "
             "retriever is per-episode host work — use the serial cli, or "
             "precompute names (reference --gt_class_names, main_MARS.py:131)")
-    if args.resume or args.bad_preds_path:
-        # accepted by add_eval_args but only the serial loop implements
-        # them — reject instead of silently starting over / dropping the
-        # bad-preds meter (a --resume restart would also truncate
-        # scalars.csv)
-        raise SystemExit("--resume and --bad-preds-path are serial-cli "
-                         "features; cli_parallel does not implement them")
     if args.exp_name:
         args.log_path = os.path.join(args.log_path, args.exp_name)
 
@@ -211,6 +221,9 @@ def main(argv=None):
 
     gen_bundle = None
     props_fn = None
+    # props rng: only the synthetic path draws from it, but it is always
+    # created + snapshotted so resume restores a consistent state
+    rng = np.random.RandomState(args.seed)
     if args.generate_proposals:
         from mars_tpu.models import zoo
         from mars_tpu.pipeline import amg, matcher
@@ -232,7 +245,6 @@ def main(argv=None):
         props_fn = lambda idx, rec: cli.load_proposals(
             args, idx, args.input_size)
     else:
-        rng = np.random.RandomState(args.seed)
         props_fn = lambda idx, rec: cli.synthetic_proposals(
             rec, args.input_size, args.proposal_bucket, rng)
 
@@ -240,14 +252,42 @@ def main(argv=None):
     from mars_tpu.utils import logging as mlog
 
     logger = mlog.initialize(args.log_path, "", args)
+
+    meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
+    bad_idxs = set()
+    if args.bad_preds_path and os.path.exists(args.bad_preds_path):
+        with open(args.bad_preds_path) as f:
+            bad_idxs = {int(x) for x in f.read().split() if x.strip()}
+
+    # batch-granular resume: snapshots fire at batch boundaries (the same
+    # meter/RNG schema as the serial driver, cli.save_resume_state); the
+    # inline-dp keys are stateless fold_in(seed, idx) so only the dataset
+    # and props RNG streams need restoring
+    resume_path = os.path.join(args.log_path, "resume.pkl")
+    start_idx = 0
+    if args.resume and os.path.exists(resume_path):
+        st = cli.load_resume_state(resume_path, meter, rng, ds)
+        start_idx = int(st["next_idx"])
+        logger.info(f"resuming from {resume_path} at episode {start_idx}")
+    snapshot = None
+    if args.resume_every:
+        def snapshot(next_idx, meter):
+            cli.save_resume_state(resume_path, next_idx, meter, [],
+                                  cli.capture_rng_states(rng, ds))
+
     t0 = time.time()
     miou, fb, meter, batch_times = evaluate_parallel(
         model, ds, mesh, input_size=args.input_size, nshot=args.nshot,
         episodes=args.episodes, proposal_bucket=args.proposal_bucket,
         seed=args.seed, gen_bundle=gen_bundle, props_fn=props_fn,
         local_batch=args.local_batch, log=logger.info,
-        metrics_fn=lambda meter: mlog.MetricsLogger(args.log_path, meter))
+        metrics_fn=lambda m: mlog.MetricsLogger(args.log_path, m,
+                                                append=args.resume),
+        meter=meter, start_idx=start_idx, snapshot=snapshot,
+        bad_idxs=bad_idxs)
     total = time.time() - t0
+    if os.path.exists(resume_path):
+        os.remove(resume_path)  # run completed; a later --resume restarts
     n = args.episodes or len(ds)
     with open(os.path.join(args.log_path, "batch_time.csv"), "w",
               newline="") as f:
@@ -257,6 +297,10 @@ def main(argv=None):
     logger.info(f"mIoU {miou:.2f}  FB-IoU {fb:.2f}  ({n} episodes, "
                 f"{total:.1f}s total, {total / max(n, 1):.3f}s/episode "
                 "amortized)")
+    if meter.bad_class_ids:
+        bmiou, bfb, _ = meter.compute_iou_bad_preds()
+        logger.info(f"*** known-bad subset — mIoU: {bmiou:.2f}  "
+                    f"FB-IoU: {bfb:.2f} ***")
 
 
 if __name__ == "__main__":

@@ -154,6 +154,63 @@ class TestEvaluateParallel:
         assert np.isfinite(miou) and np.isfinite(fb)
         assert len(bt) == 1
 
+    def test_interrupt_and_resume_bitexact(self, tmp_path):
+        """Stop after batch 1, snapshot, resume in a fresh everything —
+        the final meter must equal the uninterrupted run's bit-for-bit
+        (the serial driver's --resume contract at batch granularity)."""
+        from mars_tpu import cli, cli_parallel
+
+        size, bucket, n = 56, 4, 10
+        model = _tiny_mars()
+        mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+
+        def make_props_fn(rng):
+            def fn(idx, rec):
+                gt, _ = resized_gt(rec, size)
+                props = [gt]
+                for _ in range(bucket - 1):
+                    y, x = rng.randint(0, size - 16, 2)
+                    m = np.zeros_like(gt)
+                    m[y:y + 12, x:x + 12] = 1
+                    props.append(m)
+                return pad_proposals(
+                    jnp.asarray(np.stack(props), jnp.float32), bucket)
+            return fn
+
+        # uninterrupted
+        ds = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+        miou_a, fb_a, meter_a, _ = cli_parallel.evaluate_parallel(
+            model, ds, mesh, input_size=size, nshot=1, episodes=n,
+            proposal_bucket=bucket,
+            props_fn=make_props_fn(np.random.RandomState(0)),
+            log=lambda *a: None)
+
+        # interrupted after the first batch of 8, snapshotting
+        resume_path = str(tmp_path / "resume.pkl")
+        ds1 = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+        rng1 = np.random.RandomState(0)
+        cli_parallel.evaluate_parallel(
+            model, ds1, mesh, input_size=size, nshot=1, episodes=8,
+            proposal_bucket=bucket, props_fn=make_props_fn(rng1),
+            snapshot=lambda nxt, m: cli.save_resume_state(
+                resume_path, nxt, m, [], cli.capture_rng_states(rng1, ds1)),
+            log=lambda *a: None)
+
+        # resume in a fresh process-equivalent state
+        ds2 = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+        rng2 = np.random.RandomState(7)  # wrong state, restored below
+        meter_r = evaluation.AverageMeter(ds2.benchmark, list(ds2.class_ids))
+        st = cli.load_resume_state(resume_path, meter_r, rng2, ds2)
+        assert int(st["next_idx"]) == 8
+        miou_b, fb_b, meter_b, _ = cli_parallel.evaluate_parallel(
+            model, ds2, mesh, input_size=size, nshot=1, episodes=n,
+            proposal_bucket=bucket, props_fn=make_props_fn(rng2),
+            meter=meter_r, start_idx=8, log=lambda *a: None)
+
+        assert (miou_b, fb_b) == (miou_a, fb_a)
+        np.testing.assert_array_equal(meter_b.inter, meter_a.inter)
+        np.testing.assert_array_equal(meter_b.union, meter_a.union)
+
     def test_main_requires_gt_class_names(self):
         from mars_tpu import cli_parallel
 
