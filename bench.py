@@ -241,11 +241,15 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     acfg = amg.AmgConfig()
     key = jax.random.PRNGKey(0)
 
+    # MARS_BENCH_FUSED=1: single-program proposal flow (union-family rows,
+    # cli --fused-proposals) — A/B'd by tools/propose_profile.py
+    fused = _os.environ.get("MARS_BENCH_FUSED", "0") == "1"
+
     def proposal_stage(k):
         return matcher.generate_proposals(
             k, dino_params, dcfg, sam_params, sam_cfg, acfg, mcfg,
             ep.support_images, ep.support_masks, ep.support_valid,
-            ep.query_image, bucket=PROPOSAL_BUCKET,
+            ep.query_image, bucket=PROPOSAL_BUCKET, fuse_programs=fused,
         )
 
     # compile all three stages once
