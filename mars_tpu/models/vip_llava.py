@@ -159,12 +159,14 @@ def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
         ck, cv = kv_cache
         if getattr(cache_pos, "ndim", 0) == 1:
             # per-row write position (batched decode of variable-length
-            # prompts; l == 1): scatter touches only the written rows —
-            # a mask/where formulation would rewrite the whole multi-GB
+            # prompts: l == 1 plain steps, l == K+1 batched speculative
+            # verify chunks): scatter touches only the written slots — a
+            # mask/where formulation would rewrite the whole multi-GB
             # cache every step
-            rows = jnp.arange(ck.shape[0])
-            keys = ck.at[rows, cache_pos].set(k[:, 0].astype(ck.dtype))
-            values = cv.at[rows, cache_pos].set(v[:, 0].astype(cv.dtype))
+            rows = jnp.arange(ck.shape[0])[:, None]
+            cols = cache_pos[:, None] + jnp.arange(l)[None]
+            keys = ck.at[rows, cols].set(k.astype(ck.dtype))
+            values = cv.at[rows, cols].set(v.astype(cv.dtype))
         else:
             keys = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
             values = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
@@ -305,20 +307,24 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     keeps the fixed-trip ``lax.scan`` (benchmarks; bit-identical to the
     parity fixtures).
 
-    ``draft_tokens=K > 0`` (B=1 only) switches to prompt-lookup
-    speculative decoding — EXACT greedy (the output is bit-identical to
-    the plain paths; tested) but potentially several-fold faster: each
-    loop iteration drafts K continuation tokens by matching the trailing
-    ``ngram`` of the sequence against its own earlier content (prompt +
-    generated so far) and verifies them in ONE forward of K+1 positions.
-    At B=1 a decode step is weight-streaming-bound (~10 ms for the int8
-    7B: every weight byte is read for one row of MACs), so the K+1-token
-    verify costs the same HBM traffic as a 1-token step — every accepted
-    draft is a token at zero marginal cost.  Definitions restate the class
-    name and the prompt's own phrasing (the reference's definition query,
-    TextRetrieverModule.py:101-122), which is exactly what n-gram lookup
-    drafts well; a worst-case prompt with zero matches just degrades to
-    one emitted token per verify (no slower than the plain loop).
+    ``draft_tokens=K > 0`` switches to prompt-lookup speculative
+    decoding — EXACT greedy (the output is bit-identical to the plain
+    paths; tested) but potentially several-fold faster: each loop
+    iteration drafts K continuation tokens per row by matching the
+    trailing ``ngram`` of the sequence against its own earlier content
+    (prompt + generated so far) and verifies them in ONE forward of K+1
+    positions.  Decode steps are weight-streaming-bound (~10 ms for the
+    int8 7B at B=1: every weight byte is read per step), so the
+    K+1-token verify costs the same HBM traffic as a 1-token step —
+    every accepted draft is a token at zero marginal cost.  Definitions
+    restate the class name and the prompt's own phrasing (the
+    reference's definition query, TextRetrieverModule.py:101-122), which
+    is exactly what n-gram lookup drafts well; a worst-case prompt with
+    zero matches just degrades to one emitted token per verify (no
+    slower than the plain loop).  B > 1 composes speculation with the
+    batch (_speculative_greedy_batched): per-row acceptance, per-row
+    cache-chunk scatters — the ensemble/multi-shot name queries get both
+    levers at once.
 
     ``prefix_kv`` + ``prefix_len``: resume from a shared-prefix prefill
     (see ``prefill_prefix``).  input_ids is then the SUFFIX only
@@ -384,16 +390,20 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
         start = prefix_len + jnp.asarray(true_length, jnp.int32)
 
     if draft_tokens > 0:
-        if b != 1:
-            raise ValueError("draft_tokens (speculative decode) needs B=1 — "
-                             "batched decode already amortizes the weight "
-                             "stream across rows")
-        start_s = start[0] if per_row else jnp.asarray(start, jnp.int32)
         # the n-gram lookup buffer holds only the (suffix) input_ids, so it
         # indexes at buffer-relative positions; cache writes stay absolute
-        return _speculative_greedy(
+        if b == 1:
+            start_s = start[0] if per_row else jnp.asarray(start, jnp.int32)
+            return _speculative_greedy(
+                p, cfg, input_ids, caches, next_tok,
+                jnp.asarray(start_s) - prefix_len,
+                max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram,
+                cache_offset=prefix_len)[0]
+        start_b = (start if per_row
+                   else jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,)))
+        return _speculative_greedy_batched(
             p, cfg, input_ids, caches, next_tok,
-            jnp.asarray(start_s) - prefix_len,
+            jnp.asarray(start_b, jnp.int32) - prefix_len,
             max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram,
             cache_offset=prefix_len)[0]
 
@@ -554,6 +564,91 @@ def _speculative_greedy(p, cfg, input_ids, caches, next_tok, start,
     # rounds = verify forwards taken (acceptance telemetry: N/rounds is the
     # mean emitted-tokens-per-forward; tests bound it on periodic output)
     return buf[:, :max_new_tokens], rounds
+
+
+def _speculative_greedy_batched(p, cfg, input_ids, caches, next_tok, start,
+                                max_new_tokens: int, eos_id,
+                                min_new_tokens: int, K: int, n: int,
+                                cache_offset: int = 0):
+    """Prompt-lookup speculative greedy for B > 1 — the composition of the
+    two text-stage levers: the batch amortizes the weight stream across
+    rows, speculation amortizes it across positions.  Exact greedy per row
+    (bit-identical to the plain batched paths, tests/test_vip_llava.py).
+
+    Per-row state generalizes _speculative_greedy: every row carries its
+    own emitted-count ``i``, lookup buffer, and done flag; each loop round
+    runs ONE (B, K+1)-position verify forward with per-row cache offsets
+    (the l>1 scatter branch of _llama_attention).  Rows that finish early
+    ride along frozen (their writes are no-ops / junk beyond their last
+    token, same as the plain batched decode's inert EOS streaming)."""
+    bsz, l0 = input_ids.shape
+    N = max_new_tokens
+    fill = eos_id if eos_id is not None else 0
+    # 2K slack: a frozen row's i can sit at up to N+K while others run, and
+    # its (ignored) writes still index i+K past that
+    seq_len = l0 + N + 2 * K + 1
+    seq0 = jnp.full((bsz, seq_len), -1, input_ids.dtype)
+    seq0 = seq0.at[:, :l0].set(input_ids)
+    buf0 = jnp.full((bsz, N + 2 * K), fill, next_tok.dtype)
+    rows = jnp.arange(bsz)
+    draft = jax.vmap(_prompt_lookup_draft, in_axes=(0, 0, None, None))
+
+    def cond(c):
+        i, r, tok, caches, seq, buf, done = c
+        return jnp.any(~done & (i < N))
+
+    def body(c):
+        i, r, tok, caches, seq, buf, done = c
+        active = ~done & (i < N)  # rows emitting their carry this round
+        buf = buf.at[rows, i].set(jnp.where(active, tok, buf[rows, i]))
+        if eos_id is not None:
+            done = done | (active & (tok == eos_id))
+        # the carry must land in the lookup buffer BEFORE the lookup (the
+        # gram ends at seq[start+i]); frozen rows keep their old value
+        seq = seq.at[rows, start + i].set(
+            jnp.where(active, tok.astype(seq.dtype), seq[rows, start + i]))
+        gate = ~done & (i + 1 < N)  # rows whose verify result is used
+
+        end = start + i
+        d = draft(seq, end, n, K).astype(tok.dtype)  # (B, K)
+        x_ids = jnp.concatenate([tok[:, None], d], axis=1)  # (B, K+1)
+        emb = p["language"]["embed_tokens"][x_ids]
+        positions = (cache_offset + end)[:, None] + jnp.arange(K + 1)[None]
+        logits, caches = llama_forward(p["language"], emb, positions, cfg,
+                                       caches, cache_offset + end)
+        lg = logits.astype(jnp.float32)  # (B, K+1, V)
+        if eos_id is not None and min_new_tokens > 0:
+            emit_idx = (i + 1)[:, None] + jnp.arange(K + 1)[None]
+            masked = lg.at[:, :, eos_id].set(-jnp.inf)
+            lg = jnp.where((emit_idx < min_new_tokens)[..., None], masked, lg)
+        g = jnp.argmax(lg, axis=-1).astype(tok.dtype)  # (B, K+1)
+        acc = jnp.cumprod((d == g[:, :-1]).astype(jnp.int32), axis=1)
+        a = jnp.sum(acc, axis=1)  # (B,) 0..K correct beyond g[:, 0]
+        if eos_id is not None:
+            j = jnp.arange(K + 1)
+            is_eos = (g == eos_id) & (j[None] <= a[:, None])
+            f = jnp.min(jnp.where(is_eos, j[None], K + 1), axis=1)
+            w = jnp.minimum(a, f)
+        else:
+            w = a
+        w = jnp.where(gate, w, 0)
+        carry = jnp.where(
+            gate, jnp.take_along_axis(g, w[:, None], axis=1)[:, 0], tok)
+        gd = jnp.where(gate[:, None], g[:, :K], jnp.asarray(fill, g.dtype))
+
+        cols = (start + i + 1)[:, None] + jnp.arange(K)[None]
+        seq = seq.at[rows[:, None], cols].set(gd.astype(seq.dtype))
+        bcols = (i + 1)[:, None] + jnp.arange(K)[None]
+        vals = jnp.where(jnp.arange(K)[None] < w[:, None], g[:, :K],
+                         buf[rows[:, None], bcols])
+        buf = buf.at[rows[:, None], bcols].set(vals)
+        i = i + jnp.where(active, 1 + w, 0)
+        return (i, r + 1, carry, caches, seq, buf, done)
+
+    c = (jnp.zeros((bsz,), jnp.int32), jnp.int32(0), next_tok, caches, seq0,
+         buf0, jnp.zeros((bsz,), bool))
+    _, rounds, _, _, _, buf, _ = jax.lax.while_loop(cond, body, c)
+    return buf[:, :N], rounds
 
 
 def forward_logits(p, input_ids, pixel_values, cfg: VipLlavaConfig):

@@ -267,11 +267,14 @@ class JaxVipLlava:
         ])
         pixels = np.concatenate(
             [np.transpose(i["pixel_values"], (0, 2, 3, 1)) for i in per])
+        # batch x speculation compose: per-row prompt-lookup drafts ride the
+        # same (B, K+1)-position verify forward (_speculative_greedy_batched)
         toks = self._vl.generate_greedy(
             self.params, jnp.asarray(ids), jnp.asarray(pixels), self.cfg,
             max_new_tokens=max(max_new_tokens, min_new_tokens),
             true_length=jnp.asarray(lens, jnp.int32),
             eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
+            draft_tokens=self.draft_tokens, ngram=self.ngram,
         )
         toks = np.asarray(toks)
         return [self._decode_row(toks[i]) for i in range(len(images))]

@@ -323,6 +323,59 @@ def test_jax_vlm_shared_prefix_reuse_exact():
     assert calls == [1, 1]  # no prefill attempted on mismatch
 
 
+def test_generate_batch_speculative_exact():
+    """JaxVipLlava.generate_batch with draft_tokens>0 (the batch ×
+    speculation compose, _speculative_greedy_batched) must return the
+    same strings as the plain batched decode on variable-length prompts."""
+    import jax.numpy as jnp
+
+    from mars_tpu.models import vip_llava as vl
+    from mars_tpu.text.retriever import JaxVipLlava
+
+    cfg = vl.TINY
+    g = (cfg.image_size // cfg.patch_size) ** 2
+
+    class StubTok:
+        eos_token_id = None
+
+        def decode(self, toks, skip_special_tokens=True):
+            return " ".join(str(int(t)) for t in toks)
+
+    class StubProcessor:
+        tokenizer = StubTok()
+
+        def __call__(self, text, images, return_tensors="np"):
+            left, _, right = text.partition("<image>")
+            ids = ([1] + [ord(c) % 50 + 10 for c in left]
+                   + [cfg.image_token_index] * g
+                   + [ord(c) % 50 + 10 for c in right])
+            arr = np.asarray(images, np.float32)[None] / 255.0
+            pix = np.transpose(arr, (0, 3, 1, 2))
+            return {"input_ids": np.asarray([ids], np.int64),
+                    "pixel_values": pix}
+
+    vlm = object.__new__(JaxVipLlava)
+    vlm.processor = StubProcessor()
+    vlm.cfg = cfg
+    vlm.params = vl.init_random_params(7, cfg, dtype=jnp.float32)
+    vlm._vl = vl
+    vlm.draft_tokens = 0
+    vlm.ngram = 3
+    vlm._prefix_ids_cache = {}
+    vlm._prefix_kv_cache = None
+
+    rs = np.random.RandomState(5)
+    imgs = [(rs.rand(cfg.image_size, cfg.image_size, 3) * 255).astype(np.uint8)
+            for _ in range(3)]
+    prompts = ["Human: <image>\nname it\nAssistant:",
+               "Human: <image>\nwhat is in the red box here?\nAssistant:",
+               "Human: <image>\ndefine\nAssistant:"]
+    plain = vlm.generate_batch(imgs, prompts, max_new_tokens=8)
+    vlm.draft_tokens = 4
+    spec = vlm.generate_batch(imgs, prompts, max_new_tokens=8)
+    assert spec == plain
+
+
 def test_generate_batch_chunks_to_bound_kv_memory():
     """JaxVipLlava.generate_batch must split request lists longer than
     MAX_DECODE_BATCH (KV-cache footprint cap) and preserve order."""

@@ -290,14 +290,85 @@ class TestSpeculativeDecoding:
                                  eos_id=3, draft_tokens=5)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    def test_batched_rejects(self):
-        import pytest
-
+    def test_batched_matches_plain_batched(self):
+        """B=2 speculative == B=2 plain (same rows, identical output),
+        on both the fixed-trip and the EOS paths."""
         ids2 = jnp.concatenate([self.ids, self.ids], axis=0)
         px2 = jnp.concatenate([self.pixels, self.pixels], axis=0)
-        with pytest.raises(ValueError, match="B=1"):
-            vl.generate_greedy(self.params, ids2, px2, self.cfg,
-                               max_new_tokens=4, draft_tokens=4)
+        for eos in (None, int(self.d["generated"][0][2])):
+            want = vl.generate_greedy(self.params, ids2, px2, self.cfg,
+                                      max_new_tokens=6, eos_id=eos)
+            got = vl.generate_greedy(self.params, ids2, px2, self.cfg,
+                                     max_new_tokens=6, eos_id=eos,
+                                     draft_tokens=4)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=f"eos={eos}")
+
+    def test_batched_variable_rows_match_per_row(self):
+        """Rows with DIFFERENT prompts/lengths (per-row true_length,
+        bucketed) + per-row acceptance rates: the batched speculative
+        decode must equal each row decoded alone (plain), incl. EOS
+        freezing at different steps and min_new_tokens."""
+        cfg = self.cfg
+        g = (cfg.image_size // cfg.patch_size) ** 2
+        p = vl.init_random_params(3, cfg, dtype=jnp.float32)
+        rng = np.random.RandomState(0)
+        b, bucket = 3, g + 32
+        lens = [g + 7, g + 19, g + 11]
+        ids = np.zeros((b, bucket), np.int64)
+        for r, ln in enumerate(lens):
+            ids[r, :ln] = rng.randint(1, cfg.vocab, size=ln)
+            ids[r, 2:2 + g] = cfg.image_token_index
+        pixels = jnp.asarray(rng.rand(b, cfg.image_size, cfg.image_size, 3),
+                             jnp.float32)
+        tl = jnp.asarray(lens, jnp.int32)
+        for eos, mnt in ((None, 0), (3, 0), (3, 4)):
+            want = vl.generate_greedy(
+                p, jnp.asarray(ids), pixels, cfg, max_new_tokens=12,
+                true_length=tl, eos_id=eos, min_new_tokens=mnt)
+            got = vl.generate_greedy(
+                p, jnp.asarray(ids), pixels, cfg, max_new_tokens=12,
+                true_length=tl, eos_id=eos, min_new_tokens=mnt,
+                draft_tokens=5)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want),
+                err_msg=f"eos={eos} min_new_tokens={mnt}")
+            # and each row alone through the B=1 speculative path
+            for r in range(b):
+                solo = vl.generate_greedy(
+                    p, jnp.asarray(ids[r:r + 1]), pixels[r:r + 1], cfg,
+                    max_new_tokens=12, true_length=tl[r:r + 1], eos_id=eos,
+                    min_new_tokens=mnt, draft_tokens=5)
+                np.testing.assert_array_equal(
+                    np.asarray(solo[0]), np.asarray(want[r]),
+                    err_msg=f"row {r} eos={eos} mnt={mnt}")
+
+    def test_batched_full_acceptance_chains(self, monkeypatch):
+        """Stub Markov LM at B=2 with different cycle phases: both rows
+        reach full acceptance every round → ceil(N/(K+1)) forwards total
+        (the batched generalization of test_full_acceptance_chains)."""
+        import jax
+
+        V = 8
+
+        def stub_forward(lang, emb, positions, cfg, caches=None, pos0=None):
+            ids = jnp.argmax(emb, axis=-1)
+            logits = jax.nn.one_hot((ids + 1) % V, V) * 10.0
+            return logits, caches
+
+        monkeypatch.setattr(vl, "llama_forward", stub_forward)
+        p = {"language": {"embed_tokens": jnp.eye(V, dtype=jnp.float32)}}
+        prompt = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 0, 1],
+                              [3, 4, 5, 6, 7, 0, 1, 2, 3, 4]], jnp.int32)
+        N, K = 24, 5
+        buf, rounds = vl._speculative_greedy_batched(
+            p, self.cfg, prompt, [], jnp.asarray([2, 5], jnp.int32),
+            jnp.full((2,), prompt.shape[1], jnp.int32), N, None, 0, K, 3)
+        np.testing.assert_array_equal(
+            np.asarray(buf[0]), (2 + np.arange(N)) % V)
+        np.testing.assert_array_equal(
+            np.asarray(buf[1]), (5 + np.arange(N)) % V)
+        assert int(rounds) == -(-N // (K + 1)), int(rounds)
 
     def test_full_acceptance_chains(self, monkeypatch):
         """On perfectly periodic output the drafter must reach full
