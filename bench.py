@@ -241,9 +241,10 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     acfg = amg.AmgConfig()
     key = jax.random.PRNGKey(0)
 
-    # MARS_BENCH_FUSED=1: single-program proposal flow (union-family rows,
-    # cli --fused-proposals) — A/B'd by tools/propose_profile.py
-    fused = _os.environ.get("MARS_BENCH_FUSED", "0") == "1"
+    # single-program proposal flow (union-family rows, cli default):
+    # measured 584 vs 761 ms/episode (tools/e2e_probe.py A/B);
+    # MARS_BENCH_FUSED=0 restores the 2-program flow
+    fused = os.environ.get("MARS_BENCH_FUSED", "1") == "1"
 
     def proposal_stage(k):
         return matcher.generate_proposals(

@@ -241,7 +241,8 @@ def make_inline_generator(args, dino_bundle=None):
     if args.proposal_model == "semantic-sam":
         # the reference's Matcher_SemanticSAM configuration, on the native
         # network (matcher/Matcher_SemanticSAM.py:151-161)
-        if getattr(args, "fused_proposals", False):
+        if getattr(args, "fused_proposals", None):
+            # None = auto default (ON for SAM); only an EXPLICIT request errors
             raise SystemExit("--fused-proposals applies to the SAM backend "
                              "only (matcher_oss has its own program flow)")
         from mars_tpu.pipeline import matcher_oss
@@ -275,7 +276,9 @@ def make_inline_generator(args, dino_bundle=None):
             key, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
             ep.support_images, ep.support_masks, ep.support_valid,
             ep.query_image, bucket=args.proposal_bucket,
-            fuse_programs=getattr(args, "fused_proposals", False),
+            # default (None) = fused ON: measured 584 vs 761 ms/episode on
+            # hardware (tools/e2e_probe.py --fused A/B, 2026-08 remeasure)
+            fuse_programs=getattr(args, "fused_proposals", None) is not False,
         )
         return bucket_generated_proposals(out, args.proposal_bucket)
 
@@ -351,10 +354,13 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input-size", type=int, default=518)
     p.add_argument("--episodes", type=int, default=0, help="0 = full split")
     p.add_argument("--proposal-bucket", type=int, default=128)
-    p.add_argument("--fused-proposals", action="store_true",
+    p.add_argument("--fused-proposals", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="single-program proposal generation (union-family "
                         "rows; bit-exact, saves a dispatch + host sync per "
-                        "episode — A/B via tools/propose_profile.py)")
+                        "episode).  Default ON for the SAM backend: measured "
+                        "584 vs 761 ms (tools/e2e_probe.py A/B); "
+                        "--no-fused-proposals restores the 2-program flow")
     # --- text retrieval / visual prompting (reference :127-141) ---
     p.add_argument("--prompt-type", default="contour",
                    choices=["mask", "bb", "contour", "ellipse"])
@@ -385,6 +391,12 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                    help="prompt-lookup speculative decode width for "
                         "single-query VLM generates (exact greedy; 0 "
                         "disables)")
+    p.add_argument("--pipelined-text", action="store_true",
+                   help="cross-episode text batching: decode episode N's "
+                        "definition together with episode N+1's name "
+                        "queries in ONE batched VLM call (one-episode text "
+                        "lookahead; per-episode results identical to the "
+                        "serial retriever)")
     # --- VTA (reference :143-146) ---
     p.add_argument("--vta-backbone", default="ViT-B/16",
                    choices=["ViT-B/16", "ViT-L/14"])
@@ -528,6 +540,44 @@ def main(argv=None):
 
     pool = ThreadPoolExecutor(max_workers=1)
     fut = pool.submit(host_prep, start_idx) if n > start_idx else None
+
+    # cross-episode text batching (--pipelined-text): episode idx's
+    # definition decode rides the SAME batched VLM call as episode idx+1's
+    # name queries, so ranking/metrics for idx complete one iteration late
+    text_stage = None
+    if args.pipelined_text and not args.gt_class_names \
+            and model.retriever is not None:
+        from mars_tpu.text.retriever import PipelinedTextStage
+
+        text_stage = PipelinedTextStage(model.retriever)
+    pending = None  # (idx, rec, ep, props, snap, gen_key_at_save, text_span)
+
+    def finish_episode(idx, rec, ep, props, name, desc, text_span, snap,
+                       snap_gen_key):
+        pred = np.asarray(model.predict(ep, props, class_name=name,
+                                        class_description=desc))
+        gt, ig = resized_gt(rec, args.input_size)
+        inter, union = evaluation.classify_prediction(pred, gt, ig)
+        meter.update(inter, union, rec.class_id)
+        if idx in bad_idxs:
+            meter.update_bad_preds(inter, union, rec.class_id)
+        total = model.timings["total"] + text_span
+        timing_rows.append(
+            [idx, total, model.timings["after_text_extraction"],
+             int(np.asarray(props.valid).sum())]
+        )
+        metrics.log_metrics(idx)
+        metrics.log_time_batch(total, idx)
+        if idx % 20 == 0:
+            miou, fb, _ = meter.compute_iou()
+            logger.info(f"[{idx + 1}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}")
+        if snap is not None:
+            # saved only once the episode is fully scored, so a --resume
+            # replays from a bit-exact boundary even though the pipelined
+            # text stage ran one episode ahead
+            save_resume_state(resume_path, idx + 1, meter, timing_rows,
+                              snap, snap_gen_key)
+
     for idx in range(start_idx, n):
         rec, ep, props = fut.result()
         # rng states must be captured at the episode boundary, before the
@@ -542,26 +592,30 @@ def main(argv=None):
 
             gen_key, k = jax.random.split(gen_key)
             props = generator(ep, k)
-        class_name = rec.class_name if args.gt_class_names else None
-        pred = np.asarray(model.predict(ep, props, class_name=class_name))
-        gt, ig = resized_gt(rec, args.input_size)
-        inter, union = evaluation.classify_prediction(pred, gt, ig)
-        meter.update(inter, union, rec.class_id)
-        if idx in bad_idxs:
-            meter.update_bad_preds(inter, union, rec.class_id)
-        timing_rows.append(
-            [idx, model.timings["total"], model.timings["after_text_extraction"],
-             int(np.asarray(props.valid).sum())]
-        )
-        metrics.log_metrics(idx)
-        metrics.log_time_batch(model.timings["total"], idx)
-        if idx % 20 == 0:
-            miou, fb, _ = meter.compute_iou()
-            logger.info(f"[{idx + 1}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}")
-        if snap is not None:
-            save_resume_state(
-                resume_path, idx + 1, meter, timing_rows, snap,
-                gen_key if generator is not None else None)
+        snap_gen_key = gen_key if generator is not None else None
+        if text_stage is None:
+            class_name = rec.class_name if args.gt_class_names else None
+            finish_episode(idx, rec, ep, props, class_name, "", 0.0, snap,
+                           snap_gen_key)
+            continue
+        t0 = time.time()
+        done = text_stage.step(*model.support_host_arrays(ep))
+        text_span = time.time() - t0
+        if pending is not None:
+            # attribute this step's decode span to the episode whose
+            # definition it served (the definition row dominates the batch)
+            p_idx, p_rec, p_ep, p_props, p_snap, p_key, p_span = pending
+            finish_episode(p_idx, p_rec, p_ep, p_props, *done,
+                           text_span + p_span, p_snap, p_key)
+            text_span = 0.0  # consumed; episode idx carries only its own
+        pending = (idx, rec, ep, props, snap, snap_gen_key, text_span)
+
+    if pending is not None:
+        t0 = time.time()
+        done = text_stage.flush()
+        p_idx, p_rec, p_ep, p_props, p_snap, p_key, p_span = pending
+        finish_episode(p_idx, p_rec, p_ep, p_props, *done,
+                       (time.time() - t0) + p_span, p_snap, p_key)
 
     pool.shutdown(wait=False)
     if os.path.exists(resume_path):

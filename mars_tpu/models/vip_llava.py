@@ -303,7 +303,9 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     inside a 20-token budget is a 6× stage saving).  ``min_new_tokens``
     masks the EOS logit for the first N emitted tokens (HF's
     MinNewTokensLengthLogitsProcessor — the reference's definition query
-    uses min_new_tokens=20, TextRetrieverModule.py:118).  ``eos_id=None``
+    uses min_new_tokens=20, TextRetrieverModule.py:118); a per-row tuple
+    applies a different floor per row (the pipelined text stage batches a
+    min-20 definition row with min-0 name rows).  ``eos_id=None``
     keeps the fixed-trip ``lax.scan`` (benchmarks; bit-identical to the
     parity fixtures).
 
@@ -362,14 +364,24 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
                                    caches, prefix_len)
     per_row = getattr(true_length, "ndim", 0) == 1
 
+    # min_new_tokens: an int, or a per-row tuple (the pipelined text stage
+    # batches a definition row needing min 20 with name rows needing 0 —
+    # a scalar min would force EOS suppression on the name rows and change
+    # their answers).  Tuples are static (hashable): one compile per
+    # min-pattern, which is fixed per retriever configuration.
+    min_any = (max(min_new_tokens) if isinstance(min_new_tokens, tuple)
+               else min_new_tokens) > 0
+    min_arr = jnp.asarray(min_new_tokens, jnp.int32)  # () or (B,)
+
     def pick_next(last, emit_idx):
         # last: (B, V) logits for the position about to be emitted at slot
         # ``emit_idx``.  Static-bounds EOS mask for min_new_tokens (HF's
         # MinNewTokensLengthLogitsProcessor).
-        if eos_id is not None and min_new_tokens > 0:
+        if eos_id is not None and min_any:
             masked = last.at[:, eos_id].set(-jnp.inf)
-            last = jnp.where(jnp.asarray(emit_idx) < min_new_tokens,
-                             masked, last)
+            low = jnp.broadcast_to(jnp.asarray(emit_idx) < min_arr,
+                                   (last.shape[0],))
+            last = jnp.where(low[:, None], masked, last)
         return jnp.argmax(last, axis=-1)
 
     # start: ABSOLUTE cache position of the first generated token
@@ -394,10 +406,12 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
         # indexes at buffer-relative positions; cache writes stay absolute
         if b == 1:
             start_s = start[0] if per_row else jnp.asarray(start, jnp.int32)
+            mnt = (min_new_tokens[0] if isinstance(min_new_tokens, tuple)
+                   else min_new_tokens)
             return _speculative_greedy(
                 p, cfg, input_ids, caches, next_tok,
                 jnp.asarray(start_s) - prefix_len,
-                max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram,
+                max_new_tokens, eos_id, mnt, draft_tokens, ngram,
                 cache_offset=prefix_len)[0]
         start_b = (start if per_row
                    else jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,)))
@@ -584,6 +598,10 @@ def _speculative_greedy_batched(p, cfg, input_ids, caches, next_tok, start,
     bsz, l0 = input_ids.shape
     N = max_new_tokens
     fill = eos_id if eos_id is not None else 0
+    # scalar or per-row (B,) EOS-suppression floor (see generate_greedy)
+    min_any = (max(min_new_tokens) if isinstance(min_new_tokens, tuple)
+               else min_new_tokens) > 0
+    min_arr = jnp.broadcast_to(jnp.asarray(min_new_tokens, jnp.int32), (bsz,))
     # 2K slack: a frozen row's i can sit at up to N+K while others run, and
     # its (ignored) writes still index i+K past that
     seq_len = l0 + N + 2 * K + 1
@@ -617,10 +635,11 @@ def _speculative_greedy_batched(p, cfg, input_ids, caches, next_tok, start,
         logits, caches = llama_forward(p["language"], emb, positions, cfg,
                                        caches, cache_offset + end)
         lg = logits.astype(jnp.float32)  # (B, K+1, V)
-        if eos_id is not None and min_new_tokens > 0:
+        if eos_id is not None and min_any:
             emit_idx = (i + 1)[:, None] + jnp.arange(K + 1)[None]
             masked = lg.at[:, :, eos_id].set(-jnp.inf)
-            lg = jnp.where((emit_idx < min_new_tokens)[..., None], masked, lg)
+            lg = jnp.where((emit_idx < min_arr[:, None])[..., None],
+                           masked, lg)
         g = jnp.argmax(lg, axis=-1).astype(tok.dtype)  # (B, K+1)
         acc = jnp.cumprod((d == g[:, :-1]).astype(jnp.int32), axis=1)
         a = jnp.sum(acc, axis=1)  # (B,) 0..K correct beyond g[:, 0]

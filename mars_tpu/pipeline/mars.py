@@ -69,14 +69,20 @@ class Mars:
 
     # ---------------- host text stage ----------------
 
-    def conceptual_information(self, episode: Episode):
+    def support_host_arrays(self, episode: Episode):
+        """Valid support shots as host uint8 images + float masks (the
+        retriever and the pipelined text stage draw visual prompts on
+        these)."""
         imgs = np.asarray(
             jnp.clip(episode.support_images * 255, 0, 255).astype(jnp.uint8)
         )
         masks = np.asarray(episode.support_masks)
         n = int(np.asarray(episode.support_valid).sum())
+        return [imgs[i] for i in range(n)], [masks[i] for i in range(n)]
+
+    def conceptual_information(self, episode: Episode):
         return self.retriever.get_conceptual_information(
-            [imgs[i] for i in range(n)], [masks[i] for i in range(n)]
+            *self.support_host_arrays(episode)
         )
 
     # ---------------- device stages ----------------

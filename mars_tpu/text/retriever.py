@@ -238,17 +238,29 @@ class JaxVipLlava:
         shared 128-bucket with per-row true_length (no recompile across
         episodes); request lists longer than MAX_DECODE_BATCH are chunked to
         bound the KV-cache footprint.
+
+        ``max_new_tokens``/``min_new_tokens`` may be per-row sequences
+        (PipelinedTextStage batches a min-20/max-50 definition row with
+        min-0/max-20 name rows).  Per-row min rides the decoder's per-row
+        EOS floor; per-row max is a host-side truncation of the emitted
+        tokens — greedy emission is causal, so row i's first max_i tokens
+        are bit-identical to a solo max_i-budget decode.
         """
+        b = len(images)
+        maxs = (list(max_new_tokens) if isinstance(max_new_tokens, (list, tuple))
+                else [max_new_tokens] * b)
+        mins = (list(min_new_tokens) if isinstance(min_new_tokens, (list, tuple))
+                else [min_new_tokens] * b)
         out = []
-        for s in range(0, len(images), self.MAX_DECODE_BATCH):
+        for s in range(0, b, self.MAX_DECODE_BATCH):
             out.extend(self._generate_batch_chunk(
                 images[s:s + self.MAX_DECODE_BATCH],
                 prompts[s:s + self.MAX_DECODE_BATCH],
-                max_new_tokens, min_new_tokens))
+                maxs[s:s + self.MAX_DECODE_BATCH],
+                mins[s:s + self.MAX_DECODE_BATCH]))
         return out
 
-    def _generate_batch_chunk(self, images, prompts, max_new_tokens,
-                              min_new_tokens):
+    def _generate_batch_chunk(self, images, prompts, maxs, mins):
         import jax.numpy as jnp
         import numpy as np
         from PIL import Image
@@ -267,17 +279,21 @@ class JaxVipLlava:
         ])
         pixels = np.concatenate(
             [np.transpose(i["pixel_values"], (0, 2, 3, 1)) for i in per])
+        # a homogeneous min stays a scalar static arg (one compile serves
+        # every batch size / composition); mixed floors pass per-row
+        mn = mins[0] if len(set(mins)) == 1 else tuple(mins)
         # batch x speculation compose: per-row prompt-lookup drafts ride the
         # same (B, K+1)-position verify forward (_speculative_greedy_batched)
         toks = self._vl.generate_greedy(
             self.params, jnp.asarray(ids), jnp.asarray(pixels), self.cfg,
-            max_new_tokens=max(max_new_tokens, min_new_tokens),
+            max_new_tokens=max(max(maxs), max(mins)),
             true_length=jnp.asarray(lens, jnp.int32),
-            eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
+            eos_id=self._eos_id(), min_new_tokens=mn,
             draft_tokens=self.draft_tokens, ngram=self.ngram,
         )
         toks = np.asarray(toks)
-        return [self._decode_row(toks[i]) for i in range(len(images))]
+        return [self._decode_row(toks[i][:mx])
+                for i, mx in enumerate(maxs)]
 
 
 @dataclass(frozen=True)
@@ -330,46 +346,31 @@ class TextRetriever:
         prompt = VLM_SYSTEM_TEMPLATE.format(VISUAL_PROMPTS[cfg.prompt_type].format(cfg.color))
         return drawn, prompt
 
-    def get_conceptual_information(
-        self,
-        support_images: Sequence[np.ndarray],  # (H, W, 3) uint8 per shot
-        support_masks: Sequence[np.ndarray],  # (H, W) per shot
-    ) -> Tuple[str, str]:
-        """→ (class name, WordNet definition or '')."""
+    def _name_requests(self, support_images, support_masks):
+        """All shots x variants as one request list of (shot_idx, drawn,
+        prompt); batch-capable VLMs (JaxVipLlava.generate_batch) answer
+        them in ONE decode — the per-shot inner vote + outer vote semantics
+        (reference TextRetrieverModule.py:42-99) apply to the answers."""
         variants = (list(self.ensemble.variants(self.gen_cfg))
                     if self.ensemble.active else [self.gen_cfg])
-        # all shots x variants as one request list; batch-capable VLMs
-        # (JaxVipLlava.generate_batch) answer them in ONE decode — the
-        # per-shot inner vote + outer vote semantics (reference
-        # TextRetrieverModule.py:42-99) are applied to the answers after
-        requests = [
+        return [
             (si, *self._name_request(img, mask, cfg))
             for si, (img, mask) in enumerate(zip(support_images, support_masks))
             for cfg in variants
         ]
-        # prefix KV reuse: name + definition queries share the template up
-        # to the question AND (for the last shot's base-config request) the
-        # drawn image — the VLM prefills "Human: <image>\n" once
-        # (reference helpers/prompts.py:23; TextRetrieverModule.py:103-122)
-        prefix_kw = {}
-        if getattr(self.vlm, "supports_shared_prefix", False):
-            prefix_kw = {"shared_prefix": VLM_SYSTEM_TEMPLATE.split("{}")[0]}
-        if len(requests) > 1 and hasattr(self.vlm, "generate_batch"):
-            answers = self.vlm.generate_batch(
-                [r[1] for r in requests], [r[2] for r in requests],
-                max_new_tokens=20)
-        else:
-            answers = [self.vlm.generate(d, p, max_new_tokens=20, **prefix_kw)
-                       for _, d, p in requests]
+
+    def _vote(self, requests, answers, n_shots: int) -> str:
+        """Inner per-shot majority vote, then outer vote across shots."""
         names: List[str] = []
-        for si in range(len(support_images)):
+        for si in range(n_shots):
             votes = [a for (s, _, _), a in zip(requests, answers) if s == si]
             names.append(max(Counter(votes), key=Counter(votes).get))
         counts = Counter(names)
-        name = max(counts, key=counts.get)
+        return max(counts, key=counts.get)
 
-        # definition query on the LAST support shot (reference :103-122 uses
-        # the loop-final support image)
+    def _definition_request(self, support_images, support_masks, name: str):
+        """→ (drawn, prompt) for the definition query on the LAST support
+        shot (reference :103-122 uses the loop-final support image)."""
         img, mask = support_images[-1], support_masks[-1]
         cfg = self.gen_cfg
         drawn = GENERATORS[cfg.prompt_type](
@@ -379,17 +380,124 @@ class TextRetriever:
         dprompt = VLM_SYSTEM_TEMPLATE.format(
             VISUAL_PROMPTS_DESCRIPTIONS[cfg.prompt_type].format(name, cfg.color, name, name)
         )
-        description = self.vlm.generate(drawn, dprompt, max_new_tokens=50,
-                                        min_new_tokens=20, **prefix_kw)
+        return drawn, dprompt
 
+    def _prefix_kw(self):
+        # prefix KV reuse: name + definition queries share the template up
+        # to the question AND (for the last shot's base-config request) the
+        # drawn image — the VLM prefills "Human: <image>\n" once
+        # (reference helpers/prompts.py:23; TextRetrieverModule.py:103-122)
+        if getattr(self.vlm, "supports_shared_prefix", False):
+            return {"shared_prefix": VLM_SYSTEM_TEMPLATE.split("{}")[0]}
+        return {}
+
+    @staticmethod
+    def _finish(name: str, description: str) -> Tuple[str, str]:
+        """WordNet resolution of the voted name against the VLM
+        description → (name, synset definition or '')."""
         synset = get_synset(name, description)
         if synset is not None:
             from nltk.corpus import wordnet as wn
 
-            wn_description = wn.synset(synset).definition()
+            return name, wn.synset(synset).definition()
+        return name, ""
+
+    def get_conceptual_information(
+        self,
+        support_images: Sequence[np.ndarray],  # (H, W, 3) uint8 per shot
+        support_masks: Sequence[np.ndarray],  # (H, W) per shot
+    ) -> Tuple[str, str]:
+        """→ (class name, WordNet definition or '')."""
+        requests = self._name_requests(support_images, support_masks)
+        prefix_kw = self._prefix_kw()
+        if len(requests) > 1 and hasattr(self.vlm, "generate_batch"):
+            answers = self.vlm.generate_batch(
+                [r[1] for r in requests], [r[2] for r in requests],
+                max_new_tokens=20)
         else:
-            wn_description = ""
-        return name, wn_description
+            answers = [self.vlm.generate(d, p, max_new_tokens=20, **prefix_kw)
+                       for _, d, p in requests]
+        name = self._vote(requests, answers, len(support_images))
+
+        drawn, dprompt = self._definition_request(
+            support_images, support_masks, name)
+        description = self.vlm.generate(drawn, dprompt, max_new_tokens=50,
+                                        min_new_tokens=20, **prefix_kw)
+        return self._finish(name, description)
+
+
+class PipelinedTextStage:
+    """Cross-episode text batching: one decode per episode instead of two.
+
+    The per-episode text stage is two SEQUENTIAL decodes — the definition
+    prompt consumes the voted name, so they cannot batch WITHIN an episode
+    (reference TextRetrieverModule.py:42-122 runs them back to back).  But
+    episode N's definition is independent of episode N+1's name queries, so
+    with a one-episode lookahead both ride ONE batched decode: the weight
+    stream (the B=1 bottleneck, ~10 ms/token for the int8 7B) is amortized
+    across the definition row and the next episode's name rows, composing
+    with per-row prompt-lookup speculation (_speculative_greedy_batched).
+
+    Protocol::
+
+        stage = PipelinedTextStage(retriever)
+        done_prev = stage.step(images_N, masks_N)   # None on the first call
+        ...
+        done_last = stage.flush()                   # after the final episode
+
+    ``step`` returns the completed (name, wn_description) for the episode
+    pushed by the PREVIOUS step.  Per-row greedy decode is row-exact
+    (bucketed-decode tests), so the sequence of results is identical to the
+    serial retriever's; a fresh stage after --resume recomputes the
+    lookahead episode's name deterministically.
+    """
+
+    def __init__(self, retriever: TextRetriever):
+        self.r = retriever
+        self._pending = None  # (name, drawn, dprompt) awaiting definition
+
+    def step(self, support_images, support_masks) -> Optional[Tuple[str, str]]:
+        r = self.r
+        requests = r._name_requests(support_images, support_masks)
+        images = [d for _, d, _ in requests]
+        prompts = [p for _, _, p in requests]
+        maxs = [20] * len(images)
+        mins = [0] * len(images)
+        if self._pending is not None:
+            name_prev, drawn_d, dprompt = self._pending
+            images = [drawn_d] + images
+            prompts = [dprompt] + prompts
+            maxs = [50] + maxs
+            mins = [20] + mins
+        answers = self._generate(images, prompts, maxs, mins)
+        done = None
+        if self._pending is not None:
+            done = r._finish(name_prev, answers[0])
+            answers = answers[1:]
+        name = r._vote(requests, answers, len(support_images))
+        self._pending = (name,) + r._definition_request(
+            support_images, support_masks, name)
+        return done
+
+    def flush(self) -> Optional[Tuple[str, str]]:
+        """Run the final pending definition (no next episode to pair it
+        with) → (name, wn_description), or None if nothing is pending."""
+        if self._pending is None:
+            return None
+        name, drawn, dprompt = self._pending
+        self._pending = None
+        answer = self._generate([drawn], [dprompt], [50], [20])[0]
+        return self.r._finish(name, answer)
+
+    def _generate(self, images, prompts, maxs, mins):
+        vlm = self.r.vlm
+        if len(images) > 1 and hasattr(vlm, "generate_batch"):
+            return vlm.generate_batch(images, prompts, max_new_tokens=maxs,
+                                      min_new_tokens=mins)
+        prefix_kw = self.r._prefix_kw()
+        return [vlm.generate(im, pr, max_new_tokens=mx, min_new_tokens=mn,
+                             **prefix_kw)
+                for im, pr, mx, mn in zip(images, prompts, maxs, mins)]
 
 
 def get_synset(class_name: str, vlm_description: str) -> Optional[str]:

@@ -157,6 +157,118 @@ class TestResume:
         assert args.resume and args.resume_every == 5
 
 
+class _LoopVLM:
+    """Deterministic keyed VLM (same answer for the same query whatever
+    batch it rides in) — lets the pipelined loop reproduce the serial one."""
+
+    NAMES = ["dog", "plant", "sheep"]
+
+    def _answer(self, image, prompt):
+        if "definition" in prompt:
+            name = next((n for n in self.NAMES if n in prompt), "thing")
+            return f"a {name} is a kind of thing"
+        return self.NAMES[int(image.sum()) % len(self.NAMES)]
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+        return self._answer(image, prompt)
+
+    def generate_batch(self, images, prompts, max_new_tokens=20,
+                       min_new_tokens=0):
+        return [self._answer(im, pr) for im, pr in zip(images, prompts)]
+
+
+class _LoopModel:
+    """Stand-in for Mars in the cli loop: text via a real TextRetriever
+    (stub VLM), prediction = a mask deterministic in (episode, name), so
+    the meter trace distinguishes episode/text mixups."""
+
+    def __init__(self, size, fail_at=None):
+        from mars_tpu.text.retriever import TextRetriever
+
+        self.retriever = TextRetriever(_LoopVLM())
+        self.size = size
+        self.timings = {}
+        self.calls = []  # (class_name, class_description) per predict
+        self.fail_at = fail_at  # raise on the Nth predict (1-based)
+
+    def support_host_arrays(self, ep):
+        import jax.numpy as jnp
+        import numpy as np
+
+        imgs = np.asarray(
+            jnp.clip(ep.support_images * 255, 0, 255).astype(jnp.uint8))
+        masks = np.asarray(ep.support_masks)
+        n = int(np.asarray(ep.support_valid).sum())
+        return [imgs[i] for i in range(n)], [masks[i] for i in range(n)]
+
+    def predict(self, ep, props, class_name=None, class_description=""):
+        import numpy as np
+
+        if class_name is None:
+            class_name, class_description = \
+                self.retriever.get_conceptual_information(
+                    *self.support_host_arrays(ep))
+        self.calls.append((class_name, class_description))
+        if self.fail_at is not None and len(self.calls) >= self.fail_at:
+            raise RuntimeError("interrupted")
+        self.timings = {"total": 0.01, "after_text_extraction": 0.005}
+        h = (hash((class_name, class_description)) % 7) + 1
+        pred = np.zeros((self.size, self.size), np.float32)
+        pred[: 8 * h, : 8 * h] = 1.0  # depends on the text result
+        # vary with the episode too, via the support content
+        s = int(np.asarray(ep.support_masks).sum()) % self.size
+        pred[s: s + 4] = 1.0
+        return pred
+
+
+class TestPipelinedTextLoop:
+    """--pipelined-text must reproduce the serial loop's metrics exactly
+    (same per-episode text results, same meter trace, resumable)."""
+
+    SIZE = 96  # synthetic_proposals draws boxes in [0, size-64)
+
+    def _run(self, tmp_path, extra, fail_at=None, name="run"):
+        from mars_tpu import cli as cli_mod
+
+        model = _LoopModel(self.SIZE, fail_at=fail_at)
+        orig = cli_mod.build_model
+        cli_mod.build_model = lambda args: model
+        try:
+            out = cli_mod.main(
+                ["--benchmark", "synthetic", "--episodes", "5",
+                 "--input-size", str(self.SIZE), "--seed", "3",
+                 "--log-path", str(tmp_path / name), "--resume-every", "2",
+                 "--resume"] + extra)
+        finally:
+            cli_mod.build_model = orig
+        return out, model
+
+    def test_matches_serial_loop(self, tmp_path):
+        import csv as _csv
+
+        (miou_s, fb_s), m_serial = self._run(tmp_path, [], name="serial")
+        (miou_p, fb_p), m_pipe = self._run(tmp_path, ["--pipelined-text"],
+                                           name="pipe")
+        assert m_pipe.calls == m_serial.calls  # same (name, desc) per episode
+        assert (miou_p, fb_p) == (miou_s, fb_s)
+        # timing rows stay in episode order
+        with open(tmp_path / "pipe" / "ranking_time.csv") as f:
+            rows = list(_csv.reader(f))[1:]
+        assert [int(r[0]) for r in rows] == list(range(5))
+
+    def test_interrupt_and_resume_matches_uninterrupted(self, tmp_path):
+        import pytest as _pytest
+
+        (miou_s, fb_s), _ = self._run(tmp_path, [], name="ref")
+        # crash on the 3rd completed episode: the resume snapshot saved at
+        # the episode-2 boundary (resume-every 2) must replay bit-exact
+        with _pytest.raises(RuntimeError):
+            self._run(tmp_path, ["--pipelined-text"], fail_at=3, name="int")
+        (miou_r, fb_r), _ = self._run(tmp_path, ["--pipelined-text"],
+                                      name="int")
+        assert (miou_r, fb_r) == (miou_s, fb_s)
+
+
 def test_bucket_generated_proposals_compacts_valid_rows():
     """generate_proposals returns a FIXED decode layout whose leading rows
     can all be invalid (size-1..3 combo prompt sets); bucketing must keep

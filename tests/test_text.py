@@ -240,6 +240,112 @@ class TestBatchedEnsemble:
         assert name == "dog"
 
 
+class _KeyedVLM:
+    """Batch-capable stub that answers DETERMINISTICALLY per (image,
+    prompt), so the same query gives the same answer regardless of which
+    batch it rides in — the property PipelinedTextStage relies on (and
+    which the bucketed-decode tests pin for the real model)."""
+
+    NAMES = ["dog", "plant", "sheep"]
+
+    def __init__(self):
+        self.batch_rows = []  # (n_rows, maxs, mins) per generate_batch call
+        self.single_calls = 0
+
+    def _answer(self, image, prompt):
+        if "definition" in prompt:
+            # echo the name the prompt embeds, so the description is a
+            # deterministic function of the voted name
+            name = next((n for n in self.NAMES if n in prompt), "thing")
+            return f"a {name} is a domesticated thing"
+        return self.NAMES[int(image.sum()) % len(self.NAMES)]
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+        self.single_calls += 1
+        return self._answer(image, prompt)
+
+    def generate_batch(self, images, prompts, max_new_tokens=20,
+                       min_new_tokens=0):
+        self.batch_rows.append((len(images), tuple(max_new_tokens)
+                                if isinstance(max_new_tokens, (list, tuple))
+                                else max_new_tokens,
+                                tuple(min_new_tokens)
+                                if isinstance(min_new_tokens, (list, tuple))
+                                else min_new_tokens))
+        return [self._answer(im, pr) for im, pr in zip(images, prompts)]
+
+
+class TestPipelinedTextStage:
+    """Cross-episode text batching: step(N+1) serves def(N)+names(N+1) in
+    one batched call, and the (name, description) sequence is identical to
+    the serial retriever's."""
+
+    def _episodes(self, n, shots=1):
+        eps = []
+        for e in range(n):
+            imgs, masks = [], []
+            for s in range(shots):
+                img = np.full((64, 64, 3), (7 * e + 3 * s + 5) % 97, np.uint8)
+                mask = np.zeros((64, 64), np.float32)
+                mask[10:40, 10:40] = 1
+                imgs.append(img)
+                masks.append(mask)
+            eps.append((imgs, masks))
+        return eps
+
+    def test_sequence_matches_serial(self):
+        from mars_tpu.text import retriever as R
+
+        eps = self._episodes(4, shots=2)
+        serial = [R.TextRetriever(_KeyedVLM()).get_conceptual_information(i, m)
+                  for i, m in eps]
+
+        vlm = _KeyedVLM()
+        stage = R.PipelinedTextStage(R.TextRetriever(vlm))
+        got = []
+        for i, m in eps:
+            done = stage.step(i, m)
+            if done is not None:
+                got.append(done)
+        got.append(stage.flush())
+        assert got == serial
+        # first step: 2 name rows only; later steps: 1 def + 2 name rows
+        assert [r[0] for r in vlm.batch_rows] == [2, 3, 3, 3]
+        # mixed per-row budgets: def row (50 max / 20 min) leads
+        assert vlm.batch_rows[1][1] == (50, 20, 20)
+        assert vlm.batch_rows[1][2] == (20, 0, 0)
+        # flush ran the final definition alone (single generate)
+        assert vlm.single_calls == 1
+
+    def test_single_shot_uses_batch_of_two(self):
+        from mars_tpu.text import retriever as R
+
+        eps = self._episodes(3, shots=1)
+        vlm = _KeyedVLM()
+        stage = R.PipelinedTextStage(R.TextRetriever(vlm))
+        got = [stage.step(i, m) for i, m in eps] + [stage.flush()]
+        got = [g for g in got if g is not None]
+        serial = [R.TextRetriever(_KeyedVLM()).get_conceptual_information(i, m)
+                  for i, m in eps]
+        assert got == serial
+        # episode 0's lone name query has no pending def: single generate;
+        # steps 2..3 each batch [def(prev), name(cur)]
+        assert [r[0] for r in vlm.batch_rows] == [2, 2]
+        assert vlm.single_calls == 2  # first name + flushed final def
+
+    def test_flush_only_episode(self):
+        from mars_tpu.text import retriever as R
+
+        (i0, m0), = self._episodes(1)
+        vlm = _KeyedVLM()
+        stage = R.PipelinedTextStage(R.TextRetriever(vlm))
+        assert stage.step(i0, m0) is None
+        out = stage.flush()
+        assert out == R.TextRetriever(
+            _KeyedVLM()).get_conceptual_information(i0, m0)
+        assert stage.flush() is None  # idempotent once drained
+
+
 def test_jax_vlm_shared_prefix_reuse_exact():
     """JaxVipLlava.generate(shared_prefix=...) must (a) produce the same
     tokens as the plain full-prompt path and (b) prefill the shared prefix

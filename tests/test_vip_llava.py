@@ -189,6 +189,24 @@ class TestEosDecoding:
         np.testing.assert_array_equal(toks[0], single)
         np.testing.assert_array_equal(toks[1], single)
 
+    def test_per_row_min_new_tokens(self):
+        """A (B,) min_new_tokens tuple applies a different EOS floor per
+        row — the pipelined text stage batches a min-20 definition row with
+        min-0 name rows; each row must match its solo-decode result."""
+        eos = self.ref[0]  # row with min 0 freezes immediately
+        l0 = self.ids.shape[1]
+        ids2 = jnp.concatenate([self.ids, self.ids], axis=0)
+        px2 = jnp.concatenate([self.pixels, self.pixels], axis=0)
+        toks = np.asarray(vl.generate_greedy(
+            self.params, ids2, px2, self.cfg, max_new_tokens=6, eos_id=eos,
+            min_new_tokens=(0, 3),
+            true_length=jnp.asarray([l0, l0], jnp.int32)))
+        for row, mnt in ((0, 0), (1, 3)):
+            solo = np.asarray(vl.generate_greedy(
+                self.params, self.ids, self.pixels, self.cfg,
+                max_new_tokens=6, eos_id=eos, min_new_tokens=mnt))[0]
+            np.testing.assert_array_equal(toks[row], solo)
+
 
 class TestSpeculativeDecoding:
     """Prompt-lookup speculative decode (draft_tokens>0) is EXACT greedy:
@@ -322,7 +340,9 @@ class TestSpeculativeDecoding:
         pixels = jnp.asarray(rng.rand(b, cfg.image_size, cfg.image_size, 3),
                              jnp.float32)
         tl = jnp.asarray(lens, jnp.int32)
-        for eos, mnt in ((None, 0), (3, 0), (3, 4)):
+        # per-row tuple min (the pipelined text stage's mixed floors) rides
+        # the same paths as the scalar
+        for eos, mnt in ((None, 0), (3, 0), (3, 4), (3, (0, 4, 2))):
             want = vl.generate_greedy(
                 p, jnp.asarray(ids), pixels, cfg, max_new_tokens=12,
                 true_length=tl, eos_id=eos, min_new_tokens=mnt)
@@ -338,7 +358,8 @@ class TestSpeculativeDecoding:
                 solo = vl.generate_greedy(
                     p, jnp.asarray(ids[r:r + 1]), pixels[r:r + 1], cfg,
                     max_new_tokens=12, true_length=tl[r:r + 1], eos_id=eos,
-                    min_new_tokens=mnt, draft_tokens=5)
+                    min_new_tokens=(mnt[r] if isinstance(mnt, tuple) else mnt),
+                    draft_tokens=5)
                 np.testing.assert_array_equal(
                     np.asarray(solo[0]), np.asarray(want[r]),
                     err_msg=f"row {r} eos={eos} mnt={mnt}")
