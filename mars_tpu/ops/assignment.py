@@ -13,19 +13,41 @@ tests verify near-exact objective agreement with scipy on random instances.
 
 Rectangular (T x N, T <= N) maximize-assignment, fixed shapes, row validity
 mask for padding.
+
+Two interchangeable phase implementations, bit-exact to each other:
+
+- XLA (``_auction_phase``): a ``lax.while_loop`` of vector rounds.  Each
+  round dispatches ~25 small XLA kernels; on TPU that fixed per-kernel cost
+  dominates (97 µs/round measured), and degenerate near-tie instances war
+  for thousands of rounds (the bench synthetic episode: 1156 fwd + 3381 rev
+  rounds → 440 ms of matching).
+- Pallas (``_auction_phase_pallas``): the ENTIRE bidding loop inside one
+  kernel.  The score matrix lives in VMEM (7.5 MB at 1369² f32), all round
+  state (prices, assignment) stays on-core, and each round picks one of two
+  paths: a tiled dense sweep, or — when ≤ SMALL_K rows still bid, which is
+  >90% of war rounds — a gather path that dynamic-slices exactly the bidder
+  rows.  Per-round cost drops from ~25 kernel launches to VPU-speed work.
+
+Default: Pallas on TPU, XLA elsewhere (MARS_AUCTION_IMPL=xla|kernel
+overrides).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
+SMALL_K = 16  # gather-path bidder budget (kernel and XLA paths)
+_COL_TILE = 512  # dense-sweep column tile inside the kernel
 
 
 def _auction_phase(scores, row_valid, prices, eps, max_rounds,
-                   row_chunk=None):
+                   row_chunk=None, small_k=16, unroll=4):
     t, n = scores.shape
     rows = jnp.arange(t, dtype=jnp.int32)
 
@@ -75,14 +97,46 @@ def _auction_phase(scores, row_valid, prices, eps, max_rounds,
                             prices[j_best] + (v_best - v_second) + eps, NEG)
             return j_best, bid
 
+    # small-bidder gather path: bidding wars (near-tie values warring for
+    # ~spread/eps rounds) run overwhelmingly with a handful of active rows
+    # (measured on the bench synthetic episode: fwd p50 = 1 bidder over
+    # 1156 rounds, rev p50 = 10 over 3381; >90% of rounds ≤ 16), yet every
+    # dense/chunked round streams score-matrix chunks.  When ≤ small_k rows
+    # bid, gather exactly those rows and bid on a (small_k, N) slice.
+    # Bit-exact vs the dense path: the gathered rows see identical float
+    # values (same argmax tie behavior), non-bidding rows' j_best is never
+    # consumed (is_cand/won gate on `bidding`), and a NEG bid never wins a
+    # column (col_best starts at NEG).
+    use_small = small_k is not None and t > small_k
+
+    def _small_bids(bidding, prices):
+        idx = jnp.where(bidding, size=small_k, fill_value=t)[0].astype(
+            jnp.int32)
+        sc = jnp.take(scores, jnp.minimum(idx, t - 1), axis=0)  # (K, N)
+        values = sc - prices[None, :]
+        j = jnp.argmax(values, axis=1).astype(jnp.int32)
+        v1 = jnp.take_along_axis(values, j[:, None], axis=1)[:, 0]
+        v2 = jnp.max(values.at[jnp.arange(small_k), j].set(NEG), axis=1)
+        bid = prices[j] + (v1 - v2) + eps
+        # pad slots (idx == t) drop out of both scatters
+        j_full = jnp.zeros((t,), jnp.int32).at[idx].set(j, mode="drop")
+        bid_full = jnp.full((t,), NEG, jnp.float32).at[idx].set(
+            bid, mode="drop")
+        return j_full, bid_full
+
     def cond(state):
         col_of_row, _, _, rounds = state
         return jnp.any((col_of_row < 0) & row_valid) & (rounds < max_rounds)
 
-    def body(state):
+    def one_round(state):
         col_of_row, row_of_col, prices, rounds = state
         bidding = (col_of_row < 0) & row_valid
-        j_best, bid = _bids(bidding, prices)
+        if use_small:
+            j_best, bid = jax.lax.cond(
+                jnp.sum(bidding) <= small_k, _small_bids, _bids,
+                bidding, prices)
+        else:
+            j_best, bid = _bids(bidding, prices)
 
         # highest bid per column; ties resolved toward the largest row index
         col_best = jnp.full((n,), NEG, jnp.float32).at[j_best].max(bid)
@@ -103,6 +157,16 @@ def _auction_phase(scores, row_valid, prices, eps, max_rounds,
         prices = jnp.where(got_col, col_best, prices)
         return col_of_row, row_of_col, prices, rounds + 1
 
+    def body(state):
+        # unrolled rounds amortize the while_loop per-iteration overhead
+        # (cond reduction + loop sync) across `unroll` bidding rounds.  A
+        # round after convergence is an identity step (nobody bids → all
+        # bids NEG → no column turns over), so overshooting the exit by
+        # up to unroll-1 rounds leaves the state bit-identical.
+        for _ in range(max(1, unroll)):
+            state = one_round(state)
+        return state
+
     init = (
         jnp.full((t,), -1, jnp.int32),
         jnp.full((n,), -1, jnp.int32),
@@ -113,13 +177,197 @@ def _auction_phase(scores, row_valid, prices, eps, max_rounds,
     return col_of_row, prices
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+def _auction_kernel(max_rounds, small_k, eps_ref, scores_ref, valid_ref,
+                    prices_in_ref, col_ref, prices_ref):
+    """One ε-phase of the Jacobi auction, entirely on-core.
+
+    Padded layout: scores (Tp, Np) f32 with NEG in padded columns (never
+    the row argmax) and anything in padded rows (valid=0 rows never bid);
+    valid (Tp, 1) i32; prices (1, Np) f32.  Bit-exact vs ``_auction_phase``:
+    identical float expressions, argmax-first ties via min-of-iota-at-max,
+    column winner ties toward the largest row index via max-of-row-iota.
+    """
+    tp, np_ = scores_ref.shape
+    n_tiles = np_ // _COL_TILE
+    eps = eps_ref[0, 0]
+    valid = valid_ref[:] != 0  # (Tp, 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    col_1n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+
+    def _tile(prices, c):
+        # static slices only — Mosaic has no dynamic_slice-on-values rule
+        pr = prices[:, c * _COL_TILE:(c + 1) * _COL_TILE]
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (tp, _COL_TILE), 1) + c * _COL_TILE
+        return pr, col
+
+    def dense_round(args):
+        col_of_row, prices, bidding = args
+        # pass 1: per-row top-2 of values = scores - prices, column-tiled
+        # (top-2 merge: if the tile's max beats the running max STRICTLY,
+        # the new second is max(old max, tile second) — ties keep the
+        # earlier column, matching XLA argmax-first)
+        m1 = jnp.full((tp, 1), NEG, jnp.float32)
+        m2 = jnp.full((tp, 1), NEG, jnp.float32)
+        jb = jnp.zeros((tp, 1), jnp.int32)
+        for c in range(n_tiles):
+            pr, col = _tile(prices, c)
+            v = scores_ref[:, c * _COL_TILE:(c + 1) * _COL_TILE] - pr
+            m1_t = jnp.max(v, axis=1, keepdims=True)
+            j_t = jnp.min(jnp.where(v == m1_t, col, np_), axis=1,
+                          keepdims=True)
+            v2_t = jnp.max(jnp.where(col == j_t, NEG, v), axis=1,
+                           keepdims=True)
+            take = m1_t > m1
+            m2 = jnp.where(take, jnp.maximum(m1, v2_t),
+                           jnp.maximum(m2, m1_t))
+            jb = jnp.where(take, j_t, jb)
+            m1 = jnp.where(take, m1_t, m1)
+        # pass 2: prices at each row's chosen column (masked max, no
+        # cross-lane gather)
+        p_at_j = jnp.full((tp, 1), NEG, jnp.float32)
+        for c in range(n_tiles):
+            pr, col = _tile(prices, c)
+            p_at_j = jnp.maximum(p_at_j, jnp.max(
+                jnp.where(col == jb, pr, NEG), axis=1, keepdims=True))
+        bid = jnp.where(bidding, p_at_j + (m1 - m2) + eps, NEG)
+        # pass 3: best bid per column (non-bidders carry NEG bids)
+        col_best = jnp.concatenate([
+            jnp.max(jnp.where(_tile(prices, c)[1] == jb, bid, NEG),
+                    axis=0, keepdims=True)
+            for c in range(n_tiles)], axis=1)
+        # pass 4: col_best at each row's column → candidate rows
+        cb_at_j = jnp.full((tp, 1), NEG, jnp.float32)
+        for c in range(n_tiles):
+            cb = col_best[:, c * _COL_TILE:(c + 1) * _COL_TILE]
+            _, col = _tile(prices, c)
+            cb_at_j = jnp.maximum(cb_at_j, jnp.max(
+                jnp.where(col == jb, cb, NEG), axis=1, keepdims=True))
+        is_cand = bidding & (bid >= cb_at_j) & (cb_at_j > NEG / 2)
+        # pass 5: winning row per column (ties → largest row index)
+        winner = jnp.concatenate([
+            jnp.max(jnp.where((_tile(prices, c)[1] == jb) & is_cand,
+                              row_iota, -1), axis=0, keepdims=True)
+            for c in range(n_tiles)], axis=1)
+        got_col = winner >= 0
+        # pass 6: rows losing a re-auctioned column + winner at each
+        # row's column
+        lost = jnp.zeros((tp, 1), jnp.bool_)
+        w_at_j = jnp.full((tp, 1), -1, jnp.int32)
+        for c in range(n_tiles):
+            win = winner[:, c * _COL_TILE:(c + 1) * _COL_TILE]
+            _, col = _tile(prices, c)
+            lost = lost | jnp.any((col == col_of_row) & (win >= 0), axis=1,
+                                  keepdims=True)
+            w_at_j = jnp.maximum(w_at_j, jnp.max(
+                jnp.where(col == jb, win, -1), axis=1, keepdims=True))
+        won = bidding & (w_at_j == row_iota)
+        col_of_row = jnp.where(lost, -1, col_of_row)
+        col_of_row = jnp.where(won, jb, col_of_row)
+        prices = jnp.where(got_col, col_best, prices)
+        return col_of_row, prices
+
+    def small_round(args):
+        col_of_row, prices, bidding = args
+        # extract the ≤ small_k bidder rows (ascending, matching the
+        # dense path's row ordering), then bid on dynamic row slices
+        remaining = bidding
+        col_best = jnp.full((1, np_), NEG, jnp.float32)
+        ks = []
+        for _ in range(small_k):
+            idx_k = jnp.min(jnp.where(remaining, row_iota, tp))
+            remaining = remaining & (row_iota != idx_k)
+            pred_k = idx_k < tp
+            row = scores_ref[pl.ds(jnp.minimum(idx_k, tp - 1), 1), :]
+            v = row - prices
+            m1 = jnp.max(v)
+            j_k = jnp.min(jnp.where(v == m1, col_1n, np_))
+            v2 = jnp.max(jnp.where(col_1n == j_k, NEG, v))
+            p_at_j = jnp.max(jnp.where(col_1n == j_k, prices, NEG))
+            bid_k = p_at_j + (m1 - v2) + eps
+            ks.append((idx_k, j_k, bid_k, pred_k))
+            col_best = jnp.where((col_1n == j_k) & pred_k,
+                                 jnp.maximum(col_best, bid_k), col_best)
+        winner = jnp.full((1, np_), -1, jnp.int32)
+        for idx_k, j_k, bid_k, pred_k in ks:
+            cb = jnp.max(jnp.where(col_1n == j_k, col_best, NEG))
+            is_cand = pred_k & (bid_k >= cb) & (cb > NEG / 2)
+            winner = jnp.where((col_1n == j_k) & is_cand,
+                               jnp.maximum(winner, idx_k), winner)
+        got_col = winner >= 0
+        lost = jnp.zeros((tp, 1), jnp.bool_)
+        new_col = col_of_row
+        for idx_k, j_k, _, pred_k in ks:
+            g_k = jnp.max(jnp.where(col_1n == j_k, winner, -1))
+            lost = lost | (pred_k & (g_k >= 0) & (col_of_row == j_k))
+            won_k = pred_k & (g_k == idx_k)
+            new_col = jnp.where((row_iota == idx_k) & won_k, j_k, new_col)
+        col_of_row = jnp.where(lost, -1, new_col)
+        prices = jnp.where(got_col, col_best, prices)
+        return col_of_row, prices
+
+    def cond(carry):
+        col_of_row, _, rounds = carry
+        return jnp.any((col_of_row < 0) & valid) & (rounds < max_rounds)
+
+    def body(carry):
+        col_of_row, prices, rounds = carry
+        bidding = (col_of_row < 0) & valid
+        if small_k is None:
+            col_of_row, prices = dense_round((col_of_row, prices, bidding))
+        else:
+            col_of_row, prices = jax.lax.cond(
+                jnp.sum(bidding) <= small_k, small_round, dense_round,
+                (col_of_row, prices, bidding))
+        return col_of_row, prices, rounds + 1
+
+    init = (jnp.full((tp, 1), -1, jnp.int32), prices_in_ref[:], jnp.int32(0))
+    col_of_row, prices, _ = jax.lax.while_loop(cond, body, init)
+    col_ref[:] = col_of_row
+    prices_ref[:] = prices
+
+
+def _auction_phase_pallas(scores, row_valid, prices, eps, max_rounds,
+                          small_k=SMALL_K, interpret=False):
+    """Pallas-kernel ε-phase: pads to tile-aligned shapes, runs the whole
+    bidding loop on-core, returns (col_of_row (T,), prices (N,))."""
+    t, n = scores.shape
+    tp = -(-t // 8) * 8
+    np_ = -(-n // _COL_TILE) * _COL_TILE
+    scores_p = jnp.full((tp, np_), NEG, jnp.float32)
+    scores_p = jax.lax.dynamic_update_slice(
+        scores_p, scores.astype(jnp.float32), (0, 0))
+    valid_p = jnp.zeros((tp, 1), jnp.int32).at[:t, 0].set(
+        row_valid.astype(jnp.int32))
+    prices_p = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(prices)
+    eps_arr = jnp.full((1, 1), eps, jnp.float32)
+    col, prices_out = pl.pallas_call(
+        partial(_auction_kernel, int(max_rounds), small_k),
+        out_shape=(jax.ShapeDtypeStruct((tp, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((1, np_), jnp.float32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(eps_arr, scores_p, valid_p, prices_p)
+    return col[:t, 0], prices_out[0, :n]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def auction_assignment(
     scores: jnp.ndarray,  # (T, N) similarity, maximize, T <= N
     row_valid: jnp.ndarray,  # (T,) bool
     max_rounds: int = 20000,
     n_phases: int = 1,
     row_chunk: int = None,
+    small_k: int = SMALL_K,
+    unroll: int = 4,
+    use_kernel: bool = None,
 ) -> jnp.ndarray:
     """col_of_row (T,) int32; -1 for invalid (padded) rows.
 
@@ -147,6 +395,15 @@ def auction_assignment(
     physical row, invalid rows never bid, and the greedy cleanup visits
     valid rows in the same sequence.  Leave None for dense-valid instances
     (a fully-contested early round would touch every chunk sequentially).
+
+    ``small_k``/``unroll``: war-round accelerators, bit-exact on every
+    path (see _auction_phase) — rounds with ≤ small_k active bidders
+    gather just those rows, and ``unroll`` rounds run per while iteration.
+
+    ``use_kernel``: run the bidding loop as ONE Pallas kernel (module
+    docstring) — bit-exact vs the XLA paths.  None → auto: the kernel on
+    TPU, XLA on CPU; MARS_AUCTION_IMPL=kernel|xla overrides the auto
+    choice (read at trace time).
     """
     t, n = scores.shape
     scores = jnp.where(row_valid[:, None], scores, 0.0)
@@ -154,8 +411,13 @@ def auction_assignment(
     eps_final = spread / max(2.0 * n, 5000.0)
     prices = jnp.zeros((n,), jnp.float32)
 
+    if use_kernel is None:
+        impl = os.environ.get("MARS_AUCTION_IMPL", "auto")
+        use_kernel = impl == "kernel" or (
+            impl == "auto" and jax.default_backend() != "cpu")
+
     order = None
-    if row_chunk is not None and t > row_chunk:
+    if not use_kernel and row_chunk is not None and t > row_chunk:
         order = jnp.argsort(~row_valid, stable=True)  # valid rows first
         scores = scores[order]
         row_valid = row_valid[order]
@@ -163,8 +425,14 @@ def auction_assignment(
     col_of_row = jnp.full((t,), -1, jnp.int32)
     for i in range(n_phases):
         eps = eps_final * (5.0 ** (n_phases - 1 - i))
-        col_of_row, prices = _auction_phase(scores, row_valid, prices, eps,
-                                            max_rounds, row_chunk=row_chunk)
+        if use_kernel:
+            col_of_row, prices = _auction_phase_pallas(
+                scores, row_valid, prices, eps, max_rounds, small_k=small_k,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            col_of_row, prices = _auction_phase(
+                scores, row_valid, prices, eps, max_rounds,
+                row_chunk=row_chunk, small_k=small_k, unroll=unroll)
 
     # greedy cleanup for any leftovers — gated: when the auction converged
     # (the common case) the T sequential fixup steps are skipped entirely

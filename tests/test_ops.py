@@ -216,6 +216,61 @@ class TestAssignment:
             jnp.asarray(s), jnp.asarray(valid), row_chunk=chunk))
         np.testing.assert_array_equal(chunked, dense)
 
+    @pytest.mark.parametrize("seed,t,n,chunk,phases", [
+        (0, 200, 300, None, 1),   # dense path
+        (1, 200, 300, 64, 1),     # chunk-gated path
+        (3, 150, 150, 32, 1),     # near-tie degenerate values (long wars)
+        (5, 120, 120, None, 5),   # ε-scaled square (negative-prior config)
+    ])
+    def test_small_bidder_path_matches_reference_rounds(
+            self, seed, t, n, chunk, phases):
+        """The small-bidder gather path + round unrolling are BIT-EXACT vs
+        the plain one-round-per-iteration dense/chunked auction: gathered
+        rows see identical float values (same argmax ties), non-bidders'
+        j_best is never consumed, and post-convergence unrolled rounds are
+        identity steps."""
+        rng = np.random.RandomState(seed)
+        if seed == 3:
+            s = rng.randint(0, 4, (t, n)).astype(np.float32) / 4.0
+        else:
+            s = rng.rand(t, n).astype(np.float32)
+        valid = rng.rand(t) < (0.3 if t != n else 1.1)
+        ref = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), n_phases=phases,
+            row_chunk=chunk, small_k=None, unroll=1))
+        fast = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), n_phases=phases,
+            row_chunk=chunk, small_k=16, unroll=4))
+        np.testing.assert_array_equal(fast, ref)
+
+    @pytest.mark.parametrize("seed,t,n,phases", [
+        (0, 200, 300, 1),    # rectangular, sparse valid
+        (2, 96, 96, 1),      # square, dense valid
+        (3, 150, 150, 1),    # near-tie degenerate values (long wars)
+        (5, 120, 120, 5),    # ε-scaled (negative-prior config)
+        (6, 3, 700, 1),      # tall-N: multiple column tiles, tiny T
+    ])
+    def test_pallas_kernel_matches_xla(self, seed, t, n, phases):
+        """The whole-loop Pallas auction kernel (interpret mode on CPU) is
+        BIT-EXACT vs the XLA while_loop path: identical float expressions,
+        argmax-first ties via min-of-iota-at-max, column-winner ties toward
+        the largest row index via max-of-row-iota."""
+        rng = np.random.RandomState(seed)
+        if seed == 3:
+            s = rng.randint(0, 4, (t, n)).astype(np.float32) / 4.0
+        else:
+            s = rng.rand(t, n).astype(np.float32)
+        valid = rng.rand(t) < (0.3 if t != n else 1.1)
+        if not valid.any():
+            valid[0] = True
+        xla = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), n_phases=phases,
+            use_kernel=False))
+        kern = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), n_phases=phases,
+            use_kernel=True))
+        np.testing.assert_array_equal(kern, xla)
+
     def test_chunk_gated_composes_with_phases(self):
         """row_chunk under Bertsekas ε-scaling (n_phases>1) stays bit-exact
         vs the dense multi-phase path."""
