@@ -287,8 +287,16 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         stage_ms["ranking"].append(t3 - t2)
         totals.append(t3 - t0)
     best = min(totals)
+    # full-episode baseline (text + proposals + ranking on the granted
+    # A100; tools/measure_reference_baseline.py --e2e) when measured
+    e2e_base = None
+    if os.path.exists(_MEASURED):
+        with open(_MEASURED) as f:
+            e2e_base = json.load(f).get("baseline_e2e_seconds_a100")
     return {
         "episode_end_to_end_throughput": round(1.0 / best, 4),
+        **({"end_to_end_vs_baseline": round(e2e_base / best, 3)}
+           if e2e_base else {}),
         "end_to_end_per_episode_ms": round(best * 1000, 1),
         "end_to_end_stage_ms": {
             k: round(min(v) * 1000, 1) for k, v in stage_ms.items()
