@@ -353,9 +353,29 @@ def _auction_phase_pallas(scores, row_valid, prices, eps, max_rounds,
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
+        # Mosaic's default 16 MB scoped-vmem cap OOMs just above the
+        # matching geometry (a 1376x1536 negative-priors instance needs
+        # 16.56 MB: resident scores + round temporaries ~= 2x scores).
+        # Grant ~2.5x the resident scores plus headroom, capped well below
+        # the chip's 128 MB VMEM; _kernel_fits gates anything larger onto
+        # the XLA path.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_kernel_vmem_bytes(tp, np_)),
         interpret=interpret,
     )(eps_arr, scores_p, valid_p, prices_p)
     return col[:t, 0], prices_out[0, :n]
+
+
+def _kernel_vmem_bytes(tp, np_):
+    scores_bytes = tp * np_ * 4
+    return min(100 << 20, max(32 << 20, int(2.5 * scores_bytes) + (8 << 20)))
+
+
+def _kernel_fits(t, n):
+    """True when the padded instance fits the Pallas kernel's VMEM grant."""
+    tp = -(-t // 8) * 8
+    np_ = -(-n // _COL_TILE) * _COL_TILE
+    return int(2.5 * tp * np_ * 4) + (8 << 20) <= (100 << 20)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
@@ -415,6 +435,8 @@ def auction_assignment(
         impl = os.environ.get("MARS_AUCTION_IMPL", "auto")
         use_kernel = impl == "kernel" or (
             impl == "auto" and jax.default_backend() != "cpu")
+    if use_kernel and not _kernel_fits(t, n):
+        use_kernel = False  # beyond the kernel's VMEM grant → XLA path
 
     order = None
     if not use_kernel and row_chunk is not None and t > row_chunk:

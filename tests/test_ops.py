@@ -271,6 +271,32 @@ class TestAssignment:
             use_kernel=True))
         np.testing.assert_array_equal(kern, xla)
 
+    def test_kernel_vmem_grant_and_fallback(self):
+        """The Pallas kernel's scoped-VMEM grant covers the production
+        geometries (matching 1369², negative priors ~1376x1536 — the
+        latter OOMed Mosaic's default 16 MB cap on hardware), and
+        auction_assignment silently falls back to the XLA path for
+        instances beyond the 100 MB cap."""
+        # production shapes fit, with the grant sized above 16 MB
+        assert assignment._kernel_fits(1369, 1369)
+        assert assignment._kernel_fits(1376, 1536)
+        assert assignment._kernel_vmem_bytes(1376, 1536) > (16 << 20)
+        # a matrix whose 2.5x resident footprint exceeds 100 MB must not
+        assert not assignment._kernel_fits(5000, 8192)
+        # and the public entry point still returns a valid assignment
+        # (use_kernel=True is overridden by the fits guard; tiny T keeps
+        # the XLA fallback fast)
+        rng = np.random.RandomState(0)
+        s = rng.rand(4, 8192).astype(np.float32)
+        pad = np.zeros((4996, 8192), np.float32)
+        s = np.concatenate([s, pad], 0)
+        valid = np.zeros((5000,), bool)
+        valid[:4] = True
+        col = np.asarray(assignment.auction_assignment(
+            jnp.asarray(s), jnp.asarray(valid), use_kernel=True))
+        assert (col[:4] >= 0).all() and (col[4:] == -1).all()
+        assert len(np.unique(col[:4])) == 4
+
     def test_chunk_gated_composes_with_phases(self):
         """row_chunk under Bertsekas ε-scaling (n_phases>1) stays bit-exact
         vs the dense multi-phase path."""

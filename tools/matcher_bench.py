@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--int8-dino", action="store_true",
                     help="weight-only int8 DINOv2 (the e2e bench shares the "
                          "ranking path's int8 tower with proposal generation)")
+    ap.add_argument("--fused", action="store_true",
+                    help="single-program union-family flow "
+                         "(generate_proposals fuse_programs=True — the cli "
+                         "default; this tool defaults to the 2-program flow "
+                         "for its per-span profile)")
     args = ap.parse_args()
 
     dino_params, dino_cfg = zoo.build_dinov2(None, "vit_large", 4)
@@ -70,7 +75,8 @@ def main():
     sup, msk, val, qry = episode(0)
     t0 = time.time()
     out = matcher.generate_proposals(key, dino_params, dino_cfg, sam_params,
-                                     sam_cfg, acfg, mcfg, sup, msk, val, qry)
+                                     sam_cfg, acfg, mcfg, sup, msk, val, qry,
+                                     fuse_programs=args.fused)
     force_sync(out["final_score"])
     print(f"compile+first episode: {time.time() - t0:.1f}s", flush=True)
 
@@ -82,7 +88,7 @@ def main():
         t0 = time.time()
         out = matcher.generate_proposals(
             k, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
-            sup, msk, val, qry, timers=timers)
+            sup, msk, val, qry, timers=timers, fuse_programs=args.fused)
         force_sync(out["final_score"])
         totals.append(time.time() - t0)
     spans = timers.summary()
