@@ -277,7 +277,8 @@ class TestNegativeEndToEnd:
             input_size=56, grid=4, patch_size=14,
             sample_range=(2, 3), max_sample_iterations=2,
             emd_row_bucket=16, emd_col_bucket=16,
-            use_negative_priors_from_discarded=True, merge_prompt_types=True,
+            use_negative_priors_from_discarded=True,
+            use_negative_priors_from_cost=True, merge_prompt_types=True,
         )
         acfg = amg.AmgConfig(sel_pred_iou_thresh=0.0,
                              sel_stability_score_thresh=0.0, decode_batch=8)
@@ -286,10 +287,26 @@ class TestNegativeEndToEnd:
         masks = jnp.zeros((1, 56, 56)).at[:, 10:30, 10:30].set(1.0)
         out = matcher.generate_proposals(
             jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
-            acfg, mcfg, sup, masks, jnp.ones((1,), bool), qry,
+            acfg, mcfg, sup, masks, jnp.ones((1,), bool), qry, bucket=8,
         )
         assert np.isfinite(np.asarray(out["merged"])).all()
         assert int(out["telemetry"]["n_prompt_sets"]) >= 0
+
+        # the fused single-program flow must stay bit-exact with BOTH
+        # negative-prior sources enabled (the cost-matrix source is the
+        # 1376x1536 auction geometry that exceeded the Pallas kernel's
+        # default VMEM cap on hardware)
+        out_f = matcher.generate_proposals(
+            jax.random.PRNGKey(7), dino_params, dcfg, sam_params, scfg,
+            acfg, mcfg, sup, masks, jnp.ones((1,), bool), qry, bucket=8,
+            fuse_programs=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out_f["bucket_masks"]),
+                                      np.asarray(out["bucket_masks"]))
+        np.testing.assert_array_equal(np.asarray(out_f["bucket_valid"]),
+                                      np.asarray(out["bucket_valid"]))
+        np.testing.assert_array_equal(np.asarray(out_f["merged"]),
+                                      np.asarray(out["merged"]))
 
 
 class TestCascade:

@@ -195,6 +195,28 @@ def measure_matcher_proposals():
     proposal dumps (scripts/coco_1shot.sh --mask_proposals_path), so this
     stage is the offline half of the reference's episode; the e2e baseline
     charges it per episode exactly like our own inline-proposal bench."""
+    import types
+
+    # the reference's segment_anything package imports torchvision (absent
+    # in this image) for ResizeLongestSide, which this measurement never
+    # invokes — satisfy the import with an inert surface
+    if "torchvision" not in sys.modules:
+        mods = {}
+        for name in ("torchvision", "torchvision.transforms",
+                     "torchvision.transforms.functional",
+                     "torchvision.ops", "torchvision.ops.boxes"):
+            m = types.ModuleType(name)
+            m.__path__ = []  # mark as package so submodule imports resolve
+            parent, _, leaf = name.rpartition(".")
+            if parent:
+                setattr(mods[parent], leaf, m)
+            mods[name] = m
+            sys.modules[name] = m
+        fn = mods["torchvision.transforms.functional"]
+        fn.resize = fn.to_pil_image = None
+        bx = mods["torchvision.ops.boxes"]
+        bx.batched_nms = bx.box_area = None
+        mods["torchvision.ops"].batched_nms = None
     from dinov2.models.vision_transformer import DinoVisionTransformer
     from segment_anything import sam_model_registry
 
@@ -371,6 +393,17 @@ def add_e2e(out):
 
 
 def main():
+    if "--e2e-only" in sys.argv:
+        # extend an existing BASELINE_MEASURED.json without re-timing the
+        # ranking towers (~15 min of CPU forwards)
+        path = os.path.join(REPO, "BASELINE_MEASURED.json")
+        with open(path) as f:
+            out = json.load(f)
+        add_e2e(out)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        return
+
     out = {"cpu_gflops": calibrate_cpu_gflops(),
            "proposals": PROPOSALS,
            "a100_granted_tflops": A100_GRANTED_TFLOPS,
