@@ -218,22 +218,55 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     prefix_ids = jnp.asarray(name_ids[:, :prefix_len])
     suffix_ids = jnp.asarray(name_ids[:, prefix_len:])
 
-    def text_stage():
-        # 1-shot name query (max 20 new tokens) + definition (max 50)
-        # (reference TextRetrieverModule.py:76,118), with the retriever's
-        # production prompt-lookup speculative decode (draft_tokens=8).
-        # Caveat: random-weight output is repetitive → near-max draft
-        # acceptance; real definitions accept less (BASELINE.md), so the
-        # plain-decode text time is also reported (end_to_end_stage_ms
-        # carries the speculative number).
-        kv = vl.prefill_prefix(vlm_p, prefix_ids, pixels, vcfg)
-        n = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
-                               max_new_tokens=20, draft_tokens=8,
-                               prefix_kv=kv, prefix_len=prefix_len)
-        d = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
-                               max_new_tokens=50, draft_tokens=8,
-                               prefix_kv=kv, prefix_len=prefix_len)
-        return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
+    # block text batching (cli --text-block default 4): D episodes' name
+    # queries ride ONE B=D decode and their D definitions another, off one
+    # batched prefix prefill — decode steps are weight-stream-bound, so the
+    # batch amortizes the stream D-fold (measured 337 vs 681 ms/episode at
+    # D=4, tools/pipelined_text_bench.py).  MARS_BENCH_TEXT_BLOCK=1
+    # restores the serial per-episode stage.
+    text_div = max(int(os.environ.get("MARS_BENCH_TEXT_BLOCK", "4")), 1)
+    if text_div > 1:
+        D = text_div
+        prefix_ids_d = jnp.asarray(
+            np.repeat(name_ids[:, :prefix_len], D, axis=0))
+        pixels_d = jnp.zeros((D, vcfg.image_size, vcfg.image_size, 3))
+        sfx = np.zeros((D, suffix_ids.shape[1]), name_ids.dtype)
+        sfx[:] = name_ids[0, prefix_len:]
+        suffix_d = jnp.asarray(sfx)
+        tl_d = jnp.full((D,), suffix_ids.shape[1], jnp.int32)
+
+        def text_stage():
+            # one block of D episodes (cost is reported per episode via
+            # text_div): batched prefill + B=D name decode + B=D
+            # definition decode, per-row prompt-lookup drafts
+            kv = vl.prefill_prefix(vlm_p, prefix_ids_d, pixels_d, vcfg)
+            n = vl.generate_greedy(vlm_p, suffix_d, None, vcfg,
+                                   max_new_tokens=20, true_length=tl_d,
+                                   draft_tokens=8, prefix_kv=kv,
+                                   prefix_len=prefix_len)
+            d = vl.generate_greedy(vlm_p, suffix_d, None, vcfg,
+                                   max_new_tokens=50, true_length=tl_d,
+                                   min_new_tokens=20, draft_tokens=8,
+                                   prefix_kv=kv, prefix_len=prefix_len)
+            return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
+    else:
+        def text_stage():
+            # 1-shot name query (max 20 new tokens) + definition (max 50)
+            # (reference TextRetrieverModule.py:76,118), with the
+            # retriever's production prompt-lookup speculative decode
+            # (draft_tokens=8).  Caveat: random-weight output is
+            # repetitive → near-max draft acceptance; real definitions
+            # accept less (BASELINE.md), so the plain-decode text time is
+            # also reported (end_to_end_stage_ms carries the speculative
+            # number).
+            kv = vl.prefill_prefix(vlm_p, prefix_ids, pixels, vcfg)
+            n = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
+                                   max_new_tokens=20, draft_tokens=8,
+                                   prefix_kv=kv, prefix_len=prefix_len)
+            d = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
+                                   max_new_tokens=50, draft_tokens=8,
+                                   prefix_kv=kv, prefix_len=prefix_len)
+            return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
 
     sam_params, sam_cfg = zoo.build_sam(None, "vit_b")
     sam_params = cast_floating(sam_params)
@@ -275,6 +308,10 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         t0 = time.time()
         text_stage()
         t1 = time.time()
+        # one text block serves text_div episodes: per-episode text cost
+        # is the block span / D (the proposals/ranking below run once per
+        # episode as in the real loop)
+        text_span = (t1 - t0) / text_div
         out = proposal_stage(k)
         props = bucket_generated_proposals(out, PROPOSAL_BUCKET)
         _ = float(props.masks[0, 0, 0])
@@ -282,10 +319,10 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         merged = episode_rank(ep, props, vta_text, ac_text)
         _ = float(merged[0, 0])
         t3 = time.time()
-        stage_ms["text"].append(t1 - t0)
+        stage_ms["text"].append(text_span)
         stage_ms["proposals"].append(t2 - t1)
         stage_ms["ranking"].append(t3 - t2)
-        totals.append(t3 - t0)
+        totals.append(text_span + (t2 - t1) + (t3 - t2))
     best = min(totals)
     # full-episode baseline (text + proposals + ranking on the granted
     # A100; tools/measure_reference_baseline.py --e2e) when measured
@@ -303,7 +340,8 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         },
         "end_to_end_compile_s": round(e2e_compile_s, 1),
         "end_to_end_config": "vlm=vip-llava-7b-int8 "
-                             "text=20+50tok(draft=8,prefix-kv) "
+                             f"text=20+50tok(draft=8,prefix-kv,"
+                             f"block={text_div}) "
                              "proposals=dinov2-l+sam-vit-b@518 "
                              "ranking=full-128-bucket",
     }

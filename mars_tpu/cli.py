@@ -397,6 +397,16 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                         "queries in ONE batched VLM call (one-episode text "
                         "lookahead; per-episode results identical to the "
                         "serial retriever)")
+    p.add_argument("--text-block", type=int, default=-1, metavar="D",
+                   help="block text batching: answer D episodes' name "
+                        "queries in ONE batched VLM decode and their D "
+                        "definitions in another, sharing one batched "
+                        "prefix prefill (D-1 episode text lookahead; "
+                        "per-episode results identical to the serial "
+                        "retriever — measured 337 vs 681 ms/episode of "
+                        "text at D=4 on the int8 7B).  Default: 4 unless "
+                        "--pipelined-text is given; 0/1 restores the "
+                        "serial per-episode text stage.")
     # --- VTA (reference :143-146) ---
     p.add_argument("--vta-backbone", default="ViT-B/16",
                    choices=["ViT-B/16", "ViT-L/14"])
@@ -541,16 +551,43 @@ def main(argv=None):
     pool = ThreadPoolExecutor(max_workers=1)
     fut = pool.submit(host_prep, start_idx) if n > start_idx else None
 
-    # cross-episode text batching (--pipelined-text): episode idx's
-    # definition decode rides the SAME batched VLM call as episode idx+1's
-    # name queries, so ranking/metrics for idx complete one iteration late
+    # cross-episode text batching: --text-block D batches D whole episodes'
+    # name queries in one VLM decode and their D definitions in another
+    # (BlockTextStage); --pipelined-text overlaps episode idx's definition
+    # with idx+1's names (PipelinedTextStage).  Either way ranking/metrics
+    # for an episode complete up to (lookahead) iterations late with
+    # bit-identical per-episode results.
     text_stage = None
-    if args.pipelined_text and not args.gt_class_names \
-            and model.retriever is not None:
-        from mars_tpu.text.retriever import PipelinedTextStage
+    if not args.gt_class_names and model.retriever is not None:
+        # -1 = auto: block-4 is the measured production default (337 vs
+        # 681 ms/episode of text, BASELINE.md) unless the user explicitly
+        # asked for the one-episode pipelined overlap instead
+        block = args.text_block
+        if block < 0:
+            block = 0 if args.pipelined_text else 4
+        if block > 1:
+            from mars_tpu.text.retriever import BlockTextStage
 
-        text_stage = PipelinedTextStage(model.retriever)
-    pending = None  # (idx, rec, ep, props, snap, gen_key_at_save, text_span)
+            text_stage = BlockTextStage(model.retriever, depth=block)
+        elif args.pipelined_text:
+            from mars_tpu.text.retriever import PipelinedTextStage
+
+            text_stage = PipelinedTextStage(model.retriever)
+    from collections import deque
+
+    pendings = deque()  # [idx, rec, ep, props, snap, gen_key_at_save, span]
+
+    def _as_list(res):
+        # PipelinedTextStage yields one Optional result; BlockTextStage
+        # yields a list — normalize to drain uniformly
+        return res if isinstance(res, list) else ([] if res is None else [res])
+
+    def drain(results, span):
+        per = span / len(results)
+        for res in results:
+            it = pendings.popleft()
+            finish_episode(it[0], it[1], it[2], it[3], *res, per + it[6],
+                           it[4], it[5])
 
     def finish_episode(idx, rec, ep, props, name, desc, text_span, snap,
                        snap_gen_key):
@@ -599,23 +636,25 @@ def main(argv=None):
                            snap_gen_key)
             continue
         t0 = time.time()
-        done = text_stage.step(*model.support_host_arrays(ep))
+        results = _as_list(text_stage.step(*model.support_host_arrays(ep)))
         text_span = time.time() - t0
-        if pending is not None:
-            # attribute this step's decode span to the episode whose
-            # definition it served (the definition row dominates the batch)
-            p_idx, p_rec, p_ep, p_props, p_snap, p_key, p_span = pending
-            finish_episode(p_idx, p_rec, p_ep, p_props, *done,
-                           text_span + p_span, p_snap, p_key)
-            text_span = 0.0  # consumed; episode idx carries only its own
-        pending = (idx, rec, ep, props, snap, snap_gen_key, text_span)
+        pendings.append([idx, rec, ep, props, snap, snap_gen_key, 0.0])
+        if results:
+            # attribute the block's decode span evenly across the episodes
+            # it completed (plus any span their earlier steps accrued)
+            drain(results, text_span)
+        else:
+            # buffering step (no VLM call completed an episode yet): the
+            # span rides with this episode until its block drains
+            pendings[-1][6] += text_span
 
-    if pending is not None:
+    while pendings:
         t0 = time.time()
-        done = text_stage.flush()
-        p_idx, p_rec, p_ep, p_props, p_snap, p_key, p_span = pending
-        finish_episode(p_idx, p_rec, p_ep, p_props, *done,
-                       (time.time() - t0) + p_span, p_snap, p_key)
+        results = _as_list(text_stage.flush())
+        if not results:
+            raise RuntimeError("text stage flush returned no results with "
+                               f"{len(pendings)} episodes pending")
+        drain(results, time.time() - t0)
 
     pool.shutdown(wait=False)
     if os.path.exists(resume_path):

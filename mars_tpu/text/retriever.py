@@ -225,9 +225,13 @@ class JaxVipLlava:
     # weights fill a 16 GB v5e comfortably; larger request lists are
     # chunked.  (B=8 measured 462.8 aggregate tok/s — BASELINE.md.)
     MAX_DECODE_BATCH = 8
+    # the shared-prefix batched path holds prefix KV AND decode caches per
+    # row (~1.3 GB at the production 1155-position prefix), so it chunks
+    # tighter
+    MAX_PREFIX_BATCH = 4
 
     def generate_batch(self, images, prompts, max_new_tokens=20,
-                       min_new_tokens=0):
+                       min_new_tokens=0, shared_prefix: str = None):
         """Batched decode over variable-length (image, prompt) pairs.
 
         The B=1 decode step is MXU-weight-feed/HBM bound (each token streams
@@ -245,22 +249,83 @@ class JaxVipLlava:
         EOS floor; per-row max is a host-side truncation of the emitted
         tokens — greedy emission is causal, so row i's first max_i tokens
         are bit-identical to a solo max_i-budget decode.
+
+        ``shared_prefix``: per-row prefix-KV reuse for a batch whose rows
+        all start with the same template text (BlockTextStage) — the
+        prefix CONTENT differs per row (each row's own drawn image feeds
+        the vision tower) but its token LENGTH is constant, so one
+        batched ``prefill_prefix`` builds a (B, L_prefix) KV stack and
+        the decode runs suffix-only.  The stack is cached by the batch's
+        image hashes: the block's definition decode reuses the name
+        decode's prefill verbatim (same images, same order).  Rows that
+        fail the prefix-tokenization check fall back to the plain
+        full-prompt path (exact either way).
         """
         b = len(images)
         maxs = (list(max_new_tokens) if isinstance(max_new_tokens, (list, tuple))
                 else [max_new_tokens] * b)
         mins = (list(min_new_tokens) if isinstance(min_new_tokens, (list, tuple))
                 else [min_new_tokens] * b)
+        chunk = self.MAX_PREFIX_BATCH if shared_prefix else self.MAX_DECODE_BATCH
         out = []
-        for s in range(0, b, self.MAX_DECODE_BATCH):
+        for s in range(0, b, chunk):
             out.extend(self._generate_batch_chunk(
-                images[s:s + self.MAX_DECODE_BATCH],
-                prompts[s:s + self.MAX_DECODE_BATCH],
-                maxs[s:s + self.MAX_DECODE_BATCH],
-                mins[s:s + self.MAX_DECODE_BATCH]))
+                images[s:s + chunk], prompts[s:s + chunk],
+                maxs[s:s + chunk], mins[s:s + chunk],
+                shared_prefix=shared_prefix))
         return out
 
-    def _generate_batch_chunk(self, images, prompts, maxs, mins):
+    def _batch_prefix_state(self, shared_prefix, images, ids, lens, pixels):
+        """→ (prefix_len, stacked prefix KV) for a batch whose rows all
+        prefix-match the shared template, or (0, None) to fall back.
+
+        The KV stack is cached one-slot by (prefix ids, image hashes) so a
+        block's two decodes (names, then definitions over the SAME drawn
+        images) pay one prefill."""
+        import jax.numpy as jnp
+        import numpy as np
+        from PIL import Image
+
+        key_ids = self._prefix_ids_cache.get(shared_prefix)
+        if key_ids is None:
+            pre = self.processor(text=shared_prefix,
+                                 images=Image.fromarray(images[0]),
+                                 return_tensors="np")
+            key_ids = tuple(np.asarray(pre["input_ids"])[0].tolist())
+            self._prefix_ids_cache[shared_prefix] = key_ids
+        lp = len(key_ids)
+        ref = np.asarray(key_ids)
+        for row, l in zip(ids, lens):
+            if l <= lp or not np.array_equal(row[:lp], ref):
+                return 0, None
+        cache_key = (key_ids,
+                     tuple(im.shape for im in images),
+                     tuple(hash(im.tobytes()) for im in images))
+        # tiny FIFO keyed per CHUNK: a block deeper than MAX_PREFIX_BATCH
+        # splits into several chunks, and the definition pass replays the
+        # name pass's chunk sequence — a single slot would thrash (every
+        # definition chunk re-prefilling what its name chunk just built)
+        cache = getattr(self, "_batch_prefix_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._batch_prefix_cache = OrderedDict()
+        if cache_key in cache:
+            return lp, cache[cache_key]
+        # free all but the most recent entry BEFORE prefilling: a ≤2-chunk
+        # block keeps its name chunks alive for the definition pass, while
+        # stale previous-block stacks are dropped ahead of the allocation
+        # (bounding device KV at ~2 chunks + the one being built)
+        while len(cache) > 1:
+            cache.popitem(last=False)
+        prefix_ids = jnp.asarray(np.broadcast_to(ref, (len(images), lp)))
+        kv = self._vl.prefill_prefix(self.params, prefix_ids, pixels,
+                                     self.cfg)
+        cache[cache_key] = kv
+        return lp, kv
+
+    def _generate_batch_chunk(self, images, prompts, maxs, mins,
+                              shared_prefix=None):
         import jax.numpy as jnp
         import numpy as np
         from PIL import Image
@@ -272,24 +337,34 @@ class JaxVipLlava:
             for im, pr in zip(images, prompts)
         ]
         lens = [np.asarray(i["input_ids"]).shape[1] for i in per]
+        rows = [np.asarray(i["input_ids"])[0] for i in per]
+        pixels = jnp.asarray(np.concatenate(
+            [np.transpose(i["pixel_values"], (0, 2, 3, 1)) for i in per]))
+
+        prefix_len, prefix_kv = 0, None
+        if shared_prefix:
+            prefix_len, prefix_kv = self._batch_prefix_state(
+                shared_prefix, images, rows, lens, pixels)
+        if prefix_kv is not None:
+            rows = [r[prefix_len:] for r in rows]
+            lens = [l - prefix_len for l in lens]
+            pixels = None  # suffixes are text-only (image slots prefilled)
+
         bucket = ((max(lens) + 127) // 128) * 128
-        ids = np.stack([
-            np.pad(np.asarray(i["input_ids"])[0], (0, bucket - l))
-            for i, l in zip(per, lens)
-        ])
-        pixels = np.concatenate(
-            [np.transpose(i["pixel_values"], (0, 2, 3, 1)) for i in per])
+        ids = np.stack([np.pad(r, (0, bucket - l))
+                        for r, l in zip(rows, lens)])
         # a homogeneous min stays a scalar static arg (one compile serves
         # every batch size / composition); mixed floors pass per-row
         mn = mins[0] if len(set(mins)) == 1 else tuple(mins)
         # batch x speculation compose: per-row prompt-lookup drafts ride the
         # same (B, K+1)-position verify forward (_speculative_greedy_batched)
         toks = self._vl.generate_greedy(
-            self.params, jnp.asarray(ids), jnp.asarray(pixels), self.cfg,
+            self.params, jnp.asarray(ids), pixels, self.cfg,
             max_new_tokens=max(max(maxs), max(mins)),
             true_length=jnp.asarray(lens, jnp.int32),
             eos_id=self._eos_id(), min_new_tokens=mn,
             draft_tokens=self.draft_tokens, ngram=self.ngram,
+            prefix_kv=prefix_kv, prefix_len=prefix_len,
         )
         toks = np.asarray(toks)
         return [self._decode_row(toks[i][:mx])
@@ -498,6 +573,94 @@ class PipelinedTextStage:
         return [vlm.generate(im, pr, max_new_tokens=mx, min_new_tokens=mn,
                              **prefix_kw)
                 for im, pr, mx, mn in zip(images, prompts, maxs, mins)]
+
+
+class BlockTextStage:
+    """D-episode block text batching: the deepest text-stage lever.
+
+    PipelinedTextStage only overlaps one definition with the next
+    episode's names (B=2 → ~10% over serial).  Decode steps are
+    weight-stream-bound (~10 ms/token for the int8 7B at B=1, but
+    292.7/462.8 aggregate tok/s at B=4/8 — BASELINE.md), so batching
+    D whole episodes amortizes the stream D-fold on EVERY round:
+
+      1. one batched decode answers ALL D episodes' name queries
+         (shots × ensemble variants rows, 20 new tokens each)
+      2. per-episode majority vote (host, reference
+         TextRetrieverModule.py:96-99)
+      3. one batched decode answers the D definition queries
+         (50 new tokens, min 20)
+
+    Name and definition queries of an episode draw the SAME support image
+    with the same config, so with a batch-prefix-capable VLM
+    (JaxVipLlava.generate_batch shared_prefix) one batched prefill per
+    block serves both decodes via per-row prefix KV.
+
+    Per-row greedy decode is row-exact (bucketed-decode tests), so the
+    result sequence is identical to the serial retriever's; the episode
+    loop just consumes results up to D-1 episodes late.
+
+    Protocol::
+
+        stage = BlockTextStage(retriever, depth=4)
+        results = stage.step(images, masks)   # [] until a block fills,
+                                              # then D (name, desc) tuples
+        ...
+        results = stage.flush()               # the final partial block
+    """
+
+    def __init__(self, retriever: TextRetriever, depth: int = 4):
+        assert depth >= 1
+        self.r = retriever
+        self.depth = depth
+        self._buf: list = []  # (support_images, support_masks) per episode
+
+    def step(self, support_images, support_masks) -> List[Tuple[str, str]]:
+        self._buf.append((support_images, support_masks))
+        return self._run_block() if len(self._buf) >= self.depth else []
+
+    def flush(self) -> List[Tuple[str, str]]:
+        return self._run_block() if self._buf else []
+
+    def _prefix_kw(self):
+        # batched prefix KV needs the batch-capable JAX VLM; other
+        # backends run the same protocol with full prompts
+        vlm = self.r.vlm
+        if getattr(vlm, "supports_shared_prefix", False) \
+                and hasattr(vlm, "generate_batch"):
+            return {"shared_prefix": VLM_SYSTEM_TEMPLATE.split("{}")[0]}
+        return {}
+
+    def _generate(self, images, prompts, maxs, mins):
+        vlm = self.r.vlm
+        kw = self._prefix_kw()
+        if hasattr(vlm, "generate_batch"):
+            return vlm.generate_batch(images, prompts, max_new_tokens=maxs,
+                                      min_new_tokens=mins, **kw)
+        return [vlm.generate(im, pr, max_new_tokens=mx, min_new_tokens=mn)
+                for im, pr, mx, mn in zip(images, prompts, maxs, mins)]
+
+    def _run_block(self) -> List[Tuple[str, str]]:
+        r = self.r
+        episodes, self._buf = self._buf, []
+        spans, reqs = [], []
+        for imgs, masks in episodes:
+            ep_reqs = r._name_requests(imgs, masks)
+            spans.append((len(reqs), len(ep_reqs), len(imgs)))
+            reqs.extend(ep_reqs)
+        answers = self._generate([q[1] for q in reqs], [q[2] for q in reqs],
+                                 [20] * len(reqs), [0] * len(reqs))
+        names, d_imgs, d_prompts = [], [], []
+        for (start, cnt, n_shots), (imgs, masks) in zip(spans, episodes):
+            name = r._vote(reqs[start:start + cnt],
+                           answers[start:start + cnt], n_shots)
+            names.append(name)
+            drawn, dprompt = r._definition_request(imgs, masks, name)
+            d_imgs.append(drawn)
+            d_prompts.append(dprompt)
+        defs = self._generate(d_imgs, d_prompts, [50] * len(names),
+                              [20] * len(names))
+        return [r._finish(n, d) for n, d in zip(names, defs)]
 
 
 def get_synset(class_name: str, vlm_description: str) -> Optional[str]:

@@ -246,7 +246,10 @@ class TestPipelinedTextLoop:
     def test_matches_serial_loop(self, tmp_path):
         import csv as _csv
 
-        (miou_s, fb_s), m_serial = self._run(tmp_path, [], name="serial")
+        # --text-block 1 restores the serial per-episode text stage (the
+        # default is block-4)
+        (miou_s, fb_s), m_serial = self._run(tmp_path, ["--text-block", "1"],
+                                             name="serial")
         (miou_p, fb_p), m_pipe = self._run(tmp_path, ["--pipelined-text"],
                                            name="pipe")
         assert m_pipe.calls == m_serial.calls  # same (name, desc) per episode
@@ -259,13 +262,44 @@ class TestPipelinedTextLoop:
     def test_interrupt_and_resume_matches_uninterrupted(self, tmp_path):
         import pytest as _pytest
 
-        (miou_s, fb_s), _ = self._run(tmp_path, [], name="ref")
+        (miou_s, fb_s), _ = self._run(tmp_path, ["--text-block", "1"],
+                                      name="ref")
         # crash on the 3rd completed episode: the resume snapshot saved at
         # the episode-2 boundary (resume-every 2) must replay bit-exact
         with _pytest.raises(RuntimeError):
             self._run(tmp_path, ["--pipelined-text"], fail_at=3, name="int")
         (miou_r, fb_r), _ = self._run(tmp_path, ["--pipelined-text"],
                                       name="int")
+        assert (miou_r, fb_r) == (miou_s, fb_s)
+
+    def test_text_block_matches_serial_loop(self, tmp_path):
+        import csv as _csv
+
+        (miou_s, fb_s), m_serial = self._run(tmp_path, ["--text-block", "1"],
+                                             name="serial_b")
+        # depth 3 over 5 episodes: one full block + a 2-episode flush
+        (miou_b, fb_b), m_blk = self._run(tmp_path, ["--text-block", "3"],
+                                          name="blk")
+        assert m_blk.calls == m_serial.calls  # same (name, desc) per episode
+        assert (miou_b, fb_b) == (miou_s, fb_s)
+        with open(tmp_path / "blk" / "ranking_time.csv") as f:
+            rows = list(_csv.reader(f))[1:]
+        assert [int(r[0]) for r in rows] == list(range(5))
+        # the default (no flags) resolves to block-4 and matches too
+        (miou_d, fb_d), m_def = self._run(tmp_path, [], name="dflt")
+        assert m_def.calls == m_serial.calls
+        assert (miou_d, fb_d) == (miou_s, fb_s)
+
+    def test_text_block_interrupt_and_resume(self, tmp_path):
+        import pytest as _pytest
+
+        (miou_s, fb_s), _ = self._run(tmp_path, ["--text-block", "1"],
+                                      name="ref_b")
+        with _pytest.raises(RuntimeError):
+            self._run(tmp_path, ["--text-block", "2"], fail_at=3,
+                      name="int_b")
+        (miou_r, fb_r), _ = self._run(tmp_path, ["--text-block", "2"],
+                                      name="int_b")
         assert (miou_r, fb_r) == (miou_s, fb_s)
 
 

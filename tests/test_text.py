@@ -275,23 +275,27 @@ class _KeyedVLM:
         return [self._answer(im, pr) for im, pr in zip(images, prompts)]
 
 
+def _make_episodes(n, shots=1):
+    eps = []
+    for e in range(n):
+        imgs, masks = [], []
+        for s in range(shots):
+            img = np.full((64, 64, 3), (7 * e + 3 * s + 5) % 97, np.uint8)
+            mask = np.zeros((64, 64), np.float32)
+            mask[10:40, 10:40] = 1
+            imgs.append(img)
+            masks.append(mask)
+        eps.append((imgs, masks))
+    return eps
+
+
 class TestPipelinedTextStage:
     """Cross-episode text batching: step(N+1) serves def(N)+names(N+1) in
     one batched call, and the (name, description) sequence is identical to
     the serial retriever's."""
 
     def _episodes(self, n, shots=1):
-        eps = []
-        for e in range(n):
-            imgs, masks = [], []
-            for s in range(shots):
-                img = np.full((64, 64, 3), (7 * e + 3 * s + 5) % 97, np.uint8)
-                mask = np.zeros((64, 64), np.float32)
-                mask[10:40, 10:40] = 1
-                imgs.append(img)
-                masks.append(mask)
-            eps.append((imgs, masks))
-        return eps
+        return _make_episodes(n, shots)
 
     def test_sequence_matches_serial(self):
         from mars_tpu.text import retriever as R
@@ -344,6 +348,140 @@ class TestPipelinedTextStage:
         assert out == R.TextRetriever(
             _KeyedVLM()).get_conceptual_information(i0, m0)
         assert stage.flush() is None  # idempotent once drained
+
+
+class TestBlockTextStage:
+    """D-episode block text batching: ONE batched decode for all D
+    episodes' name queries, another for their D definitions — the result
+    sequence must be identical to the serial retriever's for every depth
+    and block alignment."""
+
+    def test_sequence_matches_serial_any_depth(self):
+        from mars_tpu.text import retriever as R
+
+        eps = _make_episodes(5, shots=2)
+        serial = [R.TextRetriever(_KeyedVLM()).get_conceptual_information(i, m)
+                  for i, m in eps]
+        for depth in (1, 2, 3, 5, 8):
+            vlm = _KeyedVLM()
+            stage = R.BlockTextStage(R.TextRetriever(vlm), depth=depth)
+            got = []
+            for i, m in eps:
+                got.extend(stage.step(i, m))
+            got.extend(stage.flush())
+            assert got == serial, f"depth={depth}"
+
+    def test_batch_shapes_and_budgets(self):
+        from mars_tpu.text import retriever as R
+
+        eps = _make_episodes(5, shots=1)
+        vlm = _KeyedVLM()
+        stage = R.BlockTextStage(R.TextRetriever(vlm), depth=3)
+        out = []
+        for i, m in eps:
+            out.extend(stage.step(i, m))
+        assert len(out) == 3  # first block drained at episode 3
+        out.extend(stage.flush())
+        assert len(out) == 5
+        # block 1: names (3 rows, max 20 / min 0) then definitions (3 rows,
+        # max 50 / min 20); flush block: names (2), definitions (2)
+        assert vlm.batch_rows == [
+            (3, (20,) * 3, (0,) * 3), (3, (50,) * 3, (20,) * 3),
+            (2, (20,) * 2, (0,) * 2), (2, (50,) * 2, (20,) * 2)]
+        assert vlm.single_calls == 0
+
+    def test_flush_idempotent(self):
+        from mars_tpu.text import retriever as R
+
+        stage = R.BlockTextStage(R.TextRetriever(_KeyedVLM()), depth=4)
+        assert stage.flush() == []
+        (i0, m0), = _make_episodes(1)
+        assert stage.step(i0, m0) == []
+        assert len(stage.flush()) == 1
+        assert stage.flush() == []
+
+
+def test_generate_batch_shared_prefix_exact():
+    """JaxVipLlava.generate_batch(shared_prefix=...) must (a) return the
+    same strings as the plain full-prompt batched path, (b) prefill the
+    batch's prefixes ONCE and reuse the cached KV stack for a second call
+    over the same images (BlockTextStage's name→definition pair), and
+    (c) fall back cleanly when a row breaks the prefix match."""
+    import jax.numpy as jnp
+
+    from mars_tpu.models import vip_llava as vl
+    from mars_tpu.text.retriever import JaxVipLlava
+
+    cfg = vl.TINY
+    g = (cfg.image_size // cfg.patch_size) ** 2
+
+    class StubTok:
+        eos_token_id = None
+
+        def decode(self, toks, skip_special_tokens=True):
+            return " ".join(str(int(t)) for t in toks)
+
+    class StubProcessor:
+        tokenizer = StubTok()
+
+        def __call__(self, text, images, return_tensors="np"):
+            left, _, right = text.partition("<image>")
+            ids = ([1] + [ord(c) % 50 + 10 for c in left]
+                   + [cfg.image_token_index] * g
+                   + [ord(c) % 50 + 10 for c in right])
+            arr = np.asarray(images, np.float32)[None] / 255.0
+            pix = np.transpose(arr, (0, 3, 1, 2))
+            return {"input_ids": np.asarray([ids], np.int64),
+                    "pixel_values": pix}
+
+    vlm = object.__new__(JaxVipLlava)
+    vlm.processor = StubProcessor()
+    vlm.cfg = cfg
+    vlm.params = vl.init_random_params(21, cfg, dtype=jnp.float32)
+    vlm._vl = vl
+    vlm.draft_tokens = 0
+    vlm.ngram = 3
+    vlm._prefix_ids_cache = {}
+    vlm._prefix_kv_cache = None
+
+    rs = np.random.RandomState(11)
+    imgs = [(rs.rand(cfg.image_size, cfg.image_size, 3) * 255).astype(np.uint8)
+            for _ in range(3)]
+    pfx = "Human: <image>\n"
+    names = [pfx + "name it\nAssistant:",
+             pfx + "what is in the red box here?\nAssistant:",
+             pfx + "define\nAssistant:"]
+    defs = [pfx + "give the definition of the thing\nAssistant:"] * 3
+
+    plain_names = vlm.generate_batch(imgs, names, max_new_tokens=8)
+    plain_defs = vlm.generate_batch(imgs, defs, max_new_tokens=8,
+                                    min_new_tokens=3)
+    assert getattr(vlm, "_batch_prefix_cache", None) is None  # no prefix arg
+
+    calls = []
+    real_prefill = vl.prefill_prefix
+    vlm._vl = type("VlProxy", (), {
+        "generate_greedy": staticmethod(vl.generate_greedy),
+        "prefill_prefix": staticmethod(
+            lambda *a, **k: (calls.append(1), real_prefill(*a, **k))[1]),
+    })
+    got_names = vlm.generate_batch(imgs, names, max_new_tokens=8,
+                                   shared_prefix=pfx)
+    assert got_names == plain_names
+    assert calls == [1]
+    # the definition pass over the SAME drawn images reuses the KV stack
+    got_defs = vlm.generate_batch(imgs, defs, max_new_tokens=8,
+                                  min_new_tokens=3, shared_prefix=pfx)
+    assert got_defs == plain_defs
+    assert calls == [1]
+
+    # one row breaking the prefix match → whole chunk falls back, exact
+    odd = ["Different: <image>\nwhatever\nAssistant:"] + names[1:]
+    plain_odd = vlm.generate_batch(imgs, odd, max_new_tokens=8)
+    got_odd = vlm.generate_batch(imgs, odd, max_new_tokens=8,
+                                 shared_prefix=pfx)
+    assert got_odd == plain_odd
+    assert calls == [1]  # no prefill attempted on mismatch
 
 
 def test_jax_vlm_shared_prefix_reuse_exact():
@@ -490,11 +628,19 @@ def test_generate_batch_chunks_to_bound_kv_memory():
     vlm = object.__new__(JaxVipLlava)  # no model/processor needed
     seen = []
 
-    def fake_chunk(images, prompts, max_new_tokens, min_new_tokens):
-        seen.append(len(images))
+    def fake_chunk(images, prompts, max_new_tokens, min_new_tokens,
+                   shared_prefix=None):
+        seen.append((len(images), shared_prefix))
         return list(prompts)
 
     vlm._generate_batch_chunk = fake_chunk
     out = vlm.generate_batch([None] * 19, [f"p{i}" for i in range(19)])
-    assert seen == [8, 8, 3]
+    assert seen == [(8, None), (8, None), (3, None)]
     assert out == [f"p{i}" for i in range(19)]
+    # the shared-prefix path holds prefix KV + decode caches per row, so
+    # it chunks tighter (MAX_PREFIX_BATCH)
+    seen.clear()
+    out = vlm.generate_batch([None] * 9, [f"p{i}" for i in range(9)],
+                             shared_prefix="Human: <image>\n")
+    assert seen == [(4, "Human: <image>\n")] * 2 + [(1, "Human: <image>\n")]
+    assert out == [f"p{i}" for i in range(9)]

@@ -11,13 +11,20 @@ and a definition query (max 50, min 20) whose prompt consumes the name
              definition rides ONE B=2 decode with episode N+1's name
              query — full per-row prefills (different images → no shared
              prefix), per-row drafts, per-row min_new_tokens floors.
+  block(D)   D-episode block batching (BlockTextStage): ONE batched
+             prefix prefill for D episode images, then a B=D name decode
+             (20 new tokens) and a B=D definition decode (50 new, min
+             20) REUSING the same per-row prefix KV — the weight stream
+             is amortized across D rows on every decode round, not just
+             where a definition overlaps a name.
 
-Both are EXACT greedy; this measures pure wall-clock per steady-state
+All are EXACT greedy; this measures pure wall-clock per steady-state
 episode.  Random weights give near-max draft acceptance (repetitive
 output); --draft 0 shows the zero-speculation floor where the batch
 amortization is strongest.
 
 Usage: python tools/pipelined_text_bench.py [--iters 5] [--draft 8]
+       [--blocks 2,4,6]
 """
 import argparse
 import os
@@ -40,6 +47,9 @@ def main():
     ap.add_argument("--eos", action="store_true",
                     help="enable EOS early exit (random weights rarely "
                          "emit EOS, so default keeps fixed budgets)")
+    ap.add_argument("--blocks", default="2,4,6",
+                    help="comma list of block depths D to measure "
+                         "(empty string skips block mode)")
     args = ap.parse_args()
     print(jax.devices(), flush=True)
 
@@ -111,19 +121,58 @@ def main():
                                  prefix_len=prefix_len)
         return float(np.asarray(out[0, -1]) + np.asarray(out[1, -1]))
 
-    for name, fn in [("serial(prefix+spec)", serial),
-                     ("pipelined(B=2 spec)", pipelined),
-                     ("pipelined+prefixkv", pipelined_prefix)]:
-        t0 = time.time()
-        fn()
-        compile_s = time.time() - t0
-        times = []
-        for _ in range(args.iters):
+    # --- block(D): ONE batched prefill of D episode prefixes, then a B=D
+    # name decode and a B=D definition decode sharing the SAME per-row
+    # prefix KV (one prefill per episode — the name and definition queries
+    # draw the same support image, reference TextRetrieverModule.py:103-122).
+    # Per-episode cost = (prefill_D + 20·step(B=D) + 50·step(B=D)) / D;
+    # decode steps are weight-stream-bound, so step(B=D) grows far slower
+    # than D (BASELINE.md: 292.7/462.8 aggregate tok/s at B=4/8).
+    def make_block(D):
+        idsD = jnp.asarray(np.repeat(ids_np[:, :prefix_len], D, axis=0))
+        pixD = jnp.zeros((D, vcfg.image_size, vcfg.image_size, 3))
+        sfxD = np.zeros((D, 128), np.int64)
+        sfxD[:, :total - prefix_len] = ids_np[0, prefix_len:]
+        sfxD = jnp.asarray(sfxD)
+        tlD = jnp.asarray([total - prefix_len] * D, jnp.int32)
+
+        def block():
+            kv = vl.prefill_prefix(p, idsD, pixD, vcfg)
+            nm = vl.generate_greedy(p, sfxD, None, vcfg,
+                                    max_new_tokens=20, true_length=tlD,
+                                    eos_id=eos, draft_tokens=args.draft,
+                                    prefix_kv=kv, prefix_len=prefix_len)
+            df = vl.generate_greedy(p, sfxD, None, vcfg,
+                                    max_new_tokens=50, true_length=tlD,
+                                    eos_id=eos, min_new_tokens=20,
+                                    draft_tokens=args.draft, prefix_kv=kv,
+                                    prefix_len=prefix_len)
+            return float(np.asarray(df[0, -1]) + np.asarray(nm[0, -1]))
+
+        return block
+
+    rows = [("serial(prefix+spec)", serial, 1),
+            ("pipelined(B=2 spec)", pipelined, 1),
+            ("pipelined+prefixkv", pipelined_prefix, 1)]
+    for d in [int(x) for x in args.blocks.split(",") if x]:
+        rows.append((f"block(D={d})", make_block(d), d))
+
+    for name, fn, div in rows:
+        try:
             t0 = time.time()
             fn()
-            times.append(time.time() - t0)
-        print(f"{name:22s} {min(times)*1e3:8.1f} ms/episode  (compile "
-              f"{compile_s:.0f}s, mean {np.mean(times)*1e3:.0f} ms)",
+            compile_s = time.time() - t0
+            times = []
+            for _ in range(args.iters):
+                t0 = time.time()
+                fn()
+                times.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — OOM at deep blocks
+            print(f"{name:22s}  FAILED: {type(exc).__name__}: "
+                  f"{str(exc)[:120]}", flush=True)
+            continue
+        print(f"{name:22s} {min(times)/div*1e3:8.1f} ms/episode  (compile "
+              f"{compile_s:.0f}s, mean {np.mean(times)/div*1e3:.0f} ms)",
               flush=True)
 
 
