@@ -18,6 +18,7 @@ documented factors; BASELINE.md).  Falls back to the retired 2.0 s
 round-1 estimate only if that file is missing.
 """
 import json
+import signal
 import sys
 import time
 
@@ -26,6 +27,41 @@ import jax.numpy as jnp
 import numpy as np
 
 _T0 = time.time()
+
+# Record-so-far, printed by the SIGTERM handler if the driver's `timeout`
+# fires mid-run: remote-compile latency on the axon service varies from
+# ~95 s to 20+ min with load (CLAUDE.md), so a loaded day must degrade to
+# "whatever was measured before the deadline", never to a lost bench line.
+_RECORD = {
+    "metric": "episode_ranking_throughput",
+    "value": 0.0,
+    "unit": "episodes/sec/chip",
+    "vs_baseline": 0.0,
+}
+_PRINTED = False
+
+
+def _emit():
+    global _PRINTED
+    if not _PRINTED:
+        _PRINTED = True
+        print(json.dumps(_RECORD), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+    if "value" not in _RECORD or _RECORD["value"] == 0.0:
+        _RECORD["error"] = (
+            f"SIGTERM at +{time.time() - _T0:.0f}s before the ranking "
+            "measurement completed (remote-compile service load)")
+    else:
+        _RECORD["partial"] = (
+            f"SIGTERM at +{time.time() - _T0:.0f}s; stages measured "
+            "before the deadline are reported")
+    _emit()
+    sys.exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
 
 
 def _mark(msg):
@@ -54,6 +90,29 @@ PROPOSAL_BUCKET = 128
 
 
 def main():
+    """Run the measurement in a daemon worker thread: a Python signal
+    handler only runs when the MAIN thread re-enters the interpreter, and
+    a remote-compile RPC can block in C for minutes — parking the main
+    thread in short joins keeps the SIGTERM guard responsive throughout."""
+    import threading
+
+    exc_box = []
+
+    def _worker():
+        try:
+            _run()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            exc_box.append(e)
+
+    t = threading.Thread(target=_worker, daemon=True)
+    t.start()
+    while t.is_alive():
+        t.join(0.5)
+    if exc_box:
+        raise exc_box[0]
+
+
+def _run():
     from mars_tpu.core.episode import pad_proposals
     from mars_tpu.data import build_dataset, to_device_episode
     from mars_tpu.models import clip as clip_m, dinov2
@@ -165,7 +224,8 @@ def main():
     per_episode = min(times)
     eps_per_sec = 1.0 / per_episode
 
-    record = {
+    record = _RECORD
+    record.update({
         "metric": "episode_ranking_throughput",
         "value": round(eps_per_sec, 4),
         "unit": "episodes/sec/chip",
@@ -173,7 +233,7 @@ def main():
         "per_episode_ms": round(per_episode * 1000, 1),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
-    }
+    })
 
     # ---- full-episode end-to-end: text (int8 7B VLM) + inline proposal
     # generation (DINOv2-L shared with VVA + SAM) + ranking — the
@@ -187,7 +247,7 @@ def main():
         except Exception as exc:  # noqa: BLE001 — never lose the primary line
             record["end_to_end_error"] = f"{type(exc).__name__}: {exc}"
 
-    print(json.dumps(record))
+    _emit()
 
 
 def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
