@@ -19,8 +19,11 @@ round-1 estimate only if that file is missing.
 """
 import json
 import signal
+import subprocess
 import sys
+import threading
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -39,17 +42,22 @@ _RECORD = {
     "vs_baseline": 0.0,
 }
 _PRINTED = False
+_EMIT_LOCK = threading.Lock()
 
 
 def _emit():
+    # Lock: SIGTERM (main thread) and the measurement worker can race here;
+    # exactly ONE JSON line must ever reach stdout.
     global _PRINTED
-    if not _PRINTED:
+    with _EMIT_LOCK:
+        if _PRINTED:
+            return
         _PRINTED = True
-        print(json.dumps(_RECORD), flush=True)
+    print(json.dumps(_RECORD), flush=True)
 
 
 def _on_term(signum, frame):  # noqa: ARG001
-    if "value" not in _RECORD or _RECORD["value"] == 0.0:
+    if _RECORD["value"] == 0.0:
         _RECORD["error"] = (
             f"SIGTERM at +{time.time() - _T0:.0f}s before the ranking "
             "measurement completed (remote-compile service load)")
@@ -58,7 +66,9 @@ def _on_term(signum, frame):  # noqa: ARG001
             f"SIGTERM at +{time.time() - _T0:.0f}s; stages measured "
             "before the deadline are reported")
     _emit()
-    sys.exit(0)
+    # 143 = 128+SIGTERM: a supervisor that isn't `timeout` can still tell a
+    # deadline-truncated run from a clean one by exit code.
+    sys.exit(143)
 
 
 signal.signal(signal.SIGTERM, _on_term)
@@ -89,19 +99,63 @@ else:
 PROPOSAL_BUCKET = 128
 
 
+def _probe_device(timeout_s=60):
+    """Health-check the tunnel-attached TPU in a SUBPROCESS (the CLAUDE.md
+    recipe): a sick axon backend hangs `jax.devices()` indefinitely, and a
+    hang inside THIS process would take the whole bench (and its SIGTERM
+    record-so-far guard) with it.  Returns True iff a device answered."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _retry_stage(fn, label, backoff_s=20):
+    """Run a measurement stage; on failure re-probe the device, back off,
+    and retry ONCE (transient axon outages recover within seconds;
+    persistent ones fail the probe and we surface the original error)."""
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 — one retry, then re-raise
+        _mark(f"{label} failed ({type(exc).__name__}: {exc}); probing "
+              f"device and retrying once after {backoff_s}s")
+        time.sleep(backoff_s)
+        if not _probe_device():
+            _mark(f"{label}: device probe failed after backoff; giving up")
+            raise
+        return fn()
+
+
 def main():
     """Run the measurement in a daemon worker thread: a Python signal
     handler only runs when the MAIN thread re-enters the interpreter, and
     a remote-compile RPC can block in C for minutes — parking the main
-    thread in short joins keeps the SIGTERM guard responsive throughout."""
-    import threading
+    thread in short joins keeps the SIGTERM guard responsive throughout.
+
+    ANY exception (device down, compile failure, OOM) still emits the
+    record-so-far JSON with an ``error`` field: the driver artifact must
+    never be a bare crash (round-3 lesson — BENCH_r03.json was rc=1 with
+    nothing parsed because an axon outage raised through main())."""
+    if not _probe_device():
+        _mark("device probe failed; waiting 30s and probing again")
+        time.sleep(30)
+        if not _probe_device():
+            _RECORD["error"] = (
+                f"TPU device probe failed twice at +{time.time() - _T0:.0f}s"
+                " (axon backend unavailable); no measurement attempted")
+            _emit()
+            sys.exit(1)
+    _mark("device probe ok")
 
     exc_box = []
 
     def _worker():
         try:
             _run()
-        except BaseException as e:  # noqa: BLE001 — re-raised below
+        except BaseException as e:  # noqa: BLE001 — reported below
             exc_box.append(e)
 
     t = threading.Thread(target=_worker, daemon=True)
@@ -109,7 +163,14 @@ def main():
     while t.is_alive():
         t.join(0.5)
     if exc_box:
-        raise exc_box[0]
+        exc = exc_box[0]
+        traceback.print_exception(exc, file=sys.stderr)
+        key = "error" if _RECORD["value"] == 0.0 else "partial"
+        _RECORD[key] = (f"{type(exc).__name__} at +{time.time() - _T0:.0f}s:"
+                        f" {exc}")
+        _emit()
+        sys.exit(1 if _RECORD["value"] == 0.0 else 0)
+    _emit()
 
 
 def _run():
@@ -128,7 +189,10 @@ def _run():
     dino_params = zoo._on_host(dinov2.init_params, ks[0], dcfg)
     clip_v = zoo._on_host(clip_m.init_visual_params, ks[1], cvcfg)
     ac_v = zoo._on_host(clip_m.init_visual_params, ks[2], avcfg)
-    logit_scale = jnp.float32(np.log(1 / 0.07))
+    # host Python float, NOT a device scalar: closure constants are fetched
+    # from the device during jit lowering, and round-3's bench died exactly
+    # there when the backend sickened between init and trace (VERDICT r3 #1)
+    logit_scale = float(np.log(1 / 0.07))
 
     # production precision: bf16 tower weights (the reference runs fp16 on
     # GPU); LN/softmax/PIR/EMD stay f32 by construction (models.precision)
@@ -207,8 +271,13 @@ def _run():
 
     _mark("compiling episode_rank (full 128-bucket ranking program)")
     t_compile0 = time.time()
-    out = episode_rank(ep, props, vta_text, ac_text)
-    _ = float(out[0, 0])  # force completion (block_until_ready is lazy on axon)
+
+    def _compile_rank():
+        out = episode_rank(ep, props, vta_text, ac_text)
+        # force completion (block_until_ready is lazy on axon)
+        return float(out[0, 0])
+
+    _retry_stage(_compile_rank, "episode_rank compile")
     compile_s = time.time() - t_compile0
     _mark(f"episode_rank compiled in {compile_s:.0f}s; timing 8 iters")
 
@@ -242,8 +311,10 @@ def _run():
     # sink the primary metric (MARS_BENCH_E2E=0 skips).
     if _os.environ.get("MARS_BENCH_E2E", "1") == "1":
         try:
-            record.update(_measure_e2e(
-                dino_params, dcfg, episode_rank, ep, vta_text, ac_text))
+            record.update(_retry_stage(
+                lambda: _measure_e2e(dino_params, dcfg, episode_rank, ep,
+                                     vta_text, ac_text),
+                "end-to-end stage"))
         except Exception as exc:  # noqa: BLE001 — never lose the primary line
             record["end_to_end_error"] = f"{type(exc).__name__}: {exc}"
 
@@ -324,11 +395,18 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
                                    max_new_tokens=20, draft_tokens=8,
                                    prefix_kv=kv, prefix_len=prefix_len)
             d = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
-                                   max_new_tokens=50, draft_tokens=8,
+                                   max_new_tokens=50, min_new_tokens=20,
+                                   draft_tokens=8,
                                    prefix_kv=kv, prefix_len=prefix_len)
             return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
 
-    sam_params, sam_cfg = zoo.build_sam(None, "vit_b")
+    # ViT-H @1024 encode is the reference's config (build_sam.py:14-23,
+    # predictor.py:36-98) AND this repo's own cli default (--sam-size
+    # vit_h): the e2e baseline denominator charges ViT-H, so the numerator
+    # must too (VERDICT r3 weak #3).  MARS_BENCH_SAM=vit_b for the
+    # lighter secondary config.
+    sam_variant = os.environ.get("MARS_BENCH_SAM", "vit_h")
+    sam_params, sam_cfg = zoo.build_sam(None, sam_variant)
     sam_params = cast_floating(sam_params)
     mcfg = matcher.MatcherConfig(input_size=518, grid=37, patch_size=14)
     acfg = amg.AmgConfig()
@@ -402,7 +480,8 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         "end_to_end_config": "vlm=vip-llava-7b-int8 "
                              f"text=20+50tok(draft=8,prefix-kv,"
                              f"block={text_div}) "
-                             "proposals=dinov2-l+sam-vit-b@518 "
+                             f"proposals=dinov2-l@518+sam-{sam_variant}"
+                             f"@{sam_cfg.img_size} "
                              "ranking=full-128-bucket",
     }
 
