@@ -388,3 +388,96 @@ def swin_semantic_sam_to_flax(sd: StateDict, depths) -> dict:
             }
         params[f"stage{s}"] = stage
     return params
+
+
+def _first(sd: StateDict, *names: str) -> Array:
+    for n in names:
+        if n in sd:
+            return sd[n]
+    raise KeyError(f"none of {names} in state dict")
+
+
+def _gn(sd: StateDict, *names: str) -> dict:
+    """GroupNorm weights → models.semantic_sam._group_norm params."""
+    return {"scale": _first(sd, *(f"{n}.weight" for n in names)),
+            "bias": _first(sd, *(f"{n}.bias" for n in names))}
+
+
+def _conv1x1_dense(w: Array) -> Array:
+    """torch 1x1 Conv2d weight (O, I, 1, 1) → dense kernel (I, O)."""
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
+def semantic_sam_pixel_decoder_to_flax(sd: StateDict, enc_layers: int) -> dict:
+    """Pixel-decoder tensors → the models.semantic_sam param subtree
+    (input_proj{0..2}, level_embed, enc{i}, adapter, layer,
+    mask_projection).
+
+    Accepts BOTH naming dialects of the same MSDeformAttn pixel decoder:
+
+    - detectron2/MaskDINO (the layout inside Semantic-SAM checkpoints
+      under ``sem_seg_head.pixel_decoder.``): ``input_proj.{i}.{0,1}``,
+      ``transformer.level_embed``, ``transformer.encoder.layers.{i}.
+      {self_attn,norm1,linear1,linear2,norm2}``, ``adapter_1.{weight,
+      norm.*}``, ``layer_1.{weight,norm.*}``, ``mask_features``;
+    - transformers Mask2FormerPixelDecoder (the in-image oracle,
+      modeling_mask2former.py:1206-1275): ``input_projections.{i}.{0,1}``,
+      ``level_embed``, ``encoder.layers.{i}.{self_attn,
+      self_attn_layer_norm,fc1,fc2,final_layer_norm}``, ``adapter_1.{0,1}``,
+      ``layer_1.{0,1}``, ``mask_projection``.
+
+    Level index 0 ↔ res5 in both (features are reversed before
+    projection), matching pixel_decoder's flattened order.
+    """
+    params = {"level_embed": _first(sd, "transformer.level_embed",
+                                    "level_embed")}
+    for lev in range(3):
+        names = (f"input_proj.{lev}", f"input_projections.{lev}")
+        params[f"input_proj{lev}"] = {
+            "proj": {
+                "kernel": _conv1x1_dense(
+                    _first(sd, *(f"{n}.0.weight" for n in names))),
+                "bias": _first(sd, *(f"{n}.0.bias" for n in names)),
+            },
+            "norm": _gn(sd, *(f"{n}.1" for n in names)),
+        }
+    for i in range(enc_layers):
+        bases = (f"transformer.encoder.layers.{i}", f"encoder.layers.{i}")
+
+        def dns(*subs):
+            return {"kernel": _t(_first(sd, *(f"{b}.{s}.weight"
+                                              for b in bases for s in subs))),
+                    "bias": _first(sd, *(f"{b}.{s}.bias"
+                                         for b in bases for s in subs))}
+
+        def lnp(*subs):
+            return {"scale": _first(sd, *(f"{b}.{s}.weight"
+                                          for b in bases for s in subs)),
+                    "bias": _first(sd, *(f"{b}.{s}.bias"
+                                         for b in bases for s in subs))}
+
+        params[f"enc{i}"] = {
+            "msda": {k: dns(f"self_attn.{k}") for k in
+                     ("value_proj", "sampling_offsets", "attention_weights",
+                      "output_proj")},
+            "ln1": lnp("norm1", "self_attn_layer_norm"),
+            "ln2": lnp("norm2", "final_layer_norm"),
+            "ffn": {"fc1": dns("linear1", "fc1"),
+                    "fc2": dns("linear2", "fc2")},
+        }
+    params["adapter"] = {
+        "conv": {"kernel": _conv1x1_dense(
+            _first(sd, "adapter_1.weight", "adapter_1.0.weight"))},
+        "norm": _gn(sd, "adapter_1.norm", "adapter_1.1"),
+    }
+    params["layer"] = {
+        "conv": {"kernel": _conv(
+            _first(sd, "layer_1.weight", "layer_1.0.weight"))},
+        "norm": _gn(sd, "layer_1.norm", "layer_1.1"),
+    }
+    params["mask_projection"] = {
+        "kernel": _conv1x1_dense(
+            _first(sd, "mask_features.weight", "mask_projection.weight")),
+        "bias": _first(sd, "mask_features.bias", "mask_projection.bias"),
+    }
+    return params

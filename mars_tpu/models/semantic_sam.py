@@ -10,10 +10,15 @@ implementation (Semantic-SAM, Li et al. 2023 = MaskDINO encoder/decoder
 with granularity-aware point queries):
 
   backbone   SwinL multi-scale pyramid (models/swin.py)
-  pixel dec  1x1 proj + GroupNorm per level (res3/4/5), 6 encoder layers
-             of multi-scale deformable self-attention with sine position
-             + level embeddings (ops/deformable_attention.py); mask
-             features at 1/4 = proj(res2) + upsampled encoder res3
+  pixel dec  1x1 proj + GroupNorm per level (res5/4/3 — the reversed
+             feature order MaskDINO/Mask2Former flatten with), 6 encoder
+             layers of multi-scale deformable self-attention with sine
+             position + level embeddings (ops/deformable_attention.py);
+             mask features at 1/4 via the MaskDINO FPN tail: lateral
+             1x1(no bias)+GroupNorm on res2 + bilinear-upsampled encoder
+             res3, 3x3(no bias)+GroupNorm+ReLU, biased 1x1 projection
+             (oracle: transformers Mask2FormerPixelDecoder end-to-end,
+             tests/test_models_parity.py::TestSemanticSamDecoder)
   decoder    per click: `num_granularities` learnable content queries +
              the click's sine position embedding; each layer = query
              self-attention, deformable cross-attention anchored at the
@@ -72,15 +77,18 @@ SEMANTIC_SAM_TINY = SemanticSamConfig(
 
 
 def _group_norm(p, x, groups: int = 32, eps: float = 1e-5):
-    """GroupNorm over the channel (last) axis of (..., C).
+    """GroupNorm over (B, ..., C): statistics per (sample, group) across
+    the group's channels AND every non-batch spatial axis — torch
+    nn.GroupNorm semantics (caught by the Mask2FormerPixelDecoder
+    end-to-end oracle; a channels-only reduction is instance norm).
 
     Statistics in f32 regardless of the tower dtype (the repo invariant:
     norms stay f32 under bf16 weights — see models/layers.layer_norm)."""
     c = x.shape[-1]
     g = min(groups, c)
-    xs = x.reshape(x.shape[:-1] + (g, c // g)).astype(jnp.float32)
-    mean = xs.mean(axis=-1, keepdims=True)
-    var = ((xs - mean) ** 2).mean(axis=-1, keepdims=True)
+    xs = x.reshape(x.shape[0], -1, g, c // g).astype(jnp.float32)
+    mean = xs.mean(axis=(1, 3), keepdims=True)
+    var = ((xs - mean) ** 2).mean(axis=(1, 3), keepdims=True)
     xs = (xs - mean) * jax.lax.rsqrt(var + eps)
     out = xs.reshape(x.shape) * p["scale"] + p["bias"]
     return out.astype(x.dtype)
@@ -153,22 +161,40 @@ def _mlp3(p, x):
 
 
 def feature_shapes(cfg: SemanticSamConfig, h: int, w: int):
-    """Static per-level (h, w) for res3/4/5 of an (h, w) input."""
+    """Static per-level (h, w) in FLATTENED order — res5, res4, res3 (the
+    reversed-feature convention MaskDINO/Mask2Former train with; see
+    pixel_decoder)."""
     p = cfg.swin.patch_size
     g = (h // p, w // p)
     return tuple(( -(-g[0] // (2 ** s)), -(-g[1] // (2 ** s)))
-                 for s in (1, 2, 3))
+                 for s in (3, 2, 1))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def encode_image(params, image: jnp.ndarray, cfg: SemanticSamConfig):
-    """image (H, W, 3) normalized → (memory (1, L, C), mask_feats
-    (1, H/4, W/4, C)).  Backbone + pixel decoder; run once per target.
-    Level shapes are static: feature_shapes(cfg, H, W)."""
-    feats = swin_m.forward_features(params["backbone"], image[None], cfg.swin)
-    # project res3/4/5 to the common hidden width
+def _conv3x3(kernel, x):
+    """(B, H, W, Cin) · (3, 3, Cin, Cout) same-padded stride-1 conv."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def pixel_decoder(params, feats, cfg: SemanticSamConfig):
+    """MaskDINO/Mask2Former MSDeformAttn pixel decoder over a backbone
+    pyramid ``feats`` (stage0..stage3 = res2..res5, NHWC) → (memory
+    (1, L, C), mask_feats (1, H/4, W/4, C)).
+
+    Level ORDER matters for converted checkpoints: the flattened sequence
+    is features[::-1] = [res5 (1/32), res4 (1/16), res3 (1/8)]
+    (transformers modeling_mask2former.py:1304; detectron2/MaskDINO
+    msdeformattn does the same) — input_proj / level_embed index 0 ↔ res5.
+
+    Mask features follow MaskDINO's FPN tail (Mask2FormerPixelDecoder
+    .forward:1363-1384, identical in maskdino_encoder.forward_features):
+    lateral 1x1(no bias)+GroupNorm on res2, plus the bilinear-upsampled
+    (align_corners=False) encoder output at res3, through 3x3(no bias)+
+    GroupNorm+ReLU, then a biased 1x1 mask projection.  Oracle-tested
+    end-to-end vs the transformers module with converted weights."""
     srcs, shapes, pos = [], [], []
-    for lev, stage in enumerate(("stage1", "stage2", "stage3")):
+    for lev, stage in enumerate(("stage3", "stage2", "stage1")):
         f = feats[stage]
         f = L.dense(params[f"input_proj{lev}"]["proj"], f)
         f = _group_norm(params[f"input_proj{lev}"]["norm"], f)
@@ -193,15 +219,26 @@ def encode_image(params, image: jnp.ndarray, cfg: SemanticSamConfig):
         memory = L.layer_norm(lp["ln1"], memory + attn)
         memory = L.layer_norm(lp["ln2"], _ffn(lp["ffn"], memory))
 
-    # mask features at 1/4: proj(res2) + upsample(encoder res3)
-    r2 = L.dense(params["mask_proj"]["proj"], feats["stage0"])
-    r2 = _group_norm(params["mask_proj"]["norm"], r2)
-    h3, w3 = shapes[0]
-    enc3 = memory[:, :h3 * w3].reshape(1, h3, w3, cfg.hidden)
-    up = jax.image.resize(enc3, (1, r2.shape[1], r2.shape[2], cfg.hidden),
+    # FPN tail at 1/4: res3 is the LAST flattened segment
+    lat = _group_norm(params["adapter"]["norm"],
+                      L.dense(params["adapter"]["conv"], feats["stage0"]))
+    h3, w3 = shapes[-1]
+    enc3 = memory[:, -(h3 * w3):].reshape(1, h3, w3, cfg.hidden)
+    up = jax.image.resize(enc3, (1, lat.shape[1], lat.shape[2], cfg.hidden),
                           "bilinear")
-    mask_feats = L.dense(params["mask_feat_out"], jax.nn.relu(r2 + up))
+    out = _conv3x3(params["layer"]["conv"]["kernel"], lat + up)
+    out = jax.nn.relu(_group_norm(params["layer"]["norm"], out))
+    mask_feats = L.dense(params["mask_projection"], out)
     return memory, mask_feats
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_image(params, image: jnp.ndarray, cfg: SemanticSamConfig):
+    """image (H, W, 3) normalized → (memory (1, L, C), mask_feats
+    (1, H/4, W/4, C)).  Backbone + pixel decoder; run once per target.
+    Level shapes are static: feature_shapes(cfg, H, W)."""
+    feats = swin_m.forward_features(params["backbone"], image[None], cfg.swin)
+    return pixel_decoder(params, feats, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "shapes", "return_embeddings"))
@@ -265,13 +302,21 @@ def init_params(key, cfg: SemanticSamConfig):
             next(keys), (cfg.feature_levels, c)) * 0.02,
         "granularity_embed": jax.random.normal(
             next(keys), (cfg.num_granularities, c)) * 0.02,
-        "mask_feat_out": dense_p(c, c),
     }
-    for lev, s in enumerate((1, 2, 3)):
+    # input_proj index 0 ↔ res5 (the reversed level order of pixel_decoder)
+    for lev, s in enumerate((3, 2, 1)):
         params[f"input_proj{lev}"] = {
             "proj": dense_p(cfg.swin.stage_dim(s), c), "norm": gn(c)}
-    params["mask_proj"] = {"proj": dense_p(cfg.swin.stage_dim(0), c),
-                           "norm": gn(c)}
+    # MaskDINO FPN tail: lateral 1x1 (no bias) + GN, output 3x3 (no bias)
+    # + GN, biased 1x1 mask projection
+    params["adapter"] = {
+        "conv": {"kernel": L._init_dense(
+            next(keys), cfg.swin.stage_dim(0), c, bias=False)["kernel"]},
+        "norm": gn(c)}
+    params["layer"] = {
+        "conv": {"kernel": jax.random.normal(next(keys), (3, 3, c, c)) * 0.02},
+        "norm": gn(c)}
+    params["mask_projection"] = dense_p(c, c)
     for i in range(cfg.enc_layers):
         params[f"enc{i}"] = {
             "msda": da.init_msda_params(next(keys), c, cfg.num_heads,

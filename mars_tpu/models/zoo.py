@@ -264,9 +264,12 @@ def build_semantic_sam(models_path: Optional[str] = None,
     the reference reaches via the external ``semantic_sam`` package
     (matcher/Matcher_SemanticSAM.py:23).  The released checkpoint
     (swinl_only_sam_many2many.pth) carries a Microsoft-layout Swin under
-    ``backbone.`` (convert.swin_semantic_sam_to_flax); encoder/decoder
-    tensors follow MaskDINO naming — conversion is best-effort and random
-    init backs benchmark runs, matching the rest of the zoo."""
+    ``backbone.`` (convert.swin_semantic_sam_to_flax) and a MaskDINO
+    pixel decoder under ``sem_seg_head.pixel_decoder.``
+    (convert.semantic_sam_pixel_decoder_to_flax, oracle-tested against
+    transformers' Mask2FormerPixelDecoder); the interactive point-decoder
+    names remain best-effort and random init backs benchmark runs,
+    matching the rest of the zoo."""
     from mars_tpu.models import semantic_sam as ss
 
     cfg = {"swinl": ss.SEMANTIC_SAM_L, "tiny": ss.SEMANTIC_SAM_TINY}[variant]
@@ -281,4 +284,12 @@ def build_semantic_sam(models_path: Optional[str] = None,
             params["backbone"] = jax.tree.map(
                 jnp.asarray,
                 convert.swin_semantic_sam_to_flax(bb, cfg.swin.depths))
+        pd = {k[len("sem_seg_head.pixel_decoder."):]: v
+              for k, v in sd.items()
+              if k.startswith("sem_seg_head.pixel_decoder.")}
+        if pd:
+            params.update(jax.tree.map(
+                jnp.asarray,
+                convert.semantic_sam_pixel_decoder_to_flax(
+                    pd, cfg.enc_layers)))
     return params, cfg

@@ -457,6 +457,128 @@ class TestSemanticSamDecoder:
         np.testing.assert_allclose(np.asarray(q)[0], want[0], atol=2e-5,
                                    rtol=1e-4)
 
+    def test_pixel_decoder_matches_mask2former_end_to_end(self):
+        """The WHOLE pixel decoder (level order, input projections, sine
+        pos + level embeddings, deformable encoder stack, MaskDINO FPN
+        tail, mask projection) vs transformers' Mask2FormerPixelDecoder
+        with weights converted through
+        convert.semantic_sam_pixel_decoder_to_flax — the converter itself
+        is on the tested path."""
+        import torch
+        from transformers import Mask2FormerConfig
+        from transformers.models.mask2former.modeling_mask2former import (
+            Mask2FormerPixelDecoder,
+        )
+
+        from mars_tpu.models import convert
+        from mars_tpu.models import semantic_sam as ss
+
+        torch.manual_seed(5)
+        c, enc_layers = 32, 2
+        cfg_t = Mask2FormerConfig(
+            feature_size=c, mask_feature_size=c, num_attention_heads=4,
+            encoder_feedforward_dim=64, dropout=0.0,
+            encoder_layers=enc_layers, common_stride=4,
+            feature_strides=[4, 8, 16, 32])
+        feature_channels = [8, 12, 16, 24]
+        dec = Mask2FormerPixelDecoder(cfg_t, feature_channels).eval()
+        with torch.no_grad():
+            for p in dec.parameters():
+                # level_embed ships UNINITIALIZED (nn.Parameter(Tensor));
+                # randomize everything so no NaNs and nothing is trivially 0
+                p.copy_(torch.randn_like(p) * 0.1)
+
+        g = torch.Generator().manual_seed(6)
+        sizes = [(16, 16), (8, 8), (4, 4), (2, 2)]  # res2..res5
+        features = [torch.randn(1, ch, h, w, generator=g)
+                    for ch, (h, w) in zip(feature_channels, sizes)]
+        with torch.no_grad():
+            want = dec(features)
+        want_mask = want.mask_features[0].permute(1, 2, 0).numpy()
+        # multi_scale_features = encoder outputs at [res5, res4, res3]
+        want_ms = [f[0].permute(1, 2, 0).reshape(-1, c).numpy()
+                   for f in want.multi_scale_features]
+
+        sd = {k: v.numpy() for k, v in dec.state_dict().items()}
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert.semantic_sam_pixel_decoder_to_flax(
+                sd, enc_layers))
+        cfg = ss.SemanticSamConfig(hidden=c, num_heads=4,
+                                   enc_layers=enc_layers, ffn_dim=64,
+                                   num_points=4)
+        feats = {f"stage{i}": jnp.asarray(
+            features[i].permute(0, 2, 3, 1).numpy()) for i in range(4)}
+        memory, mask_feats = ss.pixel_decoder(params, feats, cfg)
+
+        shapes = [(2, 2), (4, 4), (8, 8)]  # flattened order res5, res4, res3
+        start = 0
+        for (h, w), want_lvl in zip(shapes, want_ms):
+            got = np.asarray(memory[0, start:start + h * w])
+            np.testing.assert_allclose(got, want_lvl, atol=3e-5, rtol=1e-4)
+            start += h * w
+        np.testing.assert_allclose(np.asarray(mask_feats[0]), want_mask,
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_pixel_decoder_converter_maskdino_dialect(self):
+        """The detectron2/MaskDINO tensor names (what released
+        Semantic-SAM .pth files carry under sem_seg_head.pixel_decoder.)
+        convert to the identical tree as the transformers names — the
+        end-to-end oracle above then transitively covers this dialect."""
+        from mars_tpu.models import convert
+
+        rng = np.random.RandomState(7)
+        c, enc_layers = 8, 2
+        chans = [3, 4, 5, 6]  # res2..res5
+
+        def t(*shape):
+            return rng.randn(*shape).astype(np.float32)
+
+        hf, d2 = {}, {}
+
+        def put(hf_name, d2_name, val):
+            hf[hf_name] = val
+            d2[d2_name] = val
+
+        put("level_embed", "transformer.level_embed", t(3, c))
+        for i, ch in enumerate(chans[:0:-1]):  # res5, res4, res3
+            put(f"input_projections.{i}.0.weight",
+                f"input_proj.{i}.0.weight", t(c, ch, 1, 1))
+            put(f"input_projections.{i}.0.bias",
+                f"input_proj.{i}.0.bias", t(c))
+            put(f"input_projections.{i}.1.weight",
+                f"input_proj.{i}.1.weight", t(c))
+            put(f"input_projections.{i}.1.bias",
+                f"input_proj.{i}.1.bias", t(c))
+        for i in range(enc_layers):
+            h, m = f"encoder.layers.{i}", f"transformer.encoder.layers.{i}"
+            for k, dim in (("value_proj", c), ("output_proj", c),
+                           ("sampling_offsets", 4 * 3 * 4 * 2),
+                           ("attention_weights", 4 * 3 * 4)):
+                put(f"{h}.self_attn.{k}.weight",
+                    f"{m}.self_attn.{k}.weight", t(dim, c))
+                put(f"{h}.self_attn.{k}.bias",
+                    f"{m}.self_attn.{k}.bias", t(dim))
+            put(f"{h}.self_attn_layer_norm.weight", f"{m}.norm1.weight", t(c))
+            put(f"{h}.self_attn_layer_norm.bias", f"{m}.norm1.bias", t(c))
+            put(f"{h}.fc1.weight", f"{m}.linear1.weight", t(16, c))
+            put(f"{h}.fc1.bias", f"{m}.linear1.bias", t(16))
+            put(f"{h}.fc2.weight", f"{m}.linear2.weight", t(c, 16))
+            put(f"{h}.fc2.bias", f"{m}.linear2.bias", t(c))
+            put(f"{h}.final_layer_norm.weight", f"{m}.norm2.weight", t(c))
+            put(f"{h}.final_layer_norm.bias", f"{m}.norm2.bias", t(c))
+        put("adapter_1.0.weight", "adapter_1.weight", t(c, chans[0], 1, 1))
+        put("adapter_1.1.weight", "adapter_1.norm.weight", t(c))
+        put("adapter_1.1.bias", "adapter_1.norm.bias", t(c))
+        put("layer_1.0.weight", "layer_1.weight", t(c, c, 3, 3))
+        put("layer_1.1.weight", "layer_1.norm.weight", t(c))
+        put("layer_1.1.bias", "layer_1.norm.bias", t(c))
+        put("mask_projection.weight", "mask_features.weight", t(c, c, 1, 1))
+        put("mask_projection.bias", "mask_features.bias", t(c))
+
+        p_hf = convert.semantic_sam_pixel_decoder_to_flax(hf, enc_layers)
+        p_d2 = convert.semantic_sam_pixel_decoder_to_flax(d2, enc_layers)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, p_hf, p_d2)
+
     def test_predict_points_numpy_rederivation(self):
         """The whole interactive point decoder vs an independent numpy
         implementation of the same math (sine embed, DETR self-attn over
