@@ -297,11 +297,26 @@ def capture_rng_states(rng, ds=None):
     }
 
 
-def save_resume_state(path, next_idx, meter, timing_rows, rng_states,
-                      gen_key=None):
+def episode_key(seed: int, idx: int):
+    """Stateless per-episode proposal-sampling key: fold_in(PRNGKey(seed),
+    idx) — ONE derivation shared by the serial driver and cli_parallel's
+    inline-dp path, so the two evaluate the same fold with identical
+    sampling streams and their meter traces cross-check (reference
+    main_MARS.py:24-25 seeds once globally; a stateful split chain here
+    would diverge from any batched driver).  Computed on the host CPU
+    backend: threefry bits are platform-independent, and an eager op on
+    the axon device costs a ~35 ms tunnel round trip."""
+    import jax
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return jax.random.fold_in(jax.random.PRNGKey(seed), idx)
+
+
+def save_resume_state(path, next_idx, meter, timing_rows, rng_states):
     """Atomic snapshot of everything the eval loop accumulates: meter
     histograms, timing rows, and the RNG states captured by
-    capture_rng_states at the episode boundary."""
+    capture_rng_states at the episode boundary.  (Inline-generation keys
+    are stateless — episode_key(seed, idx) — so none are snapshotted.)"""
     import pickle
 
     state = {
@@ -310,7 +325,6 @@ def save_resume_state(path, next_idx, meter, timing_rows, rng_states,
         "inter_bad": meter.inter_bad, "union_bad": meter.union_bad,
         "bad_class_ids": list(meter.bad_class_ids),
         "timing_rows": timing_rows,
-        "gen_key": None if gen_key is None else np.asarray(gen_key),
         **rng_states,
     }
     tmp = path + ".tmp"
@@ -494,11 +508,8 @@ def main(argv=None):
     model = build_model(args)
     generator = None
     if args.generate_proposals:
-        import jax
-
         generator = make_inline_generator(
             args, dino_bundle=(model.dino_params, model.dino_cfg))
-        gen_key = jax.random.PRNGKey(args.seed)
     meter = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
     os.makedirs(args.log_path, exist_ok=True)
     # log.txt + console + arg dump (reference Logger.initialize:172-209)
@@ -523,10 +534,6 @@ def main(argv=None):
         st = load_resume_state(resume_path, meter, rng, ds)
         start_idx = int(st["next_idx"])
         timing_rows = list(st["timing_rows"])
-        if st.get("gen_key") is not None and generator is not None:
-            import jax.numpy as jnp
-
-            gen_key = jnp.asarray(st["gen_key"])
         logger.info(f"resuming from {resume_path} at episode {start_idx}")
 
     # 1-deep host prefetch: PIL episode prep + proposal load for idx+1
@@ -575,7 +582,7 @@ def main(argv=None):
             text_stage = PipelinedTextStage(model.retriever)
     from collections import deque
 
-    pendings = deque()  # [idx, rec, ep, props, snap, gen_key_at_save, span]
+    pendings = deque()  # [idx, rec, ep, props, snap, span]
 
     def _as_list(res):
         # PipelinedTextStage yields one Optional result; BlockTextStage
@@ -586,11 +593,10 @@ def main(argv=None):
         per = span / len(results)
         for res in results:
             it = pendings.popleft()
-            finish_episode(it[0], it[1], it[2], it[3], *res, per + it[6],
-                           it[4], it[5])
+            finish_episode(it[0], it[1], it[2], it[3], *res, per + it[5],
+                           it[4])
 
-    def finish_episode(idx, rec, ep, props, name, desc, text_span, snap,
-                       snap_gen_key):
+    def finish_episode(idx, rec, ep, props, name, desc, text_span, snap):
         pred = np.asarray(model.predict(ep, props, class_name=name,
                                         class_description=desc))
         gt, ig = resized_gt(rec, args.input_size)
@@ -612,8 +618,7 @@ def main(argv=None):
             # saved only once the episode is fully scored, so a --resume
             # replays from a bit-exact boundary even though the pipelined
             # text stage ran one episode ahead
-            save_resume_state(resume_path, idx + 1, meter, timing_rows,
-                              snap, snap_gen_key)
+            save_resume_state(resume_path, idx + 1, meter, timing_rows, snap)
 
     for idx in range(start_idx, n):
         rec, ep, props = fut.result()
@@ -625,20 +630,15 @@ def main(argv=None):
         if idx + 1 < n:
             fut = pool.submit(host_prep, idx + 1)
         if generator is not None:
-            import jax
-
-            gen_key, k = jax.random.split(gen_key)
-            props = generator(ep, k)
-        snap_gen_key = gen_key if generator is not None else None
+            props = generator(ep, episode_key(args.seed, idx))
         if text_stage is None:
             class_name = rec.class_name if args.gt_class_names else None
-            finish_episode(idx, rec, ep, props, class_name, "", 0.0, snap,
-                           snap_gen_key)
+            finish_episode(idx, rec, ep, props, class_name, "", 0.0, snap)
             continue
         t0 = time.time()
         results = _as_list(text_stage.step(*model.support_host_arrays(ep)))
         text_span = time.time() - t0
-        pendings.append([idx, rec, ep, props, snap, snap_gen_key, 0.0])
+        pendings.append([idx, rec, ep, props, snap, 0.0])
         if results:
             # attribute the block's decode span evenly across the episodes
             # it completed (plus any span their earlier steps accrued)
@@ -646,7 +646,7 @@ def main(argv=None):
         else:
             # buffering step (no VLM call completed an episode yet): the
             # span rides with this episode until its block drains
-            pendings[-1][6] += text_span
+            pendings[-1][5] += text_span
 
     while pendings:
         t0 = time.time()

@@ -103,7 +103,10 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
 
     base_key = jax.random.PRNGKey(seed)
     # per-idx keys in ONE dispatch (deterministic regardless of batching);
-    # a per-episode eager fold_in costs a ~35 ms tunnel round trip each
+    # a per-episode eager fold_in costs a ~35 ms tunnel round trip each.
+    # MUST stay bit-equal to cli.episode_key(seed, idx) — the serial
+    # driver derives the same stream, so serial and dp meter traces of
+    # one fold cross-check (pinned by tests/test_cli_parallel.py)
     fold_keys = jax.jit(jax.vmap(lambda i: jax.random.fold_in(base_key, i)))
 
     cache: dict = {}

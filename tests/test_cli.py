@@ -135,8 +135,7 @@ class TestResume:
         snap = cli.capture_rng_states(rng, ds)
         want_next = rng.rand(4)  # the draws an uninterrupted run would make
         want_ds_next = ds.rng.rand(4)
-        cli.save_resume_state(path, 41, meter, [[0, 1.0, 0.9, 7]], snap,
-                              gen_key=np.array([1, 2], np.uint32))
+        cli.save_resume_state(path, 41, meter, [[0, 1.0, 0.9, 7]], snap)
 
         meter2 = evaluation.AverageMeter("synthetic", [0, 1, 2])
         rng2 = np.random.RandomState(99)  # different stream
@@ -147,7 +146,6 @@ class TestResume:
         assert st["timing_rows"] == [[0, 1.0, 0.9, 7]]
         np.testing.assert_array_equal(meter2.inter, meter.inter)
         np.testing.assert_array_equal(meter2.union, meter.union)
-        np.testing.assert_array_equal(st["gen_key"], [1, 2])
         # restored rngs continue the original streams exactly
         np.testing.assert_array_equal(rng2.rand(4), want_next)
         np.testing.assert_array_equal(ds2.rng.rand(4), want_ds_next)
