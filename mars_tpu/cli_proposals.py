@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--use-centers", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--out", required=True)
+    p.add_argument("--coco-rle", action="store_true",
+                   help="also write {fold}_{idx}.json with the proposals as "
+                        "pycocotools-interchange compressed RLE "
+                        "(mask.encode format; native.rle_encode_compressed)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -64,12 +68,16 @@ def main(argv=None):
     acfg = amg.AmgConfig()
     os.makedirs(args.out, exist_ok=True)
 
-    key = jax.random.PRNGKey(args.seed)
     n = args.episodes or len(ds)
     for idx in range(n):
         rec = ds[idx]
         ep = to_device_episode(rec, args.input_size, args.nshot)
-        key, k = jax.random.split(key)
+        # the same stateless key stream as the inline-generation drivers
+        # (cli.episode_key == cli_parallel's fold), so dump-based and
+        # inline evaluations of a fold are directly comparable
+        from mars_tpu.cli import episode_key
+
+        k = episode_key(args.seed, idx)
         t0 = time.time()
         out = matcher.generate_proposals(
             k, dino_params, dino_cfg, sam_params, sam_cfg, acfg, mcfg,
@@ -88,6 +96,24 @@ def main(argv=None):
             merged=np.asarray(out["merged"]).astype(np.uint8),
             class_id=rec.class_id,
         )
+        if args.coco_rle:
+            # pycocotools-interchange sidecar: downstream consumers can
+            # mask.decode these without this framework installed
+            import json
+
+            from mars_tpu import native
+
+            iou = np.asarray(out["iou"], np.float32)[valid]
+            anns = []
+            for m, s in zip(masks, iou):
+                r = native.rle_encode_compressed(m.astype(np.uint8))
+                anns.append({"size": r["size"],
+                             "counts": r["counts"].decode("ascii"),
+                             "score": float(s),
+                             "category_id": int(rec.class_id)})
+            with open(os.path.join(args.out, f"{args.fold}_{idx}.json"),
+                      "w") as f:
+                json.dump(anns, f)
         print(f"[{idx + 1}/{n}] {valid.sum()} proposals  {time.time() - t0:.2f}s")
 
 

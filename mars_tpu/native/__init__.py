@@ -61,6 +61,14 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.rle_to_string.restype = ctypes.c_int
+        lib.rle_to_string.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.rle_from_string.restype = ctypes.c_int
+        lib.rle_from_string.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint32),
+        ]
         _lib = lib
     return _lib
 
@@ -116,10 +124,52 @@ def rle_encode(mask: np.ndarray) -> dict:
 
 def rle_decode(rle: dict) -> np.ndarray:
     h, w = rle["size"]
-    counts = np.asarray(rle["counts"], np.uint32)
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        counts = _string_to_counts(counts)
+    counts = np.asarray(counts, np.uint32)
     out = np.zeros((h, w), np.uint8)
     get_lib().rle_decode(
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(counts), h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def _counts_to_string(counts: np.ndarray) -> bytes:
+    counts = np.ascontiguousarray(counts, np.uint32)
+    buf = ctypes.create_string_buffer(7 * max(len(counts), 1) + 1)
+    n = get_lib().rle_to_string(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(counts), buf)
+    return buf.raw[:n]
+
+
+def _string_to_counts(s) -> np.ndarray:
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    out = np.empty(max(len(s), 1), np.uint32)
+    n = get_lib().rle_from_string(
+        s, len(s), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out[:n]
+
+
+def rle_compress(rle: dict) -> dict:
+    """Uncompressed COCO RLE → the pycocotools interchange form
+    {'size': [h, w], 'counts': bytes} (mask.encode's output format —
+    LEB128-style base-32 varints with 2-back difference coding; the
+    reference serializes proposal dumps through pycocotools consumers)."""
+    return {"size": list(rle["size"]),
+            "counts": _counts_to_string(np.asarray(rle["counts"], np.uint32))}
+
+
+def rle_encode_compressed(mask: np.ndarray) -> dict:
+    """(h, w) {0,1} mask → pycocotools-compatible compressed RLE, equal
+    byte-for-byte to pycocotools.mask.encode(np.asfortranarray(mask))."""
+    return rle_compress(rle_encode(mask))
+
+
+def rle_decode_compressed(rle: dict) -> np.ndarray:
+    """Inverse of rle_encode_compressed; also accepts uncompressed lists
+    (rle_decode dispatches on the counts type)."""
+    return rle_decode(rle)

@@ -259,4 +259,58 @@ void rle_decode(const uint32_t* counts, int n_counts, int h, int w, uint8_t* out
   }
 }
 
+// pycocotools-compatible compressed RLE string codec (the COCO
+// interchange format the reference serializes proposal dumps with via
+// mask_utils.encode — segment_anything/utils/amg.py uses the uncompressed
+// dict, but pycocotools consumers exchange the LEB128-style string).
+//
+// Format (COCO mask API spec): each count is difference-coded against the
+// count two places earlier (from the 4th element on), then written as a
+// little-endian base-32 signed varint — 5 payload bits per character,
+// bit 0x20 = continuation, sign taken from bit 0x10 of the final chunk,
+// each character offset by 48 into printable ASCII.
+//
+// Writes the NUL-terminated string into out (caller capacity >= 7*n + 1);
+// returns the string length.
+int rle_to_string(const uint32_t* counts, int n, char* out) {
+  int p = 0;
+  for (int i = 0; i < n; ++i) {
+    long long x = static_cast<long long>(counts[i]);
+    if (i > 2) x -= static_cast<long long>(counts[i - 2]);
+    bool more = true;
+    while (more) {
+      char c = static_cast<char>(x & 0x1f);
+      x >>= 5;  // arithmetic shift: sign propagates for negative deltas
+      more = (c & 0x10) ? (x != -1) : (x != 0);
+      if (more) c |= 0x20;
+      out[p++] = static_cast<char>(c + 48);
+    }
+  }
+  out[p] = '\0';
+  return p;
+}
+
+// Parse a compressed RLE string of length len back into counts (caller
+// capacity >= len); returns the number of counts.
+int rle_from_string(const char* s, int len, uint32_t* out) {
+  int n = 0, p = 0;
+  while (p < len) {
+    long long x = 0;
+    int k = 0;
+    bool more = true;
+    char c = 0;
+    while (more && p < len) {
+      c = static_cast<char>(s[p] - 48);
+      x |= static_cast<long long>(c & 0x1f) << (5 * k);
+      more = (c & 0x20) != 0;
+      ++p;
+      ++k;
+    }
+    if (!more && (c & 0x10)) x |= -1LL << (5 * k);  // sign-extend
+    if (n > 2) x += static_cast<long long>(out[n - 2]);
+    out[n++] = static_cast<uint32_t>(x);
+  }
+  return n;
+}
+
 }  // extern "C"
