@@ -44,7 +44,7 @@ for fold in ${FOLDS}; do
     --static-threshold 0.55 \
     --dynamic-threshold 0.95 \
     --alpha-coverage 0.85 \
-    --bf16 --int8-towers \
+    --bf16 \
     --log-path "${LOG_ROOT}/fold${fold}" \
     --exp-name "${NSHOT}shot" \
     ${EXTRA_ARGS}

@@ -1,15 +1,24 @@
-"""W8A8-vs-weight-only-int8 accuracy harness for the AlphaCLIP stage.
+"""Tower-quantization accuracy harness for the AlphaCLIP stage.
 
-The throughput side is settled (BASELINE.md: 554 vs 610 ms full bucket,
-+10%); this measures the ACCURACY side so the default can be decided:
+Throughput is settled (BASELINE.md: int8 towers are the production
+default); this measures the ACCURACY side of each precision so the
+default is a decision, not an assumption:
 
   - per-proposal AlphaCLIP cosine perturbation (raw and after the min-max
     scaling the fusion applies — min-max AMPLIFIES small deviations when
-    the score spread is narrow)
+    the score spread is narrow, reference FilteringMergingModule.py:125-132)
   - merge-decision flips: for full random episodes, run the whole
     score_and_merge fusion with IDENTICAL priors/EMD and only the
     AlphaCLIP scores differing; count proposals whose kept/dropped
     decision flips and compare the merged masks
+
+Three tower variants are scored per episode and compared pairwise
+against the bf16 baseline (the repo's full-precision config; the
+reference runs fp16 on GPU) and each other:
+
+    bf16        cast_floating only
+    w8          + weight-only int8 (the production default)
+    w8a8        + dynamic int8 activations (opt-in)
 
 Runs the production geometry (AlphaCLIP ViT-L/14@336, 128-proposal
 bucket) on the TPU with seeded random weights.  Usage:
@@ -39,14 +48,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=8)
     ap.add_argument("--bucket", type=int, default=128)
+    ap.add_argument("--variants", nargs="+",
+                    default=["bf16", "w8", "w8a8"],
+                    choices=["bf16", "w8", "w8a8"],
+                    help="tower precisions to score (first is the "
+                         "comparison baseline)")
     args = ap.parse_args()
 
     avcfg = clip_m.ALPHA_CLIP_L14_336_VISUAL
     key = jax.random.PRNGKey(0)
     ac = zoo._on_host(clip_m.init_visual_params, key, avcfg)
-    ac = cast_floating(ac)  # bf16 weights, the production dtype
-    ac_w8 = quantize_params(ac)  # weight-only int8 (production default)
-    ac_w8a8 = quantize_params(ac, act_bits=8)  # + dynamic int8 activations
+    ac = cast_floating(ac)  # bf16 weights, the full-precision config
+    towers = {}
+    for v in args.variants:
+        towers[v] = {"bf16": lambda: ac,
+                     "w8": lambda: quantize_params(ac),
+                     "w8a8": lambda: quantize_params(ac, act_bits=8)}[v]()
 
     fm_cfg = filtering.FilterMergeConfig()
     g = fm_cfg.grid
@@ -68,52 +85,56 @@ def main():
         cost = jnp.asarray(rng.rand(g * g, g * g) * 0.5, jnp.float32)
         return qry, props, text, vva, vta, sup_fg, cost
 
-    raw_err, scaled_err, flips, merged_iou = [], [], [], []
+    def mm(x):
+        return (x - x.min()) / (x.max() - x.min() + 1e-7)
+
+    base = args.variants[0]
+    pairs = [(base, v) for v in args.variants[1:]]
+    if "w8" in args.variants and "w8a8" in args.variants:
+        pairs.append(("w8", "w8a8"))
+    stats = {f"{a}_vs_{b}": {"raw": [], "scaled": [], "flips": [], "iou": []}
+             for a, b in pairs}
     t0 = time.time()
     for e in range(args.episodes):
         qry, props, text, vva, vta, sup_fg, cost = episode(e)
-        s_ref = filtering.alphaclip_scores(
-            ac_w8, qry, props.masks, text, avcfg, fm_cfg,
-            proposal_valid=props.valid)
-        s_q = filtering.alphaclip_scores(
-            ac_w8a8, qry, props.masks, text, avcfg, fm_cfg,
-            proposal_valid=props.valid)
-        a, b = np.asarray(s_ref, np.float64), np.asarray(s_q, np.float64)
-        raw_err.append(np.abs(a - b).max())
+        scores, kept, merged = {}, {}, {}
+        for v, p in towers.items():
+            s = filtering.alphaclip_scores(
+                p, qry, props.masks, text, avcfg, fm_cfg,
+                proposal_valid=props.valid)
+            m, sc = filtering.score_and_merge(
+                props.masks, props.valid, sup_fg, cost, vva, vta, s, fm_cfg)
+            scores[v] = np.asarray(s, np.float64)
+            merged[v] = np.asarray(m) > 0
+            sc = np.asarray(sc)
+            # kept set = proposals above the static/dynamic threshold
+            thr = 0.55 if sc.max() >= 0.55 else 0.95 * sc.max()
+            kept[v] = (sc >= thr) & np.asarray(props.valid)
+        line = f"ep {e}:"
+        for a, b in pairs:
+            st = stats[f"{a}_vs_{b}"]
+            st["raw"].append(np.abs(scores[a] - scores[b]).max())
+            st["scaled"].append(np.abs(mm(scores[a]) - mm(scores[b])).max())
+            st["flips"].append(int(np.sum(kept[a] != kept[b])))
+            inter = np.sum(merged[a] & merged[b])
+            union = np.sum(merged[a] | merged[b])
+            st["iou"].append(1.0 if union == 0 else inter / union)
+            line += (f"  [{a} vs {b}] raw {st['raw'][-1]:.2e} "
+                     f"scaled {st['scaled'][-1]:.4f} flips {st['flips'][-1]} "
+                     f"IoU {st['iou'][-1]:.4f}")
+        print(line, flush=True)
 
-        def mm(x):
-            return (x - x.min()) / (x.max() - x.min() + 1e-7)
-
-        scaled_err.append(np.abs(mm(a) - mm(b)).max())
-
-        m_ref, sc_ref = filtering.score_and_merge(
-            props.masks, props.valid, sup_fg, cost, vva, vta, s_ref, fm_cfg)
-        m_q, sc_q = filtering.score_and_merge(
-            props.masks, props.valid, sup_fg, cost, vva, vta, s_q, fm_cfg)
-        m_ref, m_q = np.asarray(m_ref) > 0, np.asarray(m_q) > 0
-        # kept set = proposals above the static/dynamic threshold
-        sr, sq = np.asarray(sc_ref), np.asarray(sc_q)
-        thr_r = 0.55 if sr.max() >= 0.55 else 0.95 * sr.max()
-        thr_q = 0.55 if sq.max() >= 0.55 else 0.95 * sq.max()
-        kept_r = (sr >= thr_r) & np.asarray(props.valid)
-        kept_q = (sq >= thr_q) & np.asarray(props.valid)
-        flips.append(int(np.sum(kept_r != kept_q)))
-        inter, union = np.sum(m_ref & m_q), np.sum(m_ref | m_q)
-        merged_iou.append(1.0 if union == 0 else inter / union)
-        print(f"ep {e}: raw {raw_err[-1]:.2e}  scaled {scaled_err[-1]:.4f}  "
-              f"flips {flips[-1]}  mergedIoU {merged_iou[-1]:.4f}",
-              flush=True)
-
-    print(json.dumps({
-        "episodes": args.episodes,
-        "bucket": args.bucket,
-        "max_raw_cosine_err": float(np.max(raw_err)),
-        "mean_raw_cosine_err": float(np.mean(raw_err)),
-        "max_minmax_scaled_err": float(np.max(scaled_err)),
-        "total_kept_set_flips": int(np.sum(flips)),
-        "min_merged_iou": float(np.min(merged_iou)),
-        "wall_s": round(time.time() - t0, 1),
-    }))
+    out = {"episodes": args.episodes, "bucket": args.bucket,
+           "wall_s": round(time.time() - t0, 1)}
+    for name, st in stats.items():
+        out[name] = {
+            "max_raw_cosine_err": float(np.max(st["raw"])),
+            "mean_raw_cosine_err": float(np.mean(st["raw"])),
+            "max_minmax_scaled_err": float(np.max(st["scaled"])),
+            "total_kept_set_flips": int(np.sum(st["flips"])),
+            "min_merged_iou": float(np.min(st["iou"])),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
