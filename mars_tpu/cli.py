@@ -421,6 +421,14 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                         "text at D=4 on the int8 7B).  Default: 4 unless "
                         "--pipelined-text is given; 0/1 restores the "
                         "serial per-episode text stage.")
+    p.add_argument("--overlap-ranking", type=int, default=-1, metavar="N",
+                   help="complete episode rankings up to N episodes late: "
+                        "the fused ranking program is launched per episode "
+                        "but its merged mask is pulled a window later, so "
+                        "the chip's queue stays fed while the host fetches "
+                        "earlier results (bit-identical outputs, FIFO "
+                        "meter/CSV order).  -1 = auto (the text block "
+                        "size); 0 = synchronous.")
     # --- VTA (reference :143-146) ---
     p.add_argument("--vta-backbone", default="ViT-B/16",
                    choices=["ViT-B/16", "ViT-L/14"])
@@ -589,6 +597,23 @@ def main(argv=None):
         # yields a list — normalize to drain uniformly
         return res if isinstance(res, list) else ([] if res is None else [res])
 
+    # ranking-completion overlap: launch the fused ranking program per
+    # episode but pull the merged mask up to ``overlap`` episodes later, so
+    # the chip's program queue stays fed (text decode / proposal programs
+    # of later episodes) while the host fetches earlier results through
+    # the ~35 ms tunnel round trip.  Identical programs and inputs →
+    # bit-identical outputs; meter/CSV order stays FIFO (tests pin both).
+    overlap = args.overlap_ranking
+    if overlap < 0:
+        # auto: cover one text block (its rankings drain together); a
+        # 2-deep window otherwise
+        overlap = (text_stage.depth if text_stage is not None
+                   and hasattr(text_stage, "depth") else 2)
+    if overlap and not hasattr(model, "predict_launch"):
+        overlap = 0
+    completions = deque()  # (idx, rec, props, merged_dev, launch_s,
+    #                         text_span, snap)
+
     def drain(results, span):
         per = span / len(results)
         for res in results:
@@ -596,18 +621,14 @@ def main(argv=None):
             finish_episode(it[0], it[1], it[2], it[3], *res, per + it[5],
                            it[4])
 
-    def finish_episode(idx, rec, ep, props, name, desc, text_span, snap):
-        pred = np.asarray(model.predict(ep, props, class_name=name,
-                                        class_description=desc))
+    def score_episode(idx, rec, props, pred, total, after_text, snap):
         gt, ig = resized_gt(rec, args.input_size)
         inter, union = evaluation.classify_prediction(pred, gt, ig)
         meter.update(inter, union, rec.class_id)
         if idx in bad_idxs:
             meter.update_bad_preds(inter, union, rec.class_id)
-        total = model.timings["total"] + text_span
         timing_rows.append(
-            [idx, total, model.timings["after_text_extraction"],
-             int(np.asarray(props.valid).sum())]
+            [idx, total, after_text, int(np.asarray(props.valid).sum())]
         )
         metrics.log_metrics(idx)
         metrics.log_time_batch(total, idx)
@@ -616,9 +637,32 @@ def main(argv=None):
             logger.info(f"[{idx + 1}/{n}] mIoU {miou:.2f}  FB-IoU {fb:.2f}")
         if snap is not None:
             # saved only once the episode is fully scored, so a --resume
-            # replays from a bit-exact boundary even though the pipelined
-            # text stage ran one episode ahead
+            # replays from a bit-exact boundary even though the text stage
+            # and the ranking window ran ahead
             save_resume_state(resume_path, idx + 1, meter, timing_rows, snap)
+
+    def complete_one():
+        idx, rec, props, merged, launch_s, text_span, snap = \
+            completions.popleft()
+        t0 = time.time()
+        pred = np.asarray(merged)
+        span = launch_s + (time.time() - t0)
+        score_episode(idx, rec, props, pred, span + text_span, span, snap)
+
+    def finish_episode(idx, rec, ep, props, name, desc, text_span, snap):
+        if not overlap or name is None:
+            pred = np.asarray(model.predict(ep, props, class_name=name,
+                                            class_description=desc))
+            score_episode(idx, rec, props, pred,
+                          model.timings["total"] + text_span,
+                          model.timings["after_text_extraction"], snap)
+            return
+        t0 = time.time()
+        merged = model.predict_launch(ep, props, name, desc)
+        completions.append([idx, rec, props, merged, time.time() - t0,
+                            text_span, snap])
+        while len(completions) > overlap:
+            complete_one()
 
     for idx in range(start_idx, n):
         rec, ep, props = fut.result()
@@ -655,6 +699,8 @@ def main(argv=None):
             raise RuntimeError("text stage flush returned no results with "
                                f"{len(pendings)} episodes pending")
         drain(results, time.time() - t0)
+    while completions:
+        complete_one()
 
     pool.shutdown(wait=False)
     if os.path.exists(resume_path):

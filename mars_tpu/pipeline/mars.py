@@ -138,6 +138,31 @@ class Mars:
         self._fused_jit = fused
         return fused
 
+    def predict_launch(
+        self,
+        episode: Episode,
+        proposals: Proposals,
+        class_name: str,
+        class_description: str = "",
+    ) -> jnp.ndarray:
+        """Dispatch the fused ranking program WITHOUT waiting: returns the
+        merged mask as a device array the caller syncs later (np.asarray).
+
+        The production loop (cli.py --overlap-ranking) launches a block's
+        rankings and pulls results a block late, so the chip's queue stays
+        fed while the host fetches earlier results through the ~35 ms
+        tunnel round trip.  Identical program and inputs to predict() —
+        bit-identical outputs (tests/test_cli.py pins the meter trace)."""
+        vta_text = self._vta_text_feats(class_name)
+        ac_text = self._alpha_clip_text_feats(
+            prompt_data.alpha_clip_text(class_name, class_description))
+        merged, _ = self._fused()(
+            self.dino_params, self.clip_v, self.clip_scale, self.ac_v,
+            episode.support_images, episode.support_masks,
+            episode.support_valid, episode.query_image,
+            proposals.masks, proposals.valid, vta_text, ac_text)
+        return merged
+
     def predict(
         self,
         episode: Episode,

@@ -218,6 +218,11 @@ class _LoopModel:
         pred[s: s + 4] = 1.0
         return pred
 
+    def predict_launch(self, ep, props, class_name, class_description=""):
+        # same contract as Mars.predict_launch: the returned array is
+        # synced later by the loop's completion window
+        return self.predict(ep, props, class_name, class_description)
+
 
 class TestPipelinedTextLoop:
     """--pipelined-text must reproduce the serial loop's metrics exactly
@@ -254,6 +259,22 @@ class TestPipelinedTextLoop:
         assert (miou_p, fb_p) == (miou_s, fb_s)
         # timing rows stay in episode order
         with open(tmp_path / "pipe" / "ranking_time.csv") as f:
+            rows = list(_csv.reader(f))[1:]
+        assert [int(r[0]) for r in rows] == list(range(5))
+
+    def test_overlap_ranking_matches_synchronous(self, tmp_path):
+        """--overlap-ranking N (launch rankings, pull merged masks a
+        window late) must reproduce the synchronous loop's metrics and
+        row order exactly — same programs, same inputs, FIFO completion."""
+        import csv as _csv
+
+        (miou_0, fb_0), m_sync = self._run(
+            tmp_path, ["--overlap-ranking", "0"], name="sync")
+        (miou_3, fb_3), m_ovl = self._run(
+            tmp_path, ["--overlap-ranking", "3"], name="ovl")
+        assert m_ovl.calls == m_sync.calls
+        assert (miou_3, fb_3) == (miou_0, fb_0)
+        with open(tmp_path / "ovl" / "ranking_time.csv") as f:
             rows = list(_csv.reader(f))[1:]
         assert [int(r[0]) for r in rows] == list(range(5))
 
