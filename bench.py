@@ -205,8 +205,15 @@ def _run():
         dino_params = cast_floating(dino_params)
         clip_v = cast_floating(clip_v)
         ac_v = cast_floating(ac_v)
-    if _os.environ.get("MARS_BENCH_INT8", "1") == "1":
-        # weight-only int8 towers: the production config (cli --int8-towers)
+    # int8 towers are OPT-IN (MARS_BENCH_INT8=1; cli --int8-towers): at the
+    # 128-proposal bucket the AlphaCLIP stage is MXU-compute-bound, so
+    # weight-only int8 measured the same speed as bf16 (609.8 vs 602 ms) —
+    # it is a memory play only — while tools/w8a8_accuracy.py measured
+    # MATERIAL accuracy drift vs bf16 (240 kept-set flips / 8 episodes,
+    # min merged-mask IoU 0.61 under the fusion's min-max amplification,
+    # reference FilteringMergingModule.py:125-132).  bf16 is the default,
+    # matching the reference's fp16 towers (BASELINE.md).
+    if _os.environ.get("MARS_BENCH_INT8", "0") == "1":
         from mars_tpu.models.quantization import quantize_params
 
         dino_params = quantize_params(dino_params)
@@ -366,19 +373,39 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         suffix_d = jnp.asarray(sfx)
         tl_d = jnp.full((D,), suffix_ids.shape[1], jnp.int32)
 
-        def text_stage():
-            # one block of D episodes (cost is reported per episode via
-            # text_div): batched prefill + B=D name decode + B=D
-            # definition decode, per-row prompt-lookup drafts
-            kv = vl.prefill_prefix(vlm_p, prefix_ids_d, pixels_d, vcfg)
-            n = vl.generate_greedy(vlm_p, suffix_d, None, vcfg,
-                                   max_new_tokens=20, true_length=tl_d,
-                                   draft_tokens=8, prefix_kv=kv,
-                                   prefix_len=prefix_len)
-            d = vl.generate_greedy(vlm_p, suffix_d, None, vcfg,
-                                   max_new_tokens=50, true_length=tl_d,
-                                   min_new_tokens=20, draft_tokens=8,
-                                   prefix_kv=kv, prefix_len=prefix_len)
+        # chained in-place KV (the production retriever path): ONE
+        # full-length buffer per block — prefill writes the prefix, the
+        # name decode runs in place (donated) and the definition decode
+        # chains off its returned caches.  Peak KV is 1x instead of
+        # prefill + per-decode copy (bit-identical; TestInplaceChained)
+        buf_len = prefix_len + suffix_d.shape[1] + 50 + 8 + 1
+
+        def text_launch(suffix=None):
+            # one block of D episodes: batched prefill + B=D name decode +
+            # B=D definition decode, per-row prompt-lookup drafts.  Returns
+            # DEVICE arrays — callers sync (the pipelined loop launches the
+            # block and keeps the chip queue fed with proposal programs
+            # while the host waits on the decode)
+            s = suffix_d if suffix is None else suffix
+            kv = vl.prefill_prefix(vlm_p, prefix_ids_d, pixels_d, vcfg,
+                                   max_len=buf_len)
+            n, kv = vl.generate_greedy_donate(
+                vlm_p, s, None, vcfg, max_new_tokens=20, true_length=tl_d,
+                draft_tokens=8, prefix_kv=kv, prefix_len=prefix_len,
+                inplace_prefix=True, return_caches=True)
+            # return_caches even on the last decode: without a cache
+            # output XLA has nothing to alias the donated buffer INTO, so
+            # the donation is unusable (warning + 2x peak KV on this call)
+            d, _ = vl.generate_greedy_donate(
+                vlm_p, s, None, vcfg, max_new_tokens=50, true_length=tl_d,
+                min_new_tokens=20, draft_tokens=8, prefix_kv=kv,
+                prefix_len=prefix_len, inplace_prefix=True,
+                return_caches=True)
+            return n, d
+
+        def text_stage(suffix=None):
+            n, d = text_launch(suffix)
+            # cost is reported per episode via text_div
             return np.asarray(d[0, -1]) + np.asarray(n[0, -1])
     else:
         def text_stage():
@@ -462,6 +489,101 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         stage_ms["ranking"].append(t3 - t2)
         totals.append(text_span + (t2 - t1) + (t3 - t2))
     best = min(totals)
+
+    extras = {}
+    if text_div > 1 and os.environ.get("MARS_BENCH_PIPELINED", "1") == "1":
+        # ---- pipelined loop: the PRODUCTION cli.py structure.  The three
+        # stages above are timed with a host sync after each program, so
+        # every one pays the tunnel's ~35 ms round trip with an idle chip.
+        # The real loop is async: proposal programs for a block's episodes
+        # are enqueued BEFORE its text decode (cli.py launches the
+        # generator, then text_stage.step buffers), ranking launches as
+        # soon as the block's text is read, and merged masks are pulled a
+        # block late — the device queue stays fed while the host waits.
+        # per-episode keys on the host CPU backend (an eager split on the
+        # axon device is a ~35 ms tunnel dispatch each — cli.episode_key
+        # does the same)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            base7 = jax.random.PRNGKey(7)
+            all_keys = [jax.random.fold_in(base7, i)
+                        for i in range(3 * text_div)]
+
+        def pipelined(n_blocks, suffix=None):
+            # min-of-block-spans, mirroring the serial loop's min-of-6 —
+            # the tunnel's ±15% variance (and occasional multi-hundred-ms
+            # stalls) otherwise penalizes the mean-measured loop against
+            # the min-measured serial stages
+            marks = [time.time()]
+            prev = []
+            for blk in range(n_blocks):
+                keys = all_keys[blk * text_div:(blk + 1) * text_div]
+                plist = [bucket_generated_proposals(proposal_stage(k),
+                                                    PROPOSAL_BUCKET)
+                         for k in keys]
+                n_t, d_t = text_launch(suffix)
+                # the real loop reads the decoded ids here (host parses the
+                # class name / definition before text features exist)
+                _ = np.asarray(n_t[0, -1]) + np.asarray(d_t[0, -1])
+                merged = [episode_rank(ep, p, vta_text, ac_text)
+                          for p in plist]
+                for m in prev:
+                    _ = float(m[0, 0])
+                prev = merged
+                marks.append(time.time())
+            for m in prev:
+                _ = float(m[0, 0])
+            marks[-1] = time.time()  # the last block owns its own drain
+            spans = [b - a for a, b in zip(marks, marks[1:])]
+            # block 1 never pulls a previous block's merged masks — it is
+            # systematically light, so steady state is blocks 2..n
+            if len(spans) > 1:
+                spans = spans[1:]
+            return min(spans) / text_div
+
+        _mark("e2e: timing pipelined loop (async cli.py structure)")
+        pipelined(1)  # warm the block-of-keys proposal variants
+        per_ep = pipelined(3)
+        extras["episode_end_to_end_throughput_pipelined"] = round(
+            1.0 / per_ep, 4)
+        extras["end_to_end_pipelined_per_episode_ms"] = round(
+            per_ep * 1000, 1)
+
+        if os.environ.get("MARS_BENCH_TEXT_REALISTIC", "1") == "1":
+            # ---- definition-like filler (VERDICT r3 weak #6): the
+            # worst-case prompt above fills the suffix with ONE constant id,
+            # which pins every n-gram lookup to the degenerate suffix match
+            # and defeats prompt-lookup entirely (0 accepted drafts).  Real
+            # definitions are natural text — repeated phrases, zipfian ids —
+            # so the drafter matches the sequence's own earlier content.  A
+            # seeded order-1 Markov stream over a small id range is the
+            # definition-like proxy; same shapes → same compiled programs.
+            rng_m = np.random.RandomState(11)
+            trans = rng_m.randint(1000, 1256, size=(256, 4))
+            sfx_m = np.zeros((text_div, suffix_d.shape[1]), name_ids.dtype)
+            for r in range(text_div):
+                tok = 1000 + r
+                for j in range(sfx_m.shape[1]):
+                    sfx_m[r, j] = tok
+                    tok = trans[tok - 1000, rng_m.randint(4)]
+            suffix_m = jnp.asarray(sfx_m)
+            _mark("e2e: timing text stage with definition-like filler")
+            spans = []
+            for _ in range(3):
+                t0 = time.time()
+                text_stage(suffix_m)
+                spans.append((time.time() - t0) / text_div)
+            worst = min(stage_ms["text"])
+            extras["text_realistic_ms_per_episode"] = round(
+                min(spans) * 1000, 1)
+            # zero acceptance emits exactly one token per verify forward,
+            # so the worst/realistic span ratio IS the mean tokens emitted
+            # per forward (prefill rides in both numerator and denominator)
+            extras["text_realistic_speculation_speedup"] = round(
+                worst / min(spans), 2)
+            pr = pipelined(3, suffix_m)
+            extras["episode_end_to_end_throughput_realistic"] = round(
+                1.0 / pr, 4)
+
     # full-episode baseline (text + proposals + ranking on the granted
     # A100; tools/measure_reference_baseline.py --e2e) when measured
     e2e_base = None
@@ -469,6 +591,7 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
         with open(_MEASURED) as f:
             e2e_base = json.load(f).get("baseline_e2e_seconds_a100")
     return {
+        **extras,
         "episode_end_to_end_throughput": round(1.0 / best, 4),
         **({"end_to_end_vs_baseline": round(e2e_base / best, 3)}
            if e2e_base else {}),

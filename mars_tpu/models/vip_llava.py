@@ -244,8 +244,9 @@ def embed_multimodal(p, input_ids, pixel_values, cfg: VipLlavaConfig):
     return jnp.where(is_img[..., None], gathered.astype(embeds.dtype), embeds)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def prefill_prefix(p, prefix_ids, pixel_values, cfg: VipLlavaConfig):
+@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def prefill_prefix(p, prefix_ids, pixel_values, cfg: VipLlavaConfig,
+                   max_len: int = 0):
     """KV caches for a shared multimodal prompt PREFIX, exact length.
 
     The retriever's name and definition queries share everything up to the
@@ -255,14 +256,26 @@ def prefill_prefix(p, prefix_ids, pixel_values, cfg: VipLlavaConfig):
     vision tower + ~580 prefix positions can be prefilled once and reused:
     pass the result to ``generate_greedy(prefix_kv=…, prefix_len=…)`` with
     suffix-only input_ids.  Exact — the prefix KV entries are identical to
-    a full-prompt prefill (RoPE runs at the same absolute positions)."""
+    a full-prompt prefill (RoPE runs at the same absolute positions).
+
+    ``max_len`` (static, > prefix length): allocate the caches at the
+    FULL decode length up front and write the prefix into their head —
+    the in-place decode flow (``generate_greedy_donate(prefix_kv=…,
+    inplace_prefix=True)``) then runs the whole name→definition chain in
+    this ONE buffer instead of copying the prefix into a fresh
+    decode-sized cache per query (the copy doubled peak KV memory:
+    ~655 MB/row at the production 7B prompt geometry, the D=6 text-block
+    OOM)."""
     b, lp = prefix_ids.shape
     embeds = embed_multimodal(p, prefix_ids, pixel_values, cfg)
     positions = jnp.broadcast_to(jnp.arange(lp)[None], (b, lp))
     hd = cfg.hidden // cfg.heads
+    if max_len and max_len < lp:
+        raise ValueError(f"max_len {max_len} < prefix length {lp}")
+    L = max_len or lp
     caches = [
-        (jnp.zeros((b, lp, cfg.kv_heads, hd), embeds.dtype),
-         jnp.zeros((b, lp, cfg.kv_heads, hd), embeds.dtype))
+        (jnp.zeros((b, L, cfg.kv_heads, hd), embeds.dtype),
+         jnp.zeros((b, L, cfg.kv_heads, hd), embeds.dtype))
         for _ in range(cfg.layers)
     ]
     _, caches = llama_forward(p["language"], embeds, positions, cfg,
@@ -270,15 +283,13 @@ def prefill_prefix(p, prefix_ids, pixel_values, cfg: VipLlavaConfig):
     return caches
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "max_new_tokens", "eos_id",
-                          "min_new_tokens", "draft_tokens", "ngram",
-                          "prefix_len"))
-def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
-                    max_new_tokens: int = 20, true_length=None,
-                    eos_id: int = None, min_new_tokens: int = 0,
-                    draft_tokens: int = 0, ngram: int = 3,
-                    prefix_kv=None, prefix_len: int = 0):
+def _generate_greedy_impl(p, input_ids, pixel_values, cfg: VipLlavaConfig,
+                          max_new_tokens: int = 20, true_length=None,
+                          eos_id: int = None, min_new_tokens: int = 0,
+                          draft_tokens: int = 0, ngram: int = 3,
+                          prefix_kv=None, prefix_len: int = 0,
+                          inplace_prefix: bool = False,
+                          return_caches: bool = False):
     """Greedy decode (the reference uses greedy generate with
     max_new_tokens=20/50, TextRetrieverModule.py:76,118).
 
@@ -349,17 +360,40 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
     max_len = (prefix_len + l0 + max_new_tokens
                + (draft_tokens + 1 if draft_tokens else 0))
     hd = cfg.hidden // cfg.heads
-    caches = [
-        (jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype),
-         jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype))
-        for _ in range(cfg.layers)
-    ]
-    if prefix_kv is not None:
+    if inplace_prefix:
+        # the caller prefilled a FULL-decode-length buffer
+        # (prefill_prefix(max_len=…)) and this decode writes into it
+        # directly — no decode-sized copy, so peak KV memory is ONE
+        # buffer.  Pair with generate_greedy_donate so XLA aliases the
+        # input buffer instead of copying it.  Chaining is exact: a
+        # later query's suffix forward rewrites the suffix positions with
+        # identical KV, and positions past its own progress hold stale
+        # values that are always rewritten before they are attended (the
+        # same argument that makes right-pad bucketing exact).
+        if prefix_kv is None:
+            raise ValueError("inplace_prefix needs prefix_kv")
+        if prefix_kv[0][0].shape[1] < max_len:
+            raise ValueError(
+                f"inplace prefix_kv length {prefix_kv[0][0].shape[1]} < "
+                f"required {max_len} (prefill with max_len>=this)")
+        caches = prefix_kv
+    else:
         caches = [
-            (ck.at[:, :prefix_len].set(pk.astype(ck.dtype)),
-             cv.at[:, :prefix_len].set(pv.astype(cv.dtype)))
-            for (ck, cv), (pk, pv) in zip(caches, prefix_kv)
+            (jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype),
+             jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype))
+            for _ in range(cfg.layers)
         ]
+        if prefix_kv is not None:
+            # slice: prefix_kv may be an oversized in-place buffer whose
+            # head holds the prefix (the copy-path fallback for a decode
+            # that outgrew its buffer)
+            caches = [
+                (ck.at[:, :prefix_len].set(
+                    pk[:, :prefix_len].astype(ck.dtype)),
+                 cv.at[:, :prefix_len].set(
+                     pv[:, :prefix_len].astype(cv.dtype)))
+                for (ck, cv), (pk, pv) in zip(caches, prefix_kv)
+            ]
     logits, caches = llama_forward(p["language"], embeds, positions, cfg,
                                    caches, prefix_len)
     per_row = getattr(true_length, "ndim", 0) == 1
@@ -408,18 +442,20 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
             start_s = start[0] if per_row else jnp.asarray(start, jnp.int32)
             mnt = (min_new_tokens[0] if isinstance(min_new_tokens, tuple)
                    else min_new_tokens)
-            return _speculative_greedy(
+            out, _, caches = _speculative_greedy(
                 p, cfg, input_ids, caches, next_tok,
                 jnp.asarray(start_s) - prefix_len,
                 max_new_tokens, eos_id, mnt, draft_tokens, ngram,
-                cache_offset=prefix_len)[0]
+                cache_offset=prefix_len)
+            return (out, caches) if return_caches else out
         start_b = (start if per_row
                    else jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,)))
-        return _speculative_greedy_batched(
+        out, _, caches = _speculative_greedy_batched(
             p, cfg, input_ids, caches, next_tok,
             jnp.asarray(start_b, jnp.int32) - prefix_len,
             max_new_tokens, eos_id, min_new_tokens, draft_tokens, ngram,
-            cache_offset=prefix_len)[0]
+            cache_offset=prefix_len)
+        return (out, caches) if return_caches else out
 
     def advance(tok, caches, i):
         """One cached decode step: emit slot i+1's token from slot i's."""
@@ -432,7 +468,8 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
 
     if eos_id is None:  # fixed-trip scan: benchmarks / parity fixtures
         if max_new_tokens == 1:
-            return next_tok[:, None]
+            return (next_tok[:, None], caches) if return_caches \
+                else next_tok[:, None]
 
         def step(carry, i):
             tok, caches = carry
@@ -441,10 +478,11 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
 
         # N-1 advances emit slots 0..N-2; the final carry IS slot N-1 — the
         # old N-trip scan paid one extra decode step for a discarded token
-        (last, _), toks = jax.lax.scan(step, (next_tok, caches),
-                                       jnp.arange(max_new_tokens - 1))
-        return jnp.concatenate(
+        (last, caches), toks = jax.lax.scan(step, (next_tok, caches),
+                                            jnp.arange(max_new_tokens - 1))
+        out = jnp.concatenate(
             [jnp.swapaxes(toks, 0, 1), last[:, None]], axis=1)
+        return (out, caches) if return_caches else out
 
     # EOS path: dynamic trip count, static shapes.  ``buf`` starts full of
     # EOS so never-written tail slots read as finished rows downstream.
@@ -473,8 +511,28 @@ def generate_greedy(p, input_ids, pixel_values, cfg: VipLlavaConfig,
         return (i + 1, nxt, caches, done, buf)
 
     c = (jnp.int32(0), next_tok, caches, jnp.zeros((b,), bool), buf0)
-    _, _, _, _, buf = jax.lax.while_loop(cond, body, c)
-    return buf  # (B, max_new_tokens)
+    _, _, caches, _, buf = jax.lax.while_loop(cond, body, c)
+    return (buf, caches) if return_caches else buf  # (B, max_new_tokens)
+
+
+_GENERATE_STATIC = ("cfg", "max_new_tokens", "eos_id", "min_new_tokens",
+                    "draft_tokens", "ngram", "prefix_len", "inplace_prefix",
+                    "return_caches")
+
+generate_greedy = partial(jax.jit,
+                          static_argnames=_GENERATE_STATIC)(
+    _generate_greedy_impl)
+
+# Donating variant for the in-place prefix flow: XLA aliases the prefix_kv
+# buffers into the decode's caches, so chaining name → definition through
+# ONE prefill_prefix(max_len=…) buffer never holds two decode-length KV
+# copies (the copy was the block-text memory ceiling: D=6 OOMed).  The
+# donated input is INVALID after the call — callers must thread the
+# returned caches (return_caches=True) into the next query.
+generate_greedy_donate = partial(jax.jit,
+                                 static_argnames=_GENERATE_STATIC,
+                                 donate_argnames=("prefix_kv",))(
+    _generate_greedy_impl)
 
 
 def _prompt_lookup_draft(seq, end, n: int, K: int):
@@ -574,10 +632,10 @@ def _speculative_greedy(p, cfg, input_ids, caches, next_tok, start,
 
     c = (jnp.int32(0), jnp.int32(0), next_tok, caches, seq0, buf0,
          jnp.bool_(False))
-    _, rounds, _, _, _, buf, _ = jax.lax.while_loop(cond, body, c)
+    _, rounds, _, caches, _, buf, _ = jax.lax.while_loop(cond, body, c)
     # rounds = verify forwards taken (acceptance telemetry: N/rounds is the
     # mean emitted-tokens-per-forward; tests bound it on periodic output)
-    return buf[:, :max_new_tokens], rounds
+    return buf[:, :max_new_tokens], rounds, caches
 
 
 def _speculative_greedy_batched(p, cfg, input_ids, caches, next_tok, start,
@@ -666,8 +724,8 @@ def _speculative_greedy_batched(p, cfg, input_ids, caches, next_tok, start,
 
     c = (jnp.zeros((bsz,), jnp.int32), jnp.int32(0), next_tok, caches, seq0,
          buf0, jnp.zeros((bsz,), bool))
-    _, rounds, _, _, _, buf, _ = jax.lax.while_loop(cond, body, c)
-    return buf[:, :N], rounds
+    _, rounds, _, caches, _, buf, _ = jax.lax.while_loop(cond, body, c)
+    return buf[:, :N], rounds, caches
 
 
 def forward_logits(p, input_ids, pixel_values, cfg: VipLlavaConfig):

@@ -275,13 +275,23 @@ class JaxVipLlava:
                 shared_prefix=shared_prefix))
         return out
 
-    def _batch_prefix_state(self, shared_prefix, images, ids, lens, pixels):
-        """→ (prefix_len, stacked prefix KV) for a batch whose rows all
-        prefix-match the shared template, or (0, None) to fall back.
+    # in-place buffer decode-budget headroom: covers any retriever budget
+    # (name 20, definition 50) plus the speculative verify slack, so the
+    # definition pass always fits the buffer its name pass prefilled
+    _INPLACE_BUDGET = 64
 
-        The KV stack is cached one-slot by (prefix ids, image hashes) so a
-        block's two decodes (names, then definitions over the SAME drawn
-        images) pay one prefill."""
+    def _batch_prefix_state(self, shared_prefix, images, ids, lens, pixels):
+        """→ (prefix_len, cache_key, stacked prefix KV) for a batch whose
+        rows all prefix-match the shared template, or (0, None, None).
+
+        The KV stack is cached by (prefix ids, image hashes) so a block's
+        two decodes (names, then definitions over the SAME drawn images)
+        pay one prefill.  The buffer is allocated at FULL decode length
+        (prefill_prefix max_len) and the decodes run IN PLACE
+        (generate_greedy_donate), chaining name → definition through one
+        buffer: peak KV is 1x instead of prefill + per-decode copy.  The
+        caller must store the decode's returned caches back under
+        cache_key — the donated input is invalid afterwards."""
         import jax.numpy as jnp
         import numpy as np
         from PIL import Image
@@ -297,7 +307,7 @@ class JaxVipLlava:
         ref = np.asarray(key_ids)
         for row, l in zip(ids, lens):
             if l <= lp or not np.array_equal(row[:lp], ref):
-                return 0, None
+                return 0, None, None
         cache_key = (key_ids,
                      tuple(im.shape for im in images),
                      tuple(hash(im.tobytes()) for im in images))
@@ -311,7 +321,7 @@ class JaxVipLlava:
 
             cache = self._batch_prefix_cache = OrderedDict()
         if cache_key in cache:
-            return lp, cache[cache_key]
+            return lp, cache_key, cache[cache_key]
         # free all but the most recent entry BEFORE prefilling: a ≤2-chunk
         # block keeps its name chunks alive for the definition pass, while
         # stale previous-block stacks are dropped ahead of the allocation
@@ -319,10 +329,13 @@ class JaxVipLlava:
         while len(cache) > 1:
             cache.popitem(last=False)
         prefix_ids = jnp.asarray(np.broadcast_to(ref, (len(images), lp)))
+        bucket = ((max(l - lp for l in lens) + 127) // 128) * 128
+        max_len = (lp + bucket + self._INPLACE_BUDGET
+                   + self.draft_tokens + 1)
         kv = self._vl.prefill_prefix(self.params, prefix_ids, pixels,
-                                     self.cfg)
+                                     self.cfg, max_len=max_len)
         cache[cache_key] = kv
-        return lp, kv
+        return lp, cache_key, kv
 
     def _generate_batch_chunk(self, images, prompts, maxs, mins,
                               shared_prefix=None):
@@ -341,9 +354,9 @@ class JaxVipLlava:
         pixels = jnp.asarray(np.concatenate(
             [np.transpose(i["pixel_values"], (0, 2, 3, 1)) for i in per]))
 
-        prefix_len, prefix_kv = 0, None
+        prefix_len, cache_key, prefix_kv = 0, None, None
         if shared_prefix:
-            prefix_len, prefix_kv = self._batch_prefix_state(
+            prefix_len, cache_key, prefix_kv = self._batch_prefix_state(
                 shared_prefix, images, rows, lens, pixels)
         if prefix_kv is not None:
             rows = [r[prefix_len:] for r in rows]
@@ -356,16 +369,32 @@ class JaxVipLlava:
         # a homogeneous min stays a scalar static arg (one compile serves
         # every batch size / composition); mixed floors pass per-row
         mn = mins[0] if len(set(mins)) == 1 else tuple(mins)
+        budget = max(max(maxs), max(mins))
+        kw = dict(max_new_tokens=budget,
+                  true_length=jnp.asarray(lens, jnp.int32),
+                  eos_id=self._eos_id(), min_new_tokens=mn,
+                  draft_tokens=self.draft_tokens, ngram=self.ngram,
+                  prefix_kv=prefix_kv, prefix_len=prefix_len)
+        need = (prefix_len + bucket + budget
+                + (self.draft_tokens + 1 if self.draft_tokens else 0))
         # batch x speculation compose: per-row prompt-lookup drafts ride the
         # same (B, K+1)-position verify forward (_speculative_greedy_batched)
-        toks = self._vl.generate_greedy(
-            self.params, jnp.asarray(ids), pixels, self.cfg,
-            max_new_tokens=max(max(maxs), max(mins)),
-            true_length=jnp.asarray(lens, jnp.int32),
-            eos_id=self._eos_id(), min_new_tokens=mn,
-            draft_tokens=self.draft_tokens, ngram=self.ngram,
-            prefix_kv=prefix_kv, prefix_len=prefix_len,
-        )
+        if prefix_kv is not None and prefix_kv[0][0].shape[1] >= need:
+            # in-place chained decode: this call consumes (donates) the
+            # buffer and the returned caches replace it in the cache, so
+            # the definition pass chains off the name pass's buffer —
+            # bit-identical to the copy path (tests/test_vip_llava.py
+            # TestInplaceChained), at HALF the peak KV
+            toks, new_kv = self._vl.generate_greedy_donate(
+                self.params, jnp.asarray(ids), pixels, self.cfg,
+                inplace_prefix=True, return_caches=True, **kw)
+            self._batch_prefix_cache[cache_key] = new_kv
+        else:
+            # plain copy path (also the fallback when a decode outgrows
+            # the prefilled buffer; the oversized buffer's head still
+            # serves as a valid prefix source)
+            toks = self._vl.generate_greedy(
+                self.params, jnp.asarray(ids), pixels, self.cfg, **kw)
         toks = np.asarray(toks)
         return [self._decode_row(toks[i][:mx])
                 for i, mx in enumerate(maxs)]

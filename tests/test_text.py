@@ -462,6 +462,7 @@ def test_generate_batch_shared_prefix_exact():
     real_prefill = vl.prefill_prefix
     vlm._vl = type("VlProxy", (), {
         "generate_greedy": staticmethod(vl.generate_greedy),
+        "generate_greedy_donate": staticmethod(vl.generate_greedy_donate),
         "prefill_prefix": staticmethod(
             lambda *a, **k: (calls.append(1), real_prefill(*a, **k))[1]),
     })
@@ -543,6 +544,7 @@ def test_jax_vlm_shared_prefix_reuse_exact():
     real_prefill = vl.prefill_prefix
     vlm._vl = type("VlProxy", (), {
         "generate_greedy": staticmethod(vl.generate_greedy),
+        "generate_greedy_donate": staticmethod(vl.generate_greedy_donate),
         "prefill_prefix": staticmethod(
             lambda *a, **k: (calls.append(1), real_prefill(*a, **k))[1]),
     })

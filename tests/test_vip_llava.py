@@ -382,7 +382,7 @@ class TestSpeculativeDecoding:
         prompt = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 0, 1],
                               [3, 4, 5, 6, 7, 0, 1, 2, 3, 4]], jnp.int32)
         N, K = 24, 5
-        buf, rounds = vl._speculative_greedy_batched(
+        buf, rounds, _ = vl._speculative_greedy_batched(
             p, self.cfg, prompt, [], jnp.asarray([2, 5], jnp.int32),
             jnp.full((2,), prompt.shape[1], jnp.int32), N, None, 0, K, 3)
         np.testing.assert_array_equal(
@@ -412,7 +412,7 @@ class TestSpeculativeDecoding:
         p = {"language": {"embed_tokens": jnp.eye(V, dtype=jnp.float32)}}
         prompt = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 0, 1]], jnp.int32)
         N, K = 24, 5
-        buf, rounds = vl._speculative_greedy(
+        buf, rounds, _ = vl._speculative_greedy(
             p, self.cfg, prompt, [], jnp.asarray([2], jnp.int32),
             jnp.int32(prompt.shape[1]), N, None, 0, K, 3)
         np.testing.assert_array_equal(
@@ -524,6 +524,109 @@ class TestPrefixResume:
                                      true_length=jnp.int32(ls),
                                      max_new_tokens=6, draft_tokens=3)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(split_d))
+
+
+class TestInplaceChained:
+    """prefill_prefix(max_len=…) + generate_greedy_donate(
+    inplace_prefix=True) chaining the name query into the definition
+    query through ONE full-length KV buffer must be bit-identical to the
+    standard copy-per-query prefix flow on every decode path: the second
+    query's suffix forward rewrites the suffix slots with identical KV,
+    and every slot past its own progress is rewritten before it is
+    attended (same argument as right-pad bucketing)."""
+
+    N_NAME, N_DEF = 4, 8
+
+    def setup_method(self):
+        from mars_tpu.models import vip_llava as vl
+
+        self.cfg = vl.TINY
+        self.p = vl.init_random_params(11, self.cfg, dtype=jnp.float32)
+        g = (self.cfg.image_size // self.cfg.patch_size) ** 2
+        self.lp = 2 + g
+        ls = 7
+        ids = np.full((2, self.lp + ls), 5, np.int64)
+        ids[:, 1:1 + g] = self.cfg.image_token_index
+        ids[0, self.lp:] = np.arange(40, 40 + ls)
+        ids[1, self.lp:] = np.arange(60, 60 + ls)
+        self.prefix = jnp.asarray(ids[:, :self.lp])
+        self.suffix = jnp.asarray(ids[:, self.lp:])
+        self.pixels = jnp.asarray(
+            np.random.RandomState(5).rand(2, 56, 56, 3), jnp.float32)
+
+    def _chained_vs_standard(self, rows=2, **kw):
+        from mars_tpu.models import vip_llava as vl
+
+        prefix, suffix = self.prefix[:rows], self.suffix[:rows]
+        pixels = self.pixels[:rows]
+        K = kw.get("draft_tokens", 0)
+        # standard flow: prefix KV copied into a fresh cache per query
+        kv_ref = vl.prefill_prefix(self.p, prefix, pixels, self.cfg)
+        name_ref = vl.generate_greedy(
+            self.p, suffix, None, self.cfg, max_new_tokens=self.N_NAME,
+            prefix_kv=kv_ref, prefix_len=self.lp, **kw)
+        def_ref = vl.generate_greedy(
+            self.p, suffix, None, self.cfg, max_new_tokens=self.N_DEF,
+            prefix_kv=kv_ref, prefix_len=self.lp, **kw)
+
+        # chained in-place flow: one buffer sized for the larger decode
+        max_len = (self.lp + suffix.shape[1] + self.N_DEF
+                   + (K + 1 if K else 0))
+        kv = vl.prefill_prefix(self.p, prefix, pixels, self.cfg,
+                               max_len=max_len)
+        name, kv = vl.generate_greedy_donate(
+            self.p, suffix, None, self.cfg, max_new_tokens=self.N_NAME,
+            prefix_kv=kv, prefix_len=self.lp, inplace_prefix=True,
+            return_caches=True, **kw)
+        dfn = vl.generate_greedy_donate(
+            self.p, suffix, None, self.cfg, max_new_tokens=self.N_DEF,
+            prefix_kv=kv, prefix_len=self.lp, inplace_prefix=True, **kw)
+        np.testing.assert_array_equal(np.asarray(name_ref),
+                                      np.asarray(name), err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(def_ref),
+                                      np.asarray(dfn), err_msg=str(kw))
+
+    def test_scan_path(self):
+        self._chained_vs_standard()
+
+    def test_eos_and_min_tokens(self):
+        from mars_tpu.models import vip_llava as vl
+
+        ref = vl.generate_greedy(self.p, self.suffix, None, self.cfg,
+                                 prefix_kv=vl.prefill_prefix(
+                                     self.p, self.prefix, self.pixels,
+                                     self.cfg),
+                                 prefix_len=self.lp, max_new_tokens=6)
+        eos = int(np.asarray(ref)[0, 2])
+        self._chained_vs_standard(eos_id=eos)
+        self._chained_vs_standard(eos_id=eos, min_new_tokens=3)
+
+    def test_speculative_b1(self):
+        self._chained_vs_standard(rows=1, draft_tokens=3)
+
+    def test_speculative_batched_true_length(self):
+        ls = self.suffix.shape[1]
+        pad = jnp.pad(self.suffix, ((0, 0), (0, 5)), constant_values=5)
+        from mars_tpu.models import vip_llava as vl
+
+        kv_ref = vl.prefill_prefix(self.p, self.prefix, self.pixels,
+                                   self.cfg)
+        kw = dict(max_new_tokens=self.N_DEF, draft_tokens=3,
+                  true_length=jnp.full((2,), ls, jnp.int32),
+                  prefix_len=self.lp)
+        def_ref = vl.generate_greedy(self.p, pad, None, self.cfg,
+                                     prefix_kv=kv_ref, **kw)
+        max_len = self.lp + pad.shape[1] + self.N_DEF + 4
+        kv = vl.prefill_prefix(self.p, self.prefix, self.pixels, self.cfg,
+                               max_len=max_len)
+        name, kv = vl.generate_greedy_donate(
+            self.p, pad, None, self.cfg, prefix_kv=kv,
+            inplace_prefix=True, return_caches=True,
+            **{**kw, "max_new_tokens": self.N_NAME})
+        dfn = vl.generate_greedy_donate(
+            self.p, pad, None, self.cfg, prefix_kv=kv,
+            inplace_prefix=True, **kw)
+        np.testing.assert_array_equal(np.asarray(def_ref), np.asarray(dfn))
 
 
 def test_batched_variable_length_matches_per_row():
