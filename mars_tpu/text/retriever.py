@@ -182,15 +182,30 @@ class JaxVipLlava:
         # skips ~17 weight-streaming steps); min_new_tokens masks EOS like
         # HF's MinNewTokensLengthLogitsProcessor (the reference's definition
         # query, TextRetrieverModule.py:118)
-        toks = self._vl.generate_greedy(
-            self.params, jnp.asarray(body),
-            None if prefix_kv is not None else pixels, self.cfg,
-            max_new_tokens=max(max_new_tokens, min_new_tokens),
-            true_length=jnp.int32(tl),
-            eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
-            draft_tokens=self.draft_tokens, ngram=self.ngram,
-            prefix_kv=prefix_kv, prefix_len=prefix_len,
-        )
+        budget = max(max_new_tokens, min_new_tokens)
+        kw = dict(max_new_tokens=budget, true_length=jnp.int32(tl),
+                  eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
+                  draft_tokens=self.draft_tokens, ngram=self.ngram,
+                  prefix_kv=prefix_kv, prefix_len=prefix_len)
+        need = (prefix_len + bucket + budget
+                + (self.draft_tokens + 1 if self.draft_tokens else 0))
+        if prefix_kv is not None and prefix_kv[0][0].shape[1] >= need:
+            # in-place chained decode (same flow as the batched path): the
+            # cached full-length buffer is donated, the decode writes into
+            # it, and the returned caches replace it so the definition
+            # query chains off the name query's buffer — 1x peak KV,
+            # bit-identical (tests/test_vip_llava.py TestInplaceChained)
+            toks, new_kv = self._vl.generate_greedy_donate(
+                self.params, jnp.asarray(body), None, self.cfg,
+                inplace_prefix=True, return_caches=True, **kw)
+            self._prefix_kv_cache = (self._prefix_kv_cache[0], new_kv)
+        else:
+            # plain path: fresh cache (no prefix) or copy fallback when the
+            # decode outgrew the prefilled buffer (its head still holds a
+            # valid prefix)
+            toks = self._vl.generate_greedy(
+                self.params, jnp.asarray(body),
+                None if prefix_kv is not None else pixels, self.cfg, **kw)
         return self._decode_row(np.asarray(toks)[0])
 
     def _prefix_state(self, shared_prefix, image, ids_np, pixels):
@@ -214,10 +229,15 @@ class JaxVipLlava:
         if self._prefix_kv_cache is not None \
                 and self._prefix_kv_cache[0] == cache_key:
             return lp, self._prefix_kv_cache[1]
+        # full-decode-length buffer for the in-place chained flow (see
+        # generate): suffix bucketed to 128 + the retriever budget headroom
+        bucket = ((ids_np.shape[1] - lp + 127) // 128) * 128
+        max_len = (lp + bucket + self._INPLACE_BUDGET
+                   + (self.draft_tokens + 1 if self.draft_tokens else 0))
         kv = self._vl.prefill_prefix(
             self.params, jnp.asarray(np.asarray(key_ids)[None]), pixels,
-            self.cfg)
-        self._prefix_kv_cache = (cache_key, kv)  # one slot: ~0.3 GB of KV
+            self.cfg, max_len=max_len)
+        self._prefix_kv_cache = (cache_key, kv)  # one slot: ~0.7 GB of KV
         return lp, kv
 
     # Largest device batch per decode: each row holds ~0.68 GB of bf16 KV
