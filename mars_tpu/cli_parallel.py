@@ -8,11 +8,12 @@ runs the dp proposal generator + dp batched ranker (parallel/runner), one
 episode per chip per step; tensor-parallel towers over 'model' compose
 via parallel.mesh sharding rules.
 
-Scope: the gt-class-name text path (reference --gt_class_names,
-main_MARS.py:131).  The VLM retriever is a per-episode host-driven stage
-whose device decode is already batched/tensor-parallel (models.vip_llava);
-wiring it in is orthogonal to episode parallelism and stays on the serial
-driver.  Proposals: synthetic stand-ins, precomputed dumps
+Text: the gt-class-name path (reference --gt_class_names,
+main_MARS.py:131) or the full VLM retriever — the dp batch doubles as the
+text block (one B-row ViP-LLaVA decode per query kind per batch via
+BlockTextStage; the decode is tensor-parallel under --mesh-model and
+per-row exact, so the (name, definition) stream matches the serial
+driver's bit-for-bit).  Proposals: synthetic stand-ins, precomputed dumps
 (--mask-proposals-path), or inline episode-parallel generation
 (--generate-proposals).
 
@@ -33,18 +34,21 @@ from mars_tpu.data.base import episode_host_u8, resized_gt
 from mars_tpu.utils import evaluation
 
 
-def _text_feats(model, class_name: str, cache: dict):
-    """Per-class text features (cached — folds share ~tens of classes)."""
-    if class_name not in cache:
+def _text_feats(model, class_name: str, cache: dict,
+                class_description: str = ""):
+    """Per-(class, description) text features (cached — folds share ~tens
+    of classes; the VLM's definitions repeat per class too)."""
+    key = (class_name, class_description)
+    if key not in cache:
         from mars_tpu.text import prompts as prompt_data
 
         vta_text = model._vta_text_feats(class_name)
         ac_text = model._alpha_clip_text_feats(
-            prompt_data.alpha_clip_text(class_name, ""))
+            prompt_data.alpha_clip_text(class_name, class_description))
         # cached as numpy: the batch assembly np.stacks host arrays and
         # ships one transfer per field (device stacks are eager dispatches)
-        cache[class_name] = (np.asarray(vta_text), np.asarray(ac_text))
-    return cache[class_name]
+        cache[key] = (np.asarray(vta_text), np.asarray(ac_text))
+    return cache[key]
 
 
 def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
@@ -52,12 +56,20 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
                       seed: int = 0, gen_bundle=None, props_fn=None,
                       local_batch: int = 1, log=print, metrics_fn=None,
                       meter=None, start_idx: int = 0, snapshot=None,
-                      bad_idxs=frozenset()):
+                      bad_idxs=frozenset(), text_stage=None):
     """Run the eval loop in mesh-sized episode batches.
 
     gen_bundle: (sam_params, sam_cfg, amg_cfg, mcfg) → inline dp proposal
     generation; otherwise ``props_fn(idx, rec) -> Proposals`` supplies a
     host-side bucket (dumps or synthetic stand-ins).
+
+    text_stage: a BlockTextStage-protocol object (step(images, masks) →
+    [] | [(name, desc)…], flush() → the partial block) wired to the VLM
+    retriever — the dp batch IS its text block: one B-row decode answers
+    the whole batch's name queries and another the definitions (the VLM's
+    batched decode is per-row exact, so the (name, desc) stream is
+    bit-identical to the serial retriever's — reference
+    TextRetrieverModule.py:76-122).  None = the gt-class-name path.
 
     ``local_batch``: episodes per chip per step (the generator lax.maps its
     locals sequentially — dead-chunk conds stay live; the ranker vmaps).
@@ -121,19 +133,39 @@ def evaluate_parallel(model, ds, mesh, *, input_size: int, nshot: int = 1,
 
         # host-side assembly: everything stays numpy until ONE fixed-shape
         # transfer per field per batch (uint8 over the wire for images)
-        recs, eps, texts, host_props = [], [], [], []
+        recs, eps, host_props = [], [], []
         for k, idx in enumerate(padded):
             # pad rows reuse the last live record WITHOUT re-reading the
             # dataset (COCO-style datasets draw from their RNG per getitem)
             rec = ds[idx] if k < live else recs[-1]
             recs.append(rec)
             eps.append(episode_host_u8(rec, input_size, nshot))
-            texts.append(_text_feats(model, rec.class_name, cache))
             if generator is None:
                 # pad rows reuse the last LIVE bucket: props_fn may consume
                 # host RNG draws, which must match the serial loop's order
                 host_props.append(props_fn(idx, rec) if k < live
                                   else host_props[-1])
+
+        if text_stage is not None:
+            # VLM text for the whole batch: step the block stage with each
+            # live episode's valid support shots (uint8 HWC + float masks —
+            # episode_host_u8's arrays round-trip bit-exact vs the serial
+            # driver's support_host_arrays), then flush the partial block
+            pairs = []
+            for k in range(live):
+                sup_i, sup_m, _, sup_v = eps[k]
+                ns = int(sup_v.sum())
+                pairs += text_stage.step(
+                    [sup_i[i] for i in range(ns)],
+                    [sup_m[i].astype(np.float32) for i in range(ns)])
+            if len(pairs) < live:
+                pairs += text_stage.flush()
+            texts = [_text_feats(model, nm, cache, desc)
+                     for nm, desc in pairs]
+            texts += [texts[-1]] * (len(padded) - live)  # pad rows
+        else:
+            texts = [_text_feats(model, rec.class_name, cache)
+                     for rec in recs]
 
         sup_i, sup_m, qry = to_floats(
             jnp.asarray(np.stack([e[0] for e in eps])),
@@ -197,11 +229,6 @@ def main(argv=None):
     p.add_argument("--local-batch", type=int, default=1,
                    help="episodes per chip per step")
     args = p.parse_args(argv)
-    if not args.gt_class_names:
-        raise SystemExit(
-            "cli_parallel runs the gt-class-name text path; the VLM "
-            "retriever is per-episode host work — use the serial cli, or "
-            "precompute names (reference --gt_class_names, main_MARS.py:131)")
     if args.exp_name:
         args.log_path = os.path.join(args.log_path, args.exp_name)
 
@@ -278,6 +305,18 @@ def main(argv=None):
             cli.save_resume_state(resume_path, next_idx, meter, [],
                                   cli.capture_rng_states(rng, ds))
 
+    text_stage = None
+    if not args.gt_class_names and model.retriever is not None:
+        # the dp batch is the text block: ONE B-row VLM decode answers the
+        # batch's name queries and another the definitions (per-row exact →
+        # the (name, desc) stream matches the serial driver's bit-for-bit);
+        # the VLM decode itself is tensor-parallel under --mesh-model
+        from mars_tpu.text.retriever import BlockTextStage
+
+        text_stage = BlockTextStage(
+            model.retriever,
+            depth=mesh.shape["data"] * args.local_batch)
+
     t0 = time.time()
     miou, fb, meter, batch_times = evaluate_parallel(
         model, ds, mesh, input_size=args.input_size, nshot=args.nshot,
@@ -287,7 +326,7 @@ def main(argv=None):
         metrics_fn=lambda m: mlog.MetricsLogger(args.log_path, m,
                                                 append=args.resume),
         meter=meter, start_idx=start_idx, snapshot=snapshot,
-        bad_idxs=bad_idxs)
+        bad_idxs=bad_idxs, text_stage=text_stage)
     total = time.time() - t0
     if os.path.exists(resume_path):
         os.remove(resume_path)  # run completed; a later --resume restarts

@@ -96,6 +96,27 @@ def _attention_impl() -> str:
     return _ATTENTION_IMPL
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def attention_impl(impl: str):
+    """Trace-time override of the attention implementation.
+
+    ``mha`` reads the module global while the caller's function is being
+    TRACED, so wrapping the body of a jitted/shard_mapped function in this
+    context pins the impl for that program only (used by parallel.runner:
+    a pallas_call cannot be auto-partitioned by GSPMD, so programs whose
+    towers shard over an auto mesh axis must trace the XLA path)."""
+    global _ATTENTION_IMPL
+    prev = _ATTENTION_IMPL
+    set_attention_impl(impl)
+    try:
+        yield
+    finally:
+        _ATTENTION_IMPL = prev
+
+
 def mha(p, x, num_heads: int, return_attn: bool = False, mask=None,
         force_xla: bool = False):
     """Multi-head self-attention with optional head-averaged prob tap.

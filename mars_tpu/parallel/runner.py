@@ -20,6 +20,30 @@ from mars_tpu.core import imaging
 from mars_tpu.pipeline import filtering, vta as vta_m, vva as vva_m
 
 
+def _manual_axes(mesh: Mesh, axis: str):
+    """Mesh axes a runner shard_map runs MANUALLY: the primary ``axis``
+    plus every size-1 axis.  When nothing is left auto, pallas kernels in
+    the body lower per-chip as written; any remaining auto axis (real
+    tensor parallelism over 'model') routes the body through GSPMD, which
+    cannot partition a ``pallas_call`` ("Mosaic kernels cannot be
+    automatically partitioned") — those programs must trace the XLA
+    attention path instead.  → (axis_names set, needs_xla_attention)."""
+    manual = {n for n in mesh.axis_names if n == axis or mesh.shape[n] == 1}
+    return manual, len(manual) < len(mesh.axis_names)
+
+
+def _xla_attention_body(fn):
+    """Wrap a shard_map body so it TRACES with the XLA attention impl
+    (pallas cannot be GSPMD-partitioned over auto mesh axes)."""
+    from mars_tpu.models import layers
+
+    def wrapped(*a):
+        with layers.attention_impl("xla"):
+            return fn(*a)
+
+    return wrapped
+
+
 def make_batched_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg, vta_cfg, fm_cfg,
                         mesh: Optional[Mesh] = None):
     """→ ranker(params_bundle, batch) over leading episode axis.
@@ -58,12 +82,16 @@ def make_batched_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg, vta_cfg, fm_cfg,
     # Manual shard_map over 'data': each chip runs its local episode shard
     # with NO possibility of GSPMD inserting cross-chip collectives on
     # episode tensors (under plain in_shardings GSPMD was observed to
-    # all-gather a conv kernel inside the vmapped AlphaCLIP stage).  The
-    # 'model' axis stays auto, so tensor-parallel params still work.
+    # all-gather a conv kernel inside the vmapped AlphaCLIP stage).  A
+    # real 'model' axis stays auto so tensor-parallel params still work —
+    # which forces the XLA attention trace (pallas can't be
+    # GSPMD-partitioned); a size-1 'model' axis goes manual so the pallas
+    # tap keeps running on TPU.
+    manual, needs_xla = _manual_axes(mesh, "data")
     fn = jax.shard_map(
-        vmapped,
+        _xla_attention_body(vmapped) if needs_xla else vmapped,
         mesh=mesh,
-        axis_names={"data"},
+        axis_names=manual,
         in_specs=(P(),) + (P("data"),) * 8,
         out_specs=(P("data"), P("data")),
         check_vma=False,
@@ -141,10 +169,11 @@ def make_proposal_parallel_ranker(dino_cfg, clip_vcfg, ac_vcfg, vva_cfg,
             max_reduce=lambda x: jax.lax.pmax(x, axis))
         return merged, final
 
+    manual, needs_xla = _manual_axes(mesh, axis)
     fn = jax.shard_map(
-        rank,
+        _xla_attention_body(rank) if needs_xla else rank,
         mesh=mesh,
-        axis_names={axis},
+        axis_names=manual,
         in_specs=(P(),) + (P(),) * 4 + (P(axis), P(axis)) + (P(),) * 2,
         out_specs=(P(), P(axis)),
         check_vma=False,
@@ -204,10 +233,11 @@ def make_batched_proposal_generator(dino_cfg, sam_cfg, amg_cfg, mcfg,
                     "mask_score": out["mask_score"]}
         return jax.lax.map(one, (keys, sup_i, sup_m, sup_v, qry))
 
+    manual, needs_xla = _manual_axes(mesh, axis)
     fn = jax.shard_map(
-        body,
+        _xla_attention_body(body) if needs_xla else body,
         mesh=mesh,
-        axis_names={axis},
+        axis_names=manual,
         in_specs=(P(),) + (P(axis),) * 5,
         out_specs=P(axis),
         check_vma=False,

@@ -47,6 +47,26 @@ def _tiny_mars():
     )
 
 
+class _StubVLM:
+    """Deterministic VLM stand-in: name varies with image content, the
+    definition restates the name (mirrors test_cli._LoopVLM)."""
+
+    NAMES = ["dog", "plant", "sheep"]
+
+    def _answer(self, image, prompt):
+        if "definition" in prompt:
+            name = next((n for n in self.NAMES if n in prompt), "thing")
+            return f"a {name} is a kind of thing"
+        return self.NAMES[int(image.sum()) % len(self.NAMES)]
+
+    def generate(self, image, prompt, max_new_tokens=20, min_new_tokens=0):
+        return self._answer(image, prompt)
+
+    def generate_batch(self, images, prompts, max_new_tokens=20,
+                       min_new_tokens=0):
+        return [self._answer(im, pr) for im, pr in zip(images, prompts)]
+
+
 class TestEvaluateParallel:
     def test_meter_trace_matches_serial(self):
         """10 episodes over the 8-device data mesh (one padded batch) must
@@ -281,8 +301,79 @@ class TestEvaluateParallel:
         np.testing.assert_array_equal(meter_b.inter, meter_a.inter)
         np.testing.assert_array_equal(meter_b.union, meter_a.union)
 
-    def test_main_requires_gt_class_names(self):
+    def test_vlm_text_stage_matches_serial(self):
+        """The dp driver's VLM text path (the batch doubles as the text
+        block: one B-row decode per query kind) must reproduce the serial
+        retriever's (name, definition) stream AND the serial predict
+        loop's meter bit-for-bit — per-row decode exactness composes with
+        episode parallelism."""
         from mars_tpu import cli_parallel
+        from mars_tpu.text.retriever import BlockTextStage, TextRetriever
 
-        with pytest.raises(SystemExit, match="gt-class-name"):
-            cli_parallel.main(["--benchmark", "synthetic", "--episodes", "2"])
+        size, bucket, n = 56, 4, 10
+        model = _tiny_mars()
+        model.retriever = TextRetriever(_StubVLM())
+        ds = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+
+        def make_props_fn(seed):
+            rng = np.random.RandomState(seed)
+
+            def fn(idx, rec):
+                gt, _ = resized_gt(rec, size)
+                props = [gt]
+                for _ in range(bucket - 1):
+                    y, x = rng.randint(0, size - 16, 2)
+                    m = np.zeros_like(gt)
+                    m[y:y + 12, x:x + 12] = 1
+                    props.append(m)
+                return pad_proposals(
+                    jnp.asarray(np.stack(props), jnp.float32), bucket)
+
+            return fn
+
+        # ---- serial loop: per-episode retriever + predict(name, desc) ----
+        props_fn = make_props_fn(0)
+        pairs_s = []
+        meter_s = evaluation.AverageMeter(ds.benchmark, list(ds.class_ids))
+        for idx in range(n):
+            rec = ds[idx]
+            ep = to_device_episode(rec, size, 1)
+            props = props_fn(idx, rec)
+            name, desc = model.conceptual_information(ep)
+            pairs_s.append((name, desc))
+            pred = np.asarray(model.predict(
+                ep, props, class_name=name, class_description=desc))
+            gt, ig = resized_gt(rec, size)
+            inter, union = evaluation.classify_prediction(pred, gt, ig)
+            meter_s.update(inter, union, rec.class_id)
+        assert len({p[0] for p in pairs_s}) > 1  # the stub varies by image
+
+        # ---- dp driver with the batch-block text stage ----
+        class _RecordingStage(BlockTextStage):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self.pairs = []
+
+            def step(self, *a):
+                r = super().step(*a)
+                self.pairs += r
+                return r
+
+            def flush(self):
+                r = super().flush()
+                self.pairs += r
+                return r
+
+        ds2 = build_dataset("synthetic", shot=1, size=size, num_episodes=n)
+        mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+        stage = _RecordingStage(TextRetriever(_StubVLM()), depth=8)
+        miou_p, fb_p, meter_p, _ = cli_parallel.evaluate_parallel(
+            model, ds2, mesh, input_size=size, nshot=1, episodes=n,
+            proposal_bucket=bucket, props_fn=make_props_fn(0),
+            text_stage=stage, log=lambda *a: None)
+
+        assert stage.pairs == pairs_s  # identical (name, desc) stream
+        miou_s, fb_s, _ = meter_s.compute_iou()
+        assert (miou_p, fb_p) == (miou_s, fb_s)
+        np.testing.assert_array_equal(meter_p.inter, meter_s.inter)
+        np.testing.assert_array_equal(meter_p.union, meter_s.union)

@@ -242,6 +242,91 @@ class TestBatchedRanker:
                    "all-to-all", "reduce-scatter", "collective-broadcast"):
             assert op not in hlo, f"episode-parallel ranker emits {op}"
 
+    def test_pallas_attention_mesh_compatibility(self, monkeypatch):
+        """GSPMD cannot partition a Mosaic kernel, so runner shard_maps
+        must (a) go FULLY manual when every non-primary axis is size 1 —
+        the pallas attention tap then runs per-chip as written (the
+        round-4 cli_parallel --mesh-data 1 hardware failure: the auto
+        'model' axis of size 1 still routed the body through the GSPMD
+        partitioner) — and (b) trace the XLA attention path whenever a
+        real tensor-parallel axis stays auto."""
+        from mars_tpu.models import clip as clip_m, dinov2, layers
+        from mars_tpu.ops import flash_attention
+        from mars_tpu.parallel import runner
+        from mars_tpu.pipeline import filtering, vta, vva
+
+        g = 4
+        dcfg = dinov2.DinoV2Config(
+            patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            num_register_tokens=4, pos_embed_grid=4)
+        cvcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=2, num_heads=1, output_dim=16,
+            pos_embed_grid=2)
+        avcfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=64, depth=2, num_heads=1, output_dim=16,
+            pos_embed_grid=2, alpha_channel=True)
+        vcfg = vva.VVAConfig(grid=g, attn_tap_last_n=2)
+        tcfg = vta.VTAConfig(input_size=64, grid=4, attn_tap_last_n=2)
+        fcfg = filtering.FilterMergeConfig(
+            grid=g, alpha_clip_size=32, alpha_clip_batch=4,
+            emd_row_bucket=16, emd_col_bucket=16)
+        ks = jax.random.split(jax.random.PRNGKey(1), 8)
+        params = {
+            "dino": dinov2.init_params(ks[0], dcfg),
+            "clip_v": clip_m.init_visual_params(ks[1], cvcfg),
+            "ac_v": clip_m.init_visual_params(ks[2], avcfg),
+            "logit_scale": jnp.float32(1.0),
+        }
+        b, s_img, p = 8, 56, 4
+        sup_i = jax.random.uniform(ks[3], (b, 1, s_img, s_img, 3))
+        sup_m = jnp.zeros((b, 1, s_img, s_img)).at[:, :, 10:40, 10:40].set(1.0)
+        sup_v = jnp.ones((b, 1), bool)
+        qry = jax.random.uniform(ks[4], (b, s_img, s_img, 3))
+        prop_m = (jax.random.uniform(ks[5], (b, p, s_img, s_img)) > 0.7
+                  ).astype(jnp.float32)
+        prop_v = jnp.ones((b, p), bool)
+        vta_text = jax.random.normal(ks[6], (b, 2, 16))
+        ac_text = jax.random.normal(ks[7], (b, 1, 16))
+        ac_text = ac_text / jnp.linalg.norm(ac_text, axis=-1, keepdims=True)
+        batch = (sup_i, sup_m, sup_v, qry, prop_m, prop_v, vta_text, ac_text)
+
+        calls = []
+        orig = flash_attention.mha_pallas
+        monkeypatch.setattr(
+            flash_attention, "mha_pallas",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        # CPU stands in for TPU via the interpret-mode kernel
+        monkeypatch.setattr(layers, "_ATTENTION_IMPL", "pallas_interpret")
+
+        # XLA reference (unsharded)
+        with layers.attention_impl("xla"):
+            ref_m, ref_s = runner.make_batched_ranker(
+                dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg)(params, *batch)
+        assert not calls
+
+        # (a) model axis size 1 → fully manual → the pallas tap RUNS
+        m_dp = mesh_lib.make_mesh(n_data=8, n_model=1)
+        out_m, out_s = runner.make_batched_ranker(
+            dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg, mesh=m_dp)(
+            params, *runner.shard_batch(batch, m_dp))
+        assert calls, "fully-manual mesh must trace the pallas tap"
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
+                                   atol=1e-3)
+
+        # (b) real tensor-parallel axis stays auto → XLA path traced
+        calls.clear()
+        m_tp = mesh_lib.make_mesh(n_data=4, n_model=2)
+        out_m2, _ = runner.make_batched_ranker(
+            dcfg, cvcfg, avcfg, vcfg, tcfg, fcfg, mesh=m_tp)(
+            params, *runner.shard_batch(batch, m_tp))
+        assert not calls, "auto-axis mesh must trace the XLA attention path"
+        np.testing.assert_allclose(np.asarray(out_m2), np.asarray(ref_m),
+                                   atol=1e-5)
+        # the trace-time override restored the global impl
+        assert layers._ATTENTION_IMPL == "pallas_interpret"
+
     def test_proposal_parallel_matches_single(self):
         """Proposal-sharded single-episode ranking == the unsharded fused
         ranking path (same per-proposal numerics; cross-proposal
