@@ -101,11 +101,21 @@ def _rel_pos_table(rel_pos, q_size, k_size):
     return r[rel.astype(jnp.int32)]
 
 
-def _grid_attention(p, x, num_heads, use_rel_pos=True):
+def _grid_attention(p, x, num_heads, use_rel_pos=True, allow_pallas=False):
     """Attention over an (B, H, W, C) token grid with decomposed rel pos
-    (reference image_encoder.py:224-241, add_decomposed_rel_pos :325-366)."""
+    (reference image_encoder.py:224-241, add_decomposed_rel_pos :325-366).
+
+    ``allow_pallas``: the GLOBAL layers (full-grid L, e.g. 4096 tokens at
+    ViT-H@1024) may route through ops/sam_attention.py's fused kernel —
+    the (heads, L, L) logits tensor then never touches HBM.  Follows the
+    same impl switch as the tapped towers (layers.set_attention_impl)."""
     b, h, w, c = x.shape
     hd = c // num_heads
+    if (allow_pallas and use_rel_pos and h * w >= 1024
+            and L._attention_impl() != "xla"):
+        return _grid_attention_pallas(
+            p, x, num_heads,
+            interpret=L._attention_impl() == "pallas_interpret")
     qkv = L.dense(p["qkv"], x).reshape(b, h * w, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, HW, nh, hd)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)  # tower dtype
@@ -122,6 +132,36 @@ def _grid_attention(p, x, num_heads, use_rel_pos=True):
         ).reshape(b, num_heads, h * w, h * w)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, h, w, c)
+    return L.dense(p["proj"], out)
+
+
+def _grid_attention_pallas(p, x, num_heads, interpret=False):
+    """Global-layer grid attention via ops/sam_attention.py: the decomposed
+    rel-pos bias is reduced to its two small per-query tables here (the
+    same einsums as the XLA path, reference image_encoder.py:325-366) and
+    expanded tile-wise on the MXU inside the kernel."""
+    from mars_tpu.ops import sam_attention
+
+    b, h, w, c = x.shape
+    hd = c // num_heads
+    qkv = L.dense(p["qkv"], x).reshape(b, h * w, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, HW, nh, hd)
+    rh = _rel_pos_table(p["rel_pos_h"], h, h).astype(x.dtype)  # (h, h', hd)
+    rw = _rel_pos_table(p["rel_pos_w"], w, w).astype(x.dtype)
+    rq = q.reshape(b, h, w, num_heads, hd)  # unscaled, as in the reference
+    bias_h = jnp.einsum("bywhd,yYd->bhywY", rq, rh).reshape(
+        b, num_heads, h * w, h)
+    bias_w = jnp.einsum("bywhd,wWd->bhywW", rq, rw).reshape(
+        b, num_heads, h * w, w)
+
+    def one(qb, kb, vb, bhb, bwb):
+        return sam_attention.grid_attention_pallas(
+            qb, kb, vb, bhb, bwb, (h, w), interpret=interpret)
+
+    out = jax.vmap(one)(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), bias_h, bias_w)  # (B, nh, HW, hd)
+    out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
     return L.dense(p["proj"], out)
 
 
@@ -158,7 +198,7 @@ def encode_image(params, images, cfg: SamConfig):
             h = _grid_attention(p["attn"], h, cfg.num_heads)
             h = _window_unpartition(h, cfg.window_size, pad_hw, (gh, gw))
         else:
-            h = _grid_attention(p["attn"], h, cfg.num_heads)
+            h = _grid_attention(p["attn"], h, cfg.num_heads, allow_pallas=True)
         x = shortcut + h
         x = x + L.mlp(p["mlp"], L.layer_norm(p["ln2"], x, eps=1e-6), L.exact_gelu)
 

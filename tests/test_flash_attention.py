@@ -82,3 +82,90 @@ class TestKernel:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
                                    atol=1e-6)
+
+
+class TestSamGridAttention:
+    """ops/sam_attention.py — SAM global-layer kernel vs the XLA path."""
+
+    @pytest.mark.parametrize("h,w", [(5, 7), (16, 16)])
+    def test_kernel_matches_dense(self, h, w):
+        from mars_tpu.ops import sam_attention
+
+        rng = np.random.RandomState(0)
+        nh, l, d = 2, h * w, 24
+        q = jnp.asarray(rng.randn(nh, l, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(nh, l, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(nh, l, d).astype(np.float32))
+        bh = jnp.asarray(rng.randn(nh, l, h).astype(np.float32))
+        bw = jnp.asarray(rng.randn(nh, l, w).astype(np.float32))
+
+        out = sam_attention.grid_attention_pallas(
+            q, k, v, bh, bw, (h, w), interpret=True)
+
+        cols = np.arange(l)
+        bias = (np.asarray(bh)[:, :, cols // w]
+                + np.asarray(bw)[:, :, cols % w])  # (nh, l, l)
+        logits = np.einsum("hld,hmd->hlm", np.asarray(q), np.asarray(k))
+        logits = logits * d ** -0.5 + bias
+        probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+        want = jnp.einsum("hlm,hmd->hld", probs, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_global_layer_integration(self):
+        """sam._grid_attention(allow_pallas=True) under the pallas impl ==
+        the XLA path at a production-family grid (>= 1024 tokens)."""
+        from mars_tpu.models import sam
+
+        rng = np.random.RandomState(1)
+        b, h, w, c, nh = 1, 32, 32, 48, 2
+        hd = c // nh
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        p = {
+            "qkv": {"kernel": jnp.asarray(
+                rng.randn(c, 3 * c).astype(np.float32) * 0.05),
+                "bias": jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1)},
+            "proj": {"kernel": jnp.asarray(
+                rng.randn(c, c).astype(np.float32) * 0.05),
+                "bias": jnp.zeros((c,), jnp.float32)},
+            "rel_pos_h": jnp.asarray(
+                rng.randn(2 * h - 1, hd).astype(np.float32) * 0.1),
+            "rel_pos_w": jnp.asarray(
+                rng.randn(2 * w - 1, hd).astype(np.float32) * 0.1),
+        }
+        ref = sam._grid_attention(p, x, nh)
+        L.set_attention_impl("pallas_interpret")
+        try:
+            out = sam._grid_attention(p, x, nh, allow_pallas=True)
+        finally:
+            L.set_attention_impl("auto")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_kernel_bf16_inputs(self):
+        """Production towers are bf16: the kernel must accept bf16 q/k/v and
+        bias tables (f32 logits accumulation inside) and stay within bf16
+        tolerance of the dense f32 computation."""
+        from mars_tpu.ops import sam_attention
+
+        rng = np.random.RandomState(2)
+        nh, h, w, d = 2, 8, 8, 16
+        l = h * w
+        mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+        q, k, v = mk(nh, l, d), mk(nh, l, d), mk(nh, l, d)
+        bh, bw = mk(nh, l, h) * 0.1, mk(nh, l, w) * 0.1
+
+        out = sam_attention.grid_attention_pallas(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), bh.astype(jnp.bfloat16),
+            bw.astype(jnp.bfloat16), (h, w), interpret=True)
+        assert out.dtype == jnp.bfloat16
+
+        cols = np.arange(l)
+        bias = (np.asarray(bh)[:, :, cols // w]
+                + np.asarray(bw)[:, :, cols % w])
+        logits = np.einsum("hld,hmd->hlm", np.asarray(q), np.asarray(k))
+        probs = jax.nn.softmax(jnp.asarray(logits * d ** -0.5 + bias), -1)
+        want = jnp.einsum("hlm,hmd->hld", probs, v)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(want), atol=0.15, rtol=0.1)

@@ -594,3 +594,43 @@ class TestBatchedProposalGenerator:
                 np.asarray(want[i]["merged"]), err_msg=f"ep {i}")
         assert fams == {"combos", "draws"}, (
             f"setup exercised only {fams}; vary masks to cover both families")
+
+
+class TestSamKernelMeshCompatibility:
+    def test_grid_attention_pallas_under_manual_shard_map(self, monkeypatch):
+        """The SAM global-attention kernel (ops/sam_attention.py) must lower
+        inside a FULLY-MANUAL shard_map (the dp proposal generator's
+        regime); with a real auto axis the runner traces the XLA path
+        instead — same contract as the flash tap (round-4 Mosaic rule)."""
+        from mars_tpu.models import layers
+
+        rng = np.random.RandomState(0)
+        b, h, w, c, nh = 8, 32, 32, 16, 2
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        hd = c // nh
+        p = {
+            "qkv": {"kernel": jnp.asarray(
+                rng.randn(c, 3 * c).astype(np.float32) * 0.05),
+                "bias": jnp.zeros((3 * c,), jnp.float32)},
+            "proj": {"kernel": jnp.asarray(
+                rng.randn(c, c).astype(np.float32) * 0.05),
+                "bias": jnp.zeros((c,), jnp.float32)},
+            "rel_pos_h": jnp.asarray(
+                rng.randn(2 * h - 1, hd).astype(np.float32) * 0.1),
+            "rel_pos_w": jnp.asarray(
+                rng.randn(2 * w - 1, hd).astype(np.float32) * 0.1),
+        }
+        ref = sam._grid_attention(p, x, nh)
+
+        m = mesh_lib.make_mesh(n_data=8, n_model=1)
+        monkeypatch.setattr(layers, "_ATTENTION_IMPL", "pallas_interpret")
+
+        def body(xb):
+            return sam._grid_attention(p, xb, nh, allow_pallas=True)
+
+        out = jax.shard_map(
+            body, mesh=m,
+            in_specs=P("data"), out_specs=P("data"),
+            check_vma=False)(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)

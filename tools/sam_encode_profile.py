@@ -40,7 +40,11 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--sam-size", default="vit_h")
+    ap.add_argument("--variants", default="full,full_pallas,softmax_bf16,"
+                    "no_rel_pos,all_windowed",
+                    help="comma-separated subset to run")
     args = ap.parse_args()
+    want = set(args.variants.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -80,9 +84,17 @@ def main():
     orig_attn = sam._grid_attention
 
     results = {}
-    results["full"] = timed("full", cfg, args.iters)
+    # the TPU default is now the sam_attention pallas kernel on the global
+    # layers; measure both impls explicitly
+    L.set_attention_impl("xla")
+    if "full" in want:
+        results["full"] = timed("full", cfg, args.iters)
+    if "full_pallas" in want:
+        L.set_attention_impl("auto")
+        results["full_pallas"] = timed("full_pallas", cfg, args.iters)
+        L.set_attention_impl("xla")
 
-    def bf16_softmax_attn(p, x, num_heads, use_rel_pos=True):
+    def bf16_softmax_attn(p, x, num_heads, use_rel_pos=True, **_kw):
         import jax.numpy as jnp
 
         b, h, w, c = x.shape
@@ -105,16 +117,20 @@ def main():
         return L.dense(p["proj"], out)
 
     try:
-        sam._grid_attention = bf16_softmax_attn
-        results["softmax_bf16"] = timed("softmax_bf16", cfg, args.iters)
+        if "softmax_bf16" in want:
+            sam._grid_attention = bf16_softmax_attn
+            results["softmax_bf16"] = timed("softmax_bf16", cfg, args.iters)
 
-        sam._grid_attention = partial(orig_attn, use_rel_pos=False)
-        results["no_rel_pos"] = timed("no_rel_pos", cfg, args.iters)
+        if "no_rel_pos" in want:
+            sam._grid_attention = partial(orig_attn, use_rel_pos=False)
+            results["no_rel_pos"] = timed("no_rel_pos", cfg, args.iters)
     finally:
         sam._grid_attention = orig_attn
 
-    wcfg = dataclasses.replace(cfg, global_attn_indexes=())
-    results["all_windowed"] = timed("all_windowed", wcfg, args.iters)
+    if "all_windowed" in want:
+        wcfg = dataclasses.replace(cfg, global_attn_indexes=())
+        results["all_windowed"] = timed("all_windowed", wcfg, args.iters)
+    L.set_attention_impl("auto")
 
     print("[profile] summary:", {k: round(v, 1) for k, v in results.items()},
           flush=True)
