@@ -42,7 +42,11 @@ _RECORD = {
     "vs_baseline": 0.0,
 }
 _PRINTED = False
-_EMIT_LOCK = threading.Lock()
+# RLock, not Lock: the SIGTERM handler runs ON the main thread — if the
+# signal lands while main() itself is inside _emit's critical section, a
+# plain Lock would deadlock the handler against its own thread and the
+# JSON line would never flush (plain `timeout` sends no follow-up SIGKILL).
+_EMIT_LOCK = threading.RLock()
 
 
 def _emit():

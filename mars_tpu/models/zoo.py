@@ -9,6 +9,7 @@ full pipeline stays runnable (at random-weight accuracy) without weights.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -288,8 +289,18 @@ def build_semantic_sam(models_path: Optional[str] = None,
               for k, v in sd.items()
               if k.startswith("sem_seg_head.pixel_decoder.")}
         if pd:
-            params.update(jax.tree.map(
-                jnp.asarray,
-                convert.semantic_sam_pixel_decoder_to_flax(
-                    pd, cfg.enc_layers)))
+            # best-effort, matching the pre-pixel-decoder contract: a
+            # checkpoint whose tensor names / layer counts drift from the
+            # MaskDINO dialect keeps its converted backbone and falls back
+            # to random init for the decoder instead of killing the run
+            try:
+                params.update(jax.tree.map(
+                    jnp.asarray,
+                    convert.semantic_sam_pixel_decoder_to_flax(
+                        pd, cfg.enc_layers)))
+            except (KeyError, ValueError, IndexError) as exc:
+                warnings.warn(
+                    "semantic-sam pixel-decoder conversion failed "
+                    f"({type(exc).__name__}: {exc}); decoder stays "
+                    "randomly initialized", stacklevel=2)
     return params, cfg

@@ -132,6 +132,24 @@ class JaxVipLlava:
     def _eos_id(self):
         return getattr(self.processor.tokenizer, "eos_token_id", None)
 
+    def _draft_slack(self) -> int:
+        """KV positions a speculative verify step can write past the
+        accepted length (K draft tokens + the bonus token); 0 when
+        speculation is off."""
+        return self.draft_tokens + 1 if self.draft_tokens else 0
+
+    def _inplace_buffer_len(self, prefix_len: int, bucket: int) -> int:
+        """Allocation length for the full-decode-length KV buffer of the
+        in-place chained flow.  MUST stay >= _inplace_need() for every
+        retriever budget (all are <= _INPLACE_BUDGET), or decodes silently
+        drop onto the copy fallback path (2x peak KV — the D=6 OOM)."""
+        return prefix_len + bucket + self._INPLACE_BUDGET + self._draft_slack()
+
+    def _inplace_need(self, prefix_len: int, bucket: int, budget: int) -> int:
+        """Buffer length a decode with this token budget requires for the
+        in-place (donated) path."""
+        return prefix_len + bucket + budget + self._draft_slack()
+
     def _decode_row(self, toks):
         eos = self._eos_id()
         toks = list(toks)
@@ -187,8 +205,7 @@ class JaxVipLlava:
                   eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
                   draft_tokens=self.draft_tokens, ngram=self.ngram,
                   prefix_kv=prefix_kv, prefix_len=prefix_len)
-        need = (prefix_len + bucket + budget
-                + (self.draft_tokens + 1 if self.draft_tokens else 0))
+        need = self._inplace_need(prefix_len, bucket, budget)
         if prefix_kv is not None and prefix_kv[0][0].shape[1] >= need:
             # in-place chained decode (same flow as the batched path): the
             # cached full-length buffer is donated, the decode writes into
@@ -232,8 +249,7 @@ class JaxVipLlava:
         # full-decode-length buffer for the in-place chained flow (see
         # generate): suffix bucketed to 128 + the retriever budget headroom
         bucket = ((ids_np.shape[1] - lp + 127) // 128) * 128
-        max_len = (lp + bucket + self._INPLACE_BUDGET
-                   + (self.draft_tokens + 1 if self.draft_tokens else 0))
+        max_len = self._inplace_buffer_len(lp, bucket)
         kv = self._vl.prefill_prefix(
             self.params, jnp.asarray(np.asarray(key_ids)[None]), pixels,
             self.cfg, max_len=max_len)
@@ -350,8 +366,7 @@ class JaxVipLlava:
             cache.popitem(last=False)
         prefix_ids = jnp.asarray(np.broadcast_to(ref, (len(images), lp)))
         bucket = ((max(l - lp for l in lens) + 127) // 128) * 128
-        max_len = (lp + bucket + self._INPLACE_BUDGET
-                   + self.draft_tokens + 1)
+        max_len = self._inplace_buffer_len(lp, bucket)
         kv = self._vl.prefill_prefix(self.params, prefix_ids, pixels,
                                      self.cfg, max_len=max_len)
         cache[cache_key] = kv
@@ -395,8 +410,7 @@ class JaxVipLlava:
                   eos_id=self._eos_id(), min_new_tokens=mn,
                   draft_tokens=self.draft_tokens, ngram=self.ngram,
                   prefix_kv=prefix_kv, prefix_len=prefix_len)
-        need = (prefix_len + bucket + budget
-                + (self.draft_tokens + 1 if self.draft_tokens else 0))
+        need = self._inplace_need(prefix_len, bucket, budget)
         # batch x speculation compose: per-row prompt-lookup drafts ride the
         # same (B, K+1)-position verify forward (_speculative_greedy_batched)
         if prefix_kv is not None and prefix_kv[0][0].shape[1] >= need:

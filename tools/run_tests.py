@@ -49,7 +49,14 @@ def main() -> int:
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("targets", nargs="*",
                     help="test files (default: tests/test_*.py)")
+    # declare -m explicitly: parse_known_args would otherwise bind its VALUE
+    # to the positional `targets` ("run_tests.py -m slow" -> targets=['slow'],
+    # extras=['-m']) and the advertised slow-suite invocation would break
+    ap.add_argument("-m", dest="markexpr", default=None,
+                    help="pytest -m marker expression (e.g. 'slow')")
     args, pytest_extra = ap.parse_known_args()
+    if args.markexpr:
+        pytest_extra = ["-m", args.markexpr, *pytest_extra]
 
     files = ([Path(t) for t in args.targets] if args.targets
              else sorted((REPO / "tests").glob("test_*.py")))

@@ -90,7 +90,8 @@ def main():
 
     base = args.variants[0]
     pairs = [(base, v) for v in args.variants[1:]]
-    if "w8" in args.variants and "w8a8" in args.variants:
+    if ("w8" in args.variants and "w8a8" in args.variants
+            and ("w8", "w8a8") not in pairs):
         pairs.append(("w8", "w8a8"))
     stats = {f"{a}_vs_{b}": {"raw": [], "scaled": [], "flips": [], "iou": []}
              for a, b in pairs}
