@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--sam-size", default="vit_h")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="truncate the encoder to the first N layers (0 = "
+                    "full depth).  A loaded remote-compile service drops "
+                    "the tunnel at ~30 min on one RPC; the full 32-layer "
+                    "ViT-H A/B program can exceed that, while e.g. "
+                    "--layers 8 (7 windowed + global layer index 7) "
+                    "compiles in minutes and the per-global-layer delta "
+                    "scales by the global-layer count (4 at full depth)")
     ap.add_argument("--variants", default="full,full_pallas,softmax_bf16,"
                     "no_rel_pos,all_windowed",
                     help="comma-separated subset to run")
@@ -54,6 +62,13 @@ def main():
 
     print(f"[profile] devices: {jax.devices()}", flush=True)
     bundle, cfg = zoo.build_sam(None, args.sam_size)
+    if args.layers:
+        cfg = dataclasses.replace(
+            cfg, depth=args.layers,
+            global_attn_indexes=tuple(
+                i for i in cfg.global_attn_indexes if i < args.layers))
+        print(f"[profile] truncated to {cfg.depth} layers "
+              f"(globals at {cfg.global_attn_indexes})", flush=True)
     params = cast_floating(bundle["encoder"])
     img = jnp.asarray(
         np.random.RandomState(0).rand(1, args.size, args.size, 3),
