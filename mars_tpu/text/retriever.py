@@ -93,10 +93,14 @@ class JaxVipLlava:
     joins the device pipeline.
     """
 
+    # class-level default so partially-constructed instances (tests build
+    # via object.__new__) inherit the production gating
+    draft_gate = 2
+
     def __init__(self, model_path: str = "llava-hf/vip-llava-7b-hf",
                  params=None, cfg=None, dtype=None, quantize_bits=None,
                  int4_format: str = "affine", draft_tokens: int = 8,
-                 ngram: int = 3):
+                 ngram: int = 3, draft_gate: int = 2):
         from transformers import AutoProcessor
 
         from mars_tpu.models import vip_llava as vl
@@ -104,9 +108,15 @@ class JaxVipLlava:
         # prompt-lookup speculative decoding for single-query generates
         # (EXACT greedy; see models.vip_llava.generate_greedy) — the
         # definition query restates the class name and prompt phrasing,
-        # which n-gram lookup drafts well; 0 disables
+        # which n-gram lookup drafts well; 0 disables.  draft_gate > 0
+        # acceptance-gates the loop (probe mode until the lookup's first
+        # draft token predicts the emitted token ``draft_gate`` steps in a
+        # row) so non-drafting output decodes at PLAIN speed — round-4
+        # bench measured ungated K=8 at 0.88x on definition-like filler;
+        # draft_gate=0 is the ungated legacy loop
         self.draft_tokens = draft_tokens
         self.ngram = ngram
+        self.draft_gate = draft_gate
         self._prefix_ids_cache = {}
         self._prefix_kv_cache = None
         self.processor = AutoProcessor.from_pretrained(model_path)
@@ -204,6 +214,7 @@ class JaxVipLlava:
         kw = dict(max_new_tokens=budget, true_length=jnp.int32(tl),
                   eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
                   draft_tokens=self.draft_tokens, ngram=self.ngram,
+                  draft_gate=self.draft_gate,
                   prefix_kv=prefix_kv, prefix_len=prefix_len)
         need = self._inplace_need(prefix_len, bucket, budget)
         if prefix_kv is not None and prefix_kv[0][0].shape[1] >= need:
@@ -409,6 +420,7 @@ class JaxVipLlava:
                   true_length=jnp.asarray(lens, jnp.int32),
                   eos_id=self._eos_id(), min_new_tokens=mn,
                   draft_tokens=self.draft_tokens, ngram=self.ngram,
+                  draft_gate=self.draft_gate,
                   prefix_kv=prefix_kv, prefix_len=prefix_len)
         need = self._inplace_need(prefix_len, bucket, budget)
         # batch x speculation compose: per-row prompt-lookup drafts ride the

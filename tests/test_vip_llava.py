@@ -422,6 +422,170 @@ class TestSpeculativeDecoding:
             "full-acceptance rounds are not chaining")
 
 
+class TestSpeculationGating:
+    """Acceptance gating (draft_gate > 0, the round-5 default): the loop
+    probes with plain 1-position steps — scoring the lookup's first draft
+    token against the emitted token for free — and only pays K+1-position
+    verify forwards after ``gate`` consecutive hits.  Round-4 bench
+    measured the UNGATED loop at 0.88x plain on definition-like filler;
+    gated, non-drafting output must decode at plain cost (zero verifies)
+    while self-repeating output must still chain multi-token accepts."""
+
+    def setup_method(self):
+        self.sd, self.d = load()
+        self.cfg = vl.TINY
+        self.params = vl.convert_hf(self.sd, self.cfg)
+        self.pixels = jnp.asarray(np.transpose(self.d["pixels"], (0, 2, 3, 1)))
+        self.ids = jnp.asarray(self.d["input_ids"])
+
+    def test_gated_equals_ungated_equals_plain(self):
+        """Real tiny model: gate 0/1/2 all emit identical exact-greedy
+        tokens on the single-row and batched EOS paths."""
+        ids2 = jnp.concatenate([self.ids, self.ids], axis=0)
+        px2 = jnp.concatenate([self.pixels, self.pixels], axis=0)
+        eos = int(self.d["generated"][0][2])
+        for ids, px in ((self.ids, self.pixels), (ids2, px2)):
+            want = vl.generate_greedy(self.params, ids, px, self.cfg,
+                                      max_new_tokens=6, eos_id=eos)
+            for gate in (0, 1, 2):
+                got = vl.generate_greedy(self.params, ids, px, self.cfg,
+                                         max_new_tokens=6, eos_id=eos,
+                                         draft_tokens=4, draft_gate=gate)
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(want),
+                    err_msg=f"B={ids.shape[0]} gate={gate}")
+
+    @staticmethod
+    def _poisoned_stub(V, step, mult=1):
+        """Markov stub next = (mult*tok + step) % V whose MULTI-position
+        (verify) results are poisoned: if the gated loop ever runs a
+        verify forward, the emitted carry comes out wrong and the output
+        assertion fails — proving zero verifies, i.e. plain-cost decode."""
+        import jax
+
+        def stub_forward(lang, emb, positions, cfg, caches=None, pos0=None):
+            ids = jnp.argmax(emb, axis=-1)
+            logits = jax.nn.one_hot((mult * ids + step) % V, V) * 10.0
+            if emb.shape[1] > 1:
+                logits = -logits
+            return logits, caches
+
+        return stub_forward
+
+    def test_nonpredictive_output_never_verifies(self, monkeypatch):
+        """Long-orbit LM (next = 5*tok+7 mod 101): the lookup never finds
+        a matching n-gram twice in a row, so a gated loop must stay in
+        probe mode — the poisoned verify branch proves it by corrupting
+        output if it is ever taken."""
+        V, N, K = 101, 16, 5
+        monkeypatch.setattr(
+            vl, "llama_forward", self._poisoned_stub(V, 7, mult=5))
+        p = {"language": {"embed_tokens": jnp.eye(V, dtype=jnp.float32)}}
+        prompt = jnp.asarray([[11, 23, 37, 41, 53, 67, 71, 83]], jnp.int32)
+        t0 = 2
+        want = []
+        t = t0
+        for _ in range(N):
+            want.append(t)
+            t = (5 * t + 7) % V
+        buf, rounds, _ = vl._speculative_greedy(
+            p, self.cfg, prompt, [], jnp.asarray([t0], jnp.int32),
+            jnp.int32(prompt.shape[1]), N, None, 0, K, 3, gate=2)
+        np.testing.assert_array_equal(np.asarray(buf[0]), want)
+        assert int(rounds) == N  # pure probe: one token per iteration
+
+    def test_reentry_after_output_turns_repetitive(self, monkeypatch):
+        """Piecewise LM: a non-repeating ramp (0→1→…→30) followed by a
+        6-cycle (30..35).  The gated loop must probe through the ramp,
+        detect the cycle, and re-enter verify mode — finishing in fewer
+        rounds than tokens while staying exact."""
+        import jax
+
+        V, N, K = 64, 40, 5
+
+        def stub_forward(lang, emb, positions, cfg, caches=None, pos0=None):
+            ids = jnp.argmax(emb, axis=-1)
+            nxt = jnp.where(ids < 30, ids + 1, 30 + (ids - 30 + 1) % 6)
+            return jax.nn.one_hot(nxt, V) * 10.0, caches
+
+        monkeypatch.setattr(vl, "llama_forward", stub_forward)
+        p = {"language": {"embed_tokens": jnp.eye(V, dtype=jnp.float32)}}
+        prompt = jnp.asarray([[50, 51, 52, 53, 54, 55, 56, 57]], jnp.int32)
+        t0 = 20
+        want, t = [], t0
+        for _ in range(N):
+            want.append(t)
+            t = t + 1 if t < 30 else 30 + (t - 30 + 1) % 6
+        buf, rounds, _ = vl._speculative_greedy(
+            p, self.cfg, prompt, [], jnp.asarray([t0], jnp.int32),
+            jnp.int32(prompt.shape[1]), N, None, 0, K, 3, gate=2)
+        np.testing.assert_array_equal(np.asarray(buf[0]), want)
+        # ramp ≈ 11 probe rounds + cycle detection, then K+1-token chains
+        # over the remaining ~29 tokens — well under one round per token
+        assert int(rounds) <= N - 8, int(rounds)
+
+    def test_batched_mixed_rows_engage_and_stay_exact(self, monkeypatch):
+        """B=2, one self-repeating row (drafts well) + one long-orbit row
+        (never drafts): verify mode engages for the batch — the
+        predictive row chains accepts (rounds < N) — while both rows stay
+        exact greedy."""
+        import jax
+
+        V, N, K = 101, 24, 5
+
+        def stub_forward(lang, emb, positions, cfg, caches=None, pos0=None):
+            ids = jnp.argmax(emb, axis=-1)
+            # row semantics are per-token, so one rule: small ids cycle
+            # (mod 8), large ids orbit (5t+7 mod 101, clamped above 8)
+            cyc = ids % 8
+            orb = (5 * ids + 7) % V
+            orb = jnp.where(orb < 9, orb + 9, orb)
+            nxt = jnp.where(ids < 8, (cyc + 1) % 8, orb)
+            return jax.nn.one_hot(nxt, V) * 10.0, caches
+
+        monkeypatch.setattr(vl, "llama_forward", stub_forward)
+        p = {"language": {"embed_tokens": jnp.eye(V, dtype=jnp.float32)}}
+        prompt = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 0, 1],
+                              [11, 23, 37, 41, 53, 67, 71, 83, 97, 13]],
+                             jnp.int32)
+        t0 = [2, 15]
+        want = []
+        for r, t in enumerate(t0):
+            seq = []
+            for _ in range(N):
+                seq.append(t)
+                if t < 8:
+                    t = (t + 1) % 8
+                else:
+                    t = (5 * t + 7) % V
+                    t = t + 9 if t < 9 else t
+            want.append(seq)
+        buf, rounds, _ = vl._speculative_greedy_batched(
+            p, self.cfg, prompt, [], jnp.asarray(t0, jnp.int32),
+            jnp.full((2,), prompt.shape[1], jnp.int32), N, None, 0, K, 3,
+            gate=2)
+        np.testing.assert_array_equal(np.asarray(buf[0]), want[0])
+        np.testing.assert_array_equal(np.asarray(buf[1]), want[1])
+        # the never-accepting orbit row paces the loop at one emit/round;
+        # the cyclic row chains ahead and freezes — exactness under those
+        # mixed-mode rounds is the point
+        assert int(rounds) == N, int(rounds)
+
+        # both rows cyclic: gated batch engages verify and chains —
+        # far fewer rounds than tokens
+        prompt2 = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 0, 1],
+                               [3, 4, 5, 6, 7, 0, 1, 2, 3, 4]], jnp.int32)
+        buf2, rounds2, _ = vl._speculative_greedy_batched(
+            p, self.cfg, prompt2, [], jnp.asarray([2, 5], jnp.int32),
+            jnp.full((2,), prompt2.shape[1], jnp.int32), N, None, 0, K, 3,
+            gate=2)
+        np.testing.assert_array_equal(np.asarray(buf2[0]),
+                                      (2 + np.arange(N)) % 8)
+        np.testing.assert_array_equal(np.asarray(buf2[1]),
+                                      (5 + np.arange(N)) % 8)
+        assert int(rounds2) <= 2 + -(-(N - 2) // (K + 1)) + 1, int(rounds2)
+
+
 def test_bucketed_prompt_matches_exact():
     """Right-padded prompt + true_length must produce the same greedy tokens
     as the exact-length call (the pad slots are causally masked)."""
