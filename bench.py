@@ -367,6 +367,10 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     # D=4, tools/pipelined_text_bench.py).  MARS_BENCH_TEXT_BLOCK=1
     # restores the serial per-episode stage.
     text_div = max(int(os.environ.get("MARS_BENCH_TEXT_BLOCK", "4")), 1)
+    # MARS_BENCH_KV_BITS=8: int8 KV cache (models.vip_llava kv_bits) —
+    # halves resident KV, the lever for re-trying D=6 (bf16 KV at D=6 held
+    # ~3.9 GB and degraded the co-resident stages, round-4 notes)
+    kv_bits = 8 if os.environ.get("MARS_BENCH_KV_BITS") == "8" else None
     if text_div > 1:
         D = text_div
         prefix_ids_d = jnp.asarray(
@@ -392,7 +396,7 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
             # while the host waits on the decode)
             s = suffix_d if suffix is None else suffix
             kv = vl.prefill_prefix(vlm_p, prefix_ids_d, pixels_d, vcfg,
-                                   max_len=buf_len)
+                                   max_len=buf_len, kv_bits=kv_bits)
             n, kv = vl.generate_greedy_donate(
                 vlm_p, s, None, vcfg, max_new_tokens=20, true_length=tl_d,
                 draft_tokens=8, prefix_kv=kv, prefix_len=prefix_len,
@@ -421,7 +425,8 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
             # accept less (BASELINE.md), so the plain-decode text time is
             # also reported (end_to_end_stage_ms carries the speculative
             # number).
-            kv = vl.prefill_prefix(vlm_p, prefix_ids, pixels, vcfg)
+            kv = vl.prefill_prefix(vlm_p, prefix_ids, pixels, vcfg,
+                                   kv_bits=kv_bits)
             n = vl.generate_greedy(vlm_p, suffix_ids, None, vcfg,
                                    max_new_tokens=20, draft_tokens=8,
                                    prefix_kv=kv, prefix_len=prefix_len)
@@ -495,6 +500,36 @@ def _measure_e2e(dino_params, dcfg, episode_rank, ep, vta_text, ac_text):
     best = min(totals)
 
     extras = {}
+    if os.environ.get("MARS_BENCH_NATURAL", "1") == "1":
+        # ---- natural-statistics proposal span (VERDICT r4 weak #4): the
+        # synthetic dataset's low-texture episode drives the auction into
+        # near-tie bidding wars and overstates the proposal stage
+        # (913 → 259 ms across the round-3 fixes, vs 143 ms on
+        # matcher_bench inputs).  Time the SAME compiled proposal program
+        # on matcher_bench-style inputs (uniform-noise images: textured,
+        # non-degenerate similarity — tools/matcher_bench.py episode())
+        # so the span is bounded from both sides in every bench artifact.
+        rng_n = np.random.RandomState(3)
+        sup_n = jnp.asarray(rng_n.rand(1, 518, 518, 3), jnp.float32)
+        qry_n = jnp.asarray(rng_n.rand(518, 518, 3), jnp.float32)
+        m_n = np.zeros((1, 518, 518), np.float32)
+        m_n[0, 60:240, 80:300] = 1.0
+        msk_n, val_n = jnp.asarray(m_n), jnp.ones((1,), bool)
+        _mark("e2e: timing proposal stage on natural-statistics inputs")
+        nat = []
+        for _ in range(4):
+            key, k = jax.random.split(key)
+            t0 = time.time()
+            out_n = matcher.generate_proposals(
+                k, dino_params, dcfg, sam_params, sam_cfg, acfg, mcfg,
+                sup_n, msk_n, val_n, qry_n, bucket=PROPOSAL_BUCKET,
+                fuse_programs=fused)
+            props_n = bucket_generated_proposals(out_n, PROPOSAL_BUCKET)
+            _ = float(props_n.masks[0, 0, 0])
+            nat.append(time.time() - t0)
+        # same shapes → the already-compiled program; min-of-4 matches the
+        # serial loop's variance discipline
+        extras["proposals_natural_ms"] = round(min(nat) * 1000, 1)
     if text_div > 1 and os.environ.get("MARS_BENCH_PIPELINED", "1") == "1":
         # ---- pipelined loop: the PRODUCTION cli.py structure.  The three
         # stages above are timed with a host sync after each program, so

@@ -88,7 +88,8 @@ def build_retriever(args):
         vlm = JaxVipLlava(args.vlm_path, dtype=jnp.bfloat16,
                           quantize_bits=bits or 8,
                           int4_format="nf4" if args.vlm4bit_nf4 else "affine",
-                          draft_tokens=args.vlm_draft_tokens)
+                          draft_tokens=args.vlm_draft_tokens,
+                          kv_bits=8 if args.vlm_kv8 else None)
     else:
         from mars_tpu.text.retriever import HFVipLlava
 
@@ -285,6 +286,39 @@ def make_inline_generator(args, dino_bundle=None):
     return generate
 
 
+def dump_visualization(model, args, idx, rec, ep, props,
+                       class_name, class_description):
+    """Write the reference's --visualize debugging figure for one episode
+    (per-episode internal state: priors, top proposals, merged mask —
+    reference Matcher.py:230-231,872-1037).  Runs the debug variant of the
+    fused ranking program (one extra dispatch; visualization is capped to
+    the first N episodes, so the hot path is untouched)."""
+    from mars_tpu.data.base import episode_host_u8
+    from mars_tpu.utils import visualize
+
+    out = model.predict_debug(ep, props, class_name=class_name,
+                              class_description=class_description)
+    sup_i, sup_m, qry_u8, sup_v = episode_host_u8(
+        rec, args.input_size, args.nshot)
+    gt, _ = resized_gt(rec, args.input_size)
+    viz_dir = os.path.join(args.log_path, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    return visualize.plot_episode(
+        os.path.join(viz_dir, f"ep{idx:05d}.png"),
+        query_img=qry_u8,
+        support_img=sup_i[0] if sup_v[0] else None,
+        support_mask=sup_m[0] if sup_v[0] else None,
+        vva=out["vva_prior"],
+        vta=out["vta_prior"],
+        proposals=np.asarray(props.masks),
+        proposal_valid=np.asarray(props.valid),
+        scores=out["scores"],
+        merged=out["merged"],
+        gt=gt,
+        title=f"episode {idx} — {class_name or rec.class_name}",
+    )
+
+
 def capture_rng_states(rng, ds=None):
     """Snapshot the host RNG streams at an episode boundary.  Must run
     BEFORE the next episode's prefetch is submitted — host_prep advances
@@ -401,6 +435,12 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                         "hybrid-affine speed kernel")
     p.add_argument("--vlm8bit", action="store_true",
                    help="8-bit weight-only VLM (JAX path)")
+    p.add_argument("--vlm-kv8", action="store_true",
+                   help="int8 KV cache for the JAX VLM (per-token per-head "
+                        "scales; halves resident KV — the reference answers "
+                        "VLM memory pressure with quantization, "
+                        "TextRetrieverModule.py:468-477).  Greedy tokens "
+                        "may differ from bf16 KV at the margin")
     p.add_argument("--vlm-draft-tokens", type=int, default=8,
                    help="prompt-lookup speculative decode width for "
                         "single-query VLM generates (exact greedy; 0 "
@@ -466,6 +506,12 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-path", default="output",
                    help="reference --log_root_path")
     p.add_argument("--exp-name", default=None)
+    p.add_argument("--visualize", type=int, default=0, metavar="N",
+                   help="dump per-episode internal-state figures (VVA/VTA "
+                        "priors, top proposals with scores, merged mask vs "
+                        "gt) for the first N episodes to <log-path>/viz "
+                        "(reference Matcher.py:230-231,872-1037 behind "
+                        "main_MARS.py's --visualize flag)")
     p.add_argument("--bad-preds-path", default=None,
                    help="per-fold known-bad episode index list (one idx per "
                         "line, reference datasets/COCO2014/fold{f}_badPredsIdxs.txt)")
@@ -650,6 +696,13 @@ def main(argv=None):
         score_episode(idx, rec, props, pred, span + text_span, span, snap)
 
     def finish_episode(idx, rec, ep, props, name, desc, text_span, snap):
+        if idx < args.visualize:
+            if name is None:
+                # resolve once here; predict() below reuses the same
+                # deterministic (greedy) retriever answer
+                name, desc = model.retriever.get_conceptual_information(
+                    *model.support_host_arrays(ep))
+            dump_visualization(model, args, idx, rec, ep, props, name, desc)
         if not overlap or name is None:
             pred = np.asarray(model.predict(ep, props, class_name=name,
                                             class_description=desc))

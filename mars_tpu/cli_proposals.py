@@ -46,6 +46,11 @@ def main(argv=None):
                    help="also write {fold}_{idx}.json with the proposals as "
                         "pycocotools-interchange compressed RLE "
                         "(mask.encode format; native.rle_encode_compressed)")
+    p.add_argument("--visualize", type=int, default=0, metavar="N",
+                   help="dump a per-episode figure (query, support, top "
+                        "proposals by EMD score, merged mask) for the first "
+                        "N episodes to <out>/viz (reference "
+                        "Matcher.py:230-231 behind --visualize)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -114,6 +119,27 @@ def main(argv=None):
             with open(os.path.join(args.out, f"{args.fold}_{idx}.json"),
                       "w") as f:
                 json.dump(anns, f)
+        if idx < args.visualize:
+            from mars_tpu.data.base import episode_host_u8, resized_gt
+            from mars_tpu.utils import visualize
+
+            sup_i, sup_m, qry_u8, sup_v = episode_host_u8(
+                rec, args.input_size, args.nshot)
+            gt, _ = resized_gt(rec, args.input_size)
+            viz_dir = os.path.join(args.out, "viz")
+            os.makedirs(viz_dir, exist_ok=True)
+            visualize.plot_episode(
+                os.path.join(viz_dir, f"ep{idx:05d}.png"),
+                query_img=qry_u8,
+                support_img=sup_i[0] if sup_v[0] else None,
+                support_mask=sup_m[0] if sup_v[0] else None,
+                proposals=np.asarray(out["proposal_masks"]),
+                proposal_valid=valid,
+                scores=np.asarray(out["emd_score"], np.float32),
+                merged=np.asarray(out["merged"], np.float32),
+                gt=gt,
+                title=f"episode {idx} — {rec.class_name}",
+            )
         print(f"[{idx + 1}/{n}] {valid.sum()} proposals  {time.time() - t0:.2f}s")
 
 

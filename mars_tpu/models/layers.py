@@ -96,6 +96,22 @@ def _attention_impl() -> str:
     return _ATTENTION_IMPL
 
 
+# Untapped-block attention impl: "xla" by measurement (see mha below);
+# interpret-mode tests follow the main impl switch so kernel-parity tests
+# drive the notap path the same way they drive the tapped one.
+_ATTENTION_NOTAP_IMPL = os.environ.get("MARS_ATTENTION_NOTAP_IMPL", "xla")
+
+
+def _notap_impl() -> str:
+    if _ATTENTION_IMPL in ("pallas_interpret", "xla"):
+        # follow the main switch when it is pinned: interpret-mode tests
+        # drive the kernel; an explicit "xla" pin (parallel.runner's
+        # GSPMD-auto trace — pallas_call cannot be auto-partitioned) must
+        # silence BOTH kernels
+        return _ATTENTION_IMPL
+    return _ATTENTION_NOTAP_IMPL
+
+
 import contextlib as _contextlib
 
 
@@ -142,6 +158,23 @@ def mha(p, x, num_heads: int, return_attn: bool = False, mask=None,
             interpret=_attention_impl() == "pallas_interpret",
         )
         return dense(p["proj"], out.astype(x.dtype)), attn
+    if (not return_attn and mask is None and not force_xla
+            and _notap_impl() != "xla"):
+        # UNTAPPED blocks default to XLA by measurement, not by omission:
+        # ops/flash_attention.attention_notap LOSES to the XLA schedule at
+        # both production geometries on v5e (AlphaCLIP L/14@336 B=16:
+        # 2.52 vs 2.32 ms/layer; DINOv2-L@518 B=1: 4.08 vs 1.83 —
+        # tools/clip_attn_ab.py, BASELINE.md).  Unlike the tapped case,
+        # XLA is free to fuse untapped attention without materializing the
+        # (B, H, L, L) probs for a second consumer, and it does.
+        # MARS_ATTENTION_NOTAP_IMPL=pallas re-routes for re-measurement.
+        from mars_tpu.ops import flash_attention
+
+        out = flash_attention.mha_pallas_notap(
+            qkv, num_heads,
+            interpret=_notap_impl() == "pallas_interpret",
+        )
+        return dense(p["proj"], out.astype(x.dtype)), None
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, hd)
     q = q * (head_dim ** -0.5)
     # logits follow the tower dtype (bf16 towers keep the big (B,H,L,L)

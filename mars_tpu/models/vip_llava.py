@@ -140,10 +140,29 @@ def _rope(x, positions, theta):
     ).astype(x.dtype)
 
 
+def _kv_quant(x):
+    """Per-token per-head symmetric int8: (B, L, KVH, hd) → int8 values +
+    (B, L, KVH, 1) f32 dequant scales (amax/127 over the head dim).  The
+    trailing singleton keeps the scale buffer 4-D so every cache-write
+    indexing expression applies to values and scales identically."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    q = jnp.round(xf * (127.0 / s)).astype(jnp.int8)
+    return q, (s * (1.0 / 127.0))
+
+
 def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
     """Self-attention with RoPE + GQA.  With kv_cache=(K, V) of shape
     (B, MAX, KVH, hd) the new keys/values are written at cache_pos and
-    attention runs over the cache (masked beyond current length)."""
+    attention runs over the cache (masked beyond current length).
+
+    A 4-tuple kv_cache=(K_i8, V_i8, k_scale, v_scale) is the int8-quantized
+    cache (prefill_prefix/generate kv_bits=8): K/V quantize per token+head
+    at write and dequantize into the attention read — the dequant fuses
+    into the einsum's input stream, so cache HBM residency AND traffic
+    halve (the reference's own answer to VLM memory pressure is
+    quantization, TextRetrieverModule.py:468-477; bf16 KV at the D=6 text
+    block held ~3.9 GB resident and degraded the co-resident towers)."""
     b, l, d = x.shape
     hd = d // cfg.heads
     q = L.dense(p["q"], x).reshape(b, l, cfg.heads, hd)
@@ -156,22 +175,35 @@ def _llama_attention(p, x, positions, cfg, kv_cache=None, cache_pos=None):
         keys, values = k, v
         kv_positions = positions
     else:
-        ck, cv = kv_cache
+        quant = len(kv_cache) == 4
+        if quant:
+            kq, ks = _kv_quant(k)
+            vq, vs = _kv_quant(v)
+            writes = list(zip(kv_cache, (kq, vq, ks, vs)))
+        else:
+            ck, cv = kv_cache
+            writes = [(ck, k.astype(ck.dtype)), (cv, v.astype(cv.dtype))]
         if getattr(cache_pos, "ndim", 0) == 1:
             # per-row write position (batched decode of variable-length
             # prompts: l == 1 plain steps, l == K+1 batched speculative
             # verify chunks): scatter touches only the written slots — a
             # mask/where formulation would rewrite the whole multi-GB
             # cache every step
-            rows = jnp.arange(ck.shape[0])[:, None]
+            rows = jnp.arange(writes[0][0].shape[0])[:, None]
             cols = cache_pos[:, None] + jnp.arange(l)[None]
-            keys = ck.at[rows, cols].set(k.astype(ck.dtype))
-            values = cv.at[rows, cols].set(v.astype(cv.dtype))
+            kv_cache = tuple(buf.at[rows, cols].set(new.astype(buf.dtype))
+                             for buf, new in writes)
         else:
-            keys = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
-            values = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+            kv_cache = tuple(
+                jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                             (0, cache_pos, 0, 0))
+                for buf, new in writes)
+        if quant:
+            keys = (kv_cache[0] * kv_cache[2]).astype(x.dtype)
+            values = (kv_cache[1] * kv_cache[3]).astype(x.dtype)
+        else:
+            keys, values = kv_cache
         kv_positions = jnp.arange(keys.shape[1])[None]
-        kv_cache = (keys, values)
 
     rep = cfg.heads // cfg.kv_heads
     if rep > 1:
@@ -244,9 +276,25 @@ def embed_multimodal(p, input_ids, pixel_values, cfg: VipLlavaConfig):
     return jnp.where(is_img[..., None], gathered.astype(embeds.dtype), embeds)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _alloc_cache(b, length, cfg, dtype, kv_bits=None):
+    """One layer's zeroed KV cache: (K, V) at ``dtype``, or the int8
+    4-tuple (K_i8, V_i8, k_scale, v_scale) when kv_bits == 8 (see
+    _llama_attention; zero scales at unwritten positions are inert — the
+    causal mask excludes those slots until they are written)."""
+    hd = cfg.hidden // cfg.heads
+    shape = (b, length, cfg.kv_heads, hd)
+    if kv_bits == 8:
+        sshape = (b, length, cfg.kv_heads, 1)
+        return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
+    if kv_bits not in (None, 16):
+        raise ValueError(f"kv_bits must be None/16/8, got {kv_bits}")
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "kv_bits"))
 def prefill_prefix(p, prefix_ids, pixel_values, cfg: VipLlavaConfig,
-                   max_len: int = 0):
+                   max_len: int = 0, kv_bits: int = None):
     """KV caches for a shared multimodal prompt PREFIX, exact length.
 
     The retriever's name and definition queries share everything up to the
@@ -273,11 +321,8 @@ def prefill_prefix(p, prefix_ids, pixel_values, cfg: VipLlavaConfig,
     if max_len and max_len < lp:
         raise ValueError(f"max_len {max_len} < prefix length {lp}")
     L = max_len or lp
-    caches = [
-        (jnp.zeros((b, L, cfg.kv_heads, hd), embeds.dtype),
-         jnp.zeros((b, L, cfg.kv_heads, hd), embeds.dtype))
-        for _ in range(cfg.layers)
-    ]
+    caches = [_alloc_cache(b, L, cfg, embeds.dtype, kv_bits)
+              for _ in range(cfg.layers)]
     _, caches = llama_forward(p["language"], embeds, positions, cfg,
                               caches, 0)
     return caches
@@ -290,7 +335,8 @@ def _generate_greedy_impl(p, input_ids, pixel_values, cfg: VipLlavaConfig,
                           draft_gate: int = 2,
                           prefix_kv=None, prefix_len: int = 0,
                           inplace_prefix: bool = False,
-                          return_caches: bool = False):
+                          return_caches: bool = False,
+                          kv_bits: int = None):
     """Greedy decode (the reference uses greedy generate with
     max_new_tokens=20/50, TextRetrieverModule.py:76,118).
 
@@ -379,21 +425,22 @@ def _generate_greedy_impl(p, input_ids, pixel_values, cfg: VipLlavaConfig,
                 f"required {max_len} (prefill with max_len>=this)")
         caches = prefix_kv
     else:
-        caches = [
-            (jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype),
-             jnp.zeros((b, max_len, cfg.kv_heads, hd), embeds.dtype))
-            for _ in range(cfg.layers)
-        ]
+        # the prefix's format wins over kv_bits (the leafwise copy below
+        # must be structure- and scale-preserving: casting bf16 values
+        # into an int8 buffer without quantizing would silently corrupt)
+        bits = ((8 if len(prefix_kv[0]) == 4 else None)
+                if prefix_kv is not None else kv_bits)
+        caches = [_alloc_cache(b, max_len, cfg, embeds.dtype, bits)
+                  for _ in range(cfg.layers)]
         if prefix_kv is not None:
             # slice: prefix_kv may be an oversized in-place buffer whose
             # head holds the prefix (the copy-path fallback for a decode
             # that outgrew its buffer)
             caches = [
-                (ck.at[:, :prefix_len].set(
-                    pk[:, :prefix_len].astype(ck.dtype)),
-                 cv.at[:, :prefix_len].set(
-                     pv[:, :prefix_len].astype(cv.dtype)))
-                for (ck, cv), (pk, pv) in zip(caches, prefix_kv)
+                tuple(buf.at[:, :prefix_len].set(
+                    pbuf[:, :prefix_len].astype(buf.dtype))
+                    for buf, pbuf in zip(cache, pcache))
+                for cache, pcache in zip(caches, prefix_kv)
             ]
     logits, caches = llama_forward(p["language"], embeds, positions, cfg,
                                    caches, prefix_len)
@@ -518,7 +565,7 @@ def _generate_greedy_impl(p, input_ids, pixel_values, cfg: VipLlavaConfig,
 
 _GENERATE_STATIC = ("cfg", "max_new_tokens", "eos_id", "min_new_tokens",
                     "draft_tokens", "ngram", "draft_gate", "prefix_len",
-                    "inplace_prefix", "return_caches")
+                    "inplace_prefix", "return_caches", "kv_bits")
 
 generate_greedy = partial(jax.jit,
                           static_argnames=_GENERATE_STATIC)(

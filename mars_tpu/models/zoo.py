@@ -303,4 +303,22 @@ def build_semantic_sam(models_path: Optional[str] = None,
                     "semantic-sam pixel-decoder conversion failed "
                     f"({type(exc).__name__}: {exc}); decoder stays "
                     "randomly initialized", stacklevel=2)
+        pr = {k[len("sem_seg_head.predictor."):]: v
+              for k, v in sd.items()
+              if k.startswith("sem_seg_head.predictor.")}
+        if pr:
+            # interactive point decoder: MaskDINO-convention names
+            # (convert.semantic_sam_point_decoder_to_flax) — not
+            # oracle-verifiable in this image; same best-effort contract,
+            # and tools/semantic_sam_audit.py reports any name drift
+            try:
+                params.update(jax.tree.map(
+                    jnp.asarray,
+                    convert.semantic_sam_point_decoder_to_flax(
+                        pr, cfg.dec_layers)))
+            except (KeyError, ValueError, IndexError) as exc:
+                warnings.warn(
+                    "semantic-sam point-decoder conversion failed "
+                    f"({type(exc).__name__}: {exc}); point decoder stays "
+                    "randomly initialized", stacklevel=2)
     return params, cfg

@@ -128,3 +128,81 @@ def mha_pallas(qkv, num_heads, interpret: bool = False):
     out, attn = jax.vmap(one)(q, k, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
     return out, attn
+
+
+# ---------------------------------------------------------------------------
+# untapped attention (no (L, L) statistics output)
+# ---------------------------------------------------------------------------
+
+def _kernel_notap(l_actual, scale, q_ref, k_ref, v_ref, out_ref):
+    """One (L, D) head per grid step, no attention-statistics output: the
+    head's (L, L) probability block lives only in VMEM between its two
+    matmuls.  This is the path for the UNTAPPED tower blocks (AlphaCLIP
+    ranking / DINOv2 early blocks), where the XLA schedule round-trips the
+    (B, H, L, L) logits+probs through HBM every layer — at the AlphaCLIP
+    L/14@336 geometry (16 heads x 577 tokens, batch-16 chunks of the
+    128-proposal bucket, reference
+    mars/components/FilteringMergingModule.py:183-207) that HBM traffic
+    caps the stage (round-4 verdict: 24% MFU).
+
+    No manual DMA choreography: q/k/v arrive as Mosaic-pipelined VMEM
+    blocks (the next step's head streams in during this step's compute),
+    and the head dim stays at its true width — the manual-DMA variant
+    padded D to 128 and serialized heads inside one step, measured SLOWER
+    than XLA (2.86 vs 2.26 ms/layer on v5e)."""
+    lp = k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], lp), 1)
+    logits = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    logits = jnp.where(col < l_actual, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out_ref[0] = jax.lax.dot_general(
+        probs.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_notap(q, k, v, interpret: bool = False):
+    """q, k, v: (B, H, L, D) → out (B, H, L, D) = softmax(q kᵀ/√D) v.
+
+    Whole-row softmax with one head per grid step over a flattened (B*H,)
+    grid, so L is bounded by VMEM — fine for every tower geometry in the
+    pipeline (≤ ~1.5k tokens).
+    """
+    b, h, l, d = q.shape
+    scale = d ** -0.5
+    lp = -(-l // 128) * 128
+    dp = -(-d // 128) * 128 if interpret else d  # interpret needs padded D
+    padw = ((0, 0), (0, 0), (0, lp - l), (0, dp - d))
+    if lp != l or dp != d:
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+    qf = q.reshape(b * h, lp, dp)
+    kf = k.reshape(b * h, lp, dp)
+    vf = v.reshape(b * h, lp, dp)
+
+    spec = pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_notap, l, scale),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, lp, dp), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, lp, dp)[:, :, :l, :d]
+
+
+def mha_pallas_notap(qkv, num_heads, interpret: bool = False):
+    """(B, L, 3, H, hd) packed qkv → out (B, L, H*hd), no attention tap."""
+    b, l, _, nh, hd = qkv.shape
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (B, H, L, hd)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    out = attention_notap(q, k, v, interpret=interpret)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)

@@ -138,6 +138,61 @@ class Mars:
         self._fused_jit = fused
         return fused
 
+    def _fused_debug(self):
+        """The fused program, but returning the per-stage internals the
+        reference's --visualize figures draw (Matcher.py:230-231,872-1037):
+        priors, per-proposal scores, AlphaCLIP scores.  A separate
+        executable so the hot path's program stays minimal; only traced
+        when visualization is requested."""
+        if hasattr(self, "_fused_debug_jit"):
+            return self._fused_debug_jit
+        dino_cfg, clip_vcfg, ac_vcfg = self.dino_cfg, self.clip_vcfg, self.ac_vcfg
+        vva_cfg, vta_cfg, fm_cfg = self.cfg.vva, self.cfg.vta, self.cfg.filter_merge
+        g = vva_cfg.grid
+
+        @jax.jit
+        def fused_debug(dino_params, clip_v, clip_scale, ac_v,
+                        sup_img, sup_mask, sup_valid, qry,
+                        prop_masks, prop_valid, vta_text, ac_text):
+            vva_prior, cost, support_fg = vva.compute(
+                dino_params, sup_img, sup_mask, sup_valid, qry, dino_cfg, vva_cfg)
+            vta_prior = vta.compute(
+                clip_v, qry, vta_text, clip_scale, clip_vcfg, vta_cfg)
+            vta_prior = imaging.interpolate_2d(vta_prior, (g, g), "nearest")
+            vta_prior = (vta_prior - vta_prior.min()) / (
+                1e-7 + vta_prior.max() - vta_prior.min())
+            ac_scores = filtering.alphaclip_scores(
+                ac_v, qry, prop_masks, ac_text, ac_vcfg, fm_cfg,
+                proposal_valid=prop_valid)
+            merged, scores = filtering.score_and_merge(
+                prop_masks, prop_valid, support_fg, cost,
+                vva_prior, vta_prior, ac_scores, fm_cfg)
+            return merged, scores, vva_prior, vta_prior, ac_scores
+
+        self._fused_debug_jit = fused_debug
+        return fused_debug
+
+    def predict_debug(
+        self,
+        episode: Episode,
+        proposals: Proposals,
+        class_name: str,
+        class_description: str = "",
+    ) -> dict:
+        """predict(), plus the internal state --visualize plots: dict with
+        merged, scores (per-proposal), vva_prior, vta_prior (both (g, g)),
+        ac_scores — all host numpy."""
+        vta_text = self._vta_text_feats(class_name)
+        ac_text = self._alpha_clip_text_feats(
+            prompt_data.alpha_clip_text(class_name, class_description))
+        out = self._fused_debug()(
+            self.dino_params, self.clip_v, self.clip_scale, self.ac_v,
+            episode.support_images, episode.support_masks,
+            episode.support_valid, episode.query_image,
+            proposals.masks, proposals.valid, vta_text, ac_text)
+        keys = ("merged", "scores", "vva_prior", "vta_prior", "ac_scores")
+        return {k: np.asarray(v) for k, v in zip(keys, out)}
+
     def predict_launch(
         self,
         episode: Episode,

@@ -93,14 +93,16 @@ class JaxVipLlava:
     joins the device pipeline.
     """
 
-    # class-level default so partially-constructed instances (tests build
-    # via object.__new__) inherit the production gating
+    # class-level defaults so partially-constructed instances (tests
+    # build via object.__new__) inherit the production configuration
     draft_gate = 2
+    kv_bits = None
 
     def __init__(self, model_path: str = "llava-hf/vip-llava-7b-hf",
                  params=None, cfg=None, dtype=None, quantize_bits=None,
                  int4_format: str = "affine", draft_tokens: int = 8,
-                 ngram: int = 3, draft_gate: int = 2):
+                 ngram: int = 3, draft_gate: int = 2,
+                 kv_bits: int = None):
         from transformers import AutoProcessor
 
         from mars_tpu.models import vip_llava as vl
@@ -117,6 +119,11 @@ class JaxVipLlava:
         self.draft_tokens = draft_tokens
         self.ngram = ngram
         self.draft_gate = draft_gate
+        # kv_bits=8: int8 KV cache (per-token per-head scales, see
+        # models.vip_llava._kv_quant) — halves cache residency/traffic;
+        # NOT bit-identical to bf16 KV (greedy tokens pinned on the
+        # tiny fixture instead).  None/16 = bf16 cache.
+        self.kv_bits = kv_bits
         self._prefix_ids_cache = {}
         self._prefix_kv_cache = None
         self.processor = AutoProcessor.from_pretrained(model_path)
@@ -214,7 +221,7 @@ class JaxVipLlava:
         kw = dict(max_new_tokens=budget, true_length=jnp.int32(tl),
                   eos_id=self._eos_id(), min_new_tokens=min_new_tokens,
                   draft_tokens=self.draft_tokens, ngram=self.ngram,
-                  draft_gate=self.draft_gate,
+                  draft_gate=self.draft_gate, kv_bits=self.kv_bits,
                   prefix_kv=prefix_kv, prefix_len=prefix_len)
         need = self._inplace_need(prefix_len, bucket, budget)
         if prefix_kv is not None and prefix_kv[0][0].shape[1] >= need:
@@ -263,7 +270,7 @@ class JaxVipLlava:
         max_len = self._inplace_buffer_len(lp, bucket)
         kv = self._vl.prefill_prefix(
             self.params, jnp.asarray(np.asarray(key_ids)[None]), pixels,
-            self.cfg, max_len=max_len)
+            self.cfg, max_len=max_len, kv_bits=self.kv_bits)
         self._prefix_kv_cache = (cache_key, kv)  # one slot: ~0.7 GB of KV
         return lp, kv
 
@@ -379,7 +386,8 @@ class JaxVipLlava:
         bucket = ((max(l - lp for l in lens) + 127) // 128) * 128
         max_len = self._inplace_buffer_len(lp, bucket)
         kv = self._vl.prefill_prefix(self.params, prefix_ids, pixels,
-                                     self.cfg, max_len=max_len)
+                                     self.cfg, max_len=max_len,
+                                     kv_bits=self.kv_bits)
         cache[cache_key] = kv
         return lp, cache_key, kv
 
@@ -420,7 +428,7 @@ class JaxVipLlava:
                   true_length=jnp.asarray(lens, jnp.int32),
                   eos_id=self._eos_id(), min_new_tokens=mn,
                   draft_tokens=self.draft_tokens, ngram=self.ngram,
-                  draft_gate=self.draft_gate,
+                  draft_gate=self.draft_gate, kv_bits=self.kv_bits,
                   prefix_kv=prefix_kv, prefix_len=prefix_len)
         need = self._inplace_need(prefix_len, bucket, budget)
         # batch x speculation compose: per-row prompt-lookup drafts ride the

@@ -223,6 +223,18 @@ class _LoopModel:
         # synced later by the loop's completion window
         return self.predict(ep, props, class_name, class_description)
 
+    def predict_debug(self, ep, props, class_name, class_description=""):
+        import numpy as np
+
+        merged = self.predict(ep, props, class_name, class_description)
+        self.calls.pop()  # the debug run is an extra dispatch, not an episode
+        p = np.asarray(props.masks).shape[0]
+        g = self.size // 8
+        rng = np.random.RandomState(0)
+        return {"merged": merged, "scores": rng.rand(p).astype(np.float32),
+                "vva_prior": rng.rand(g, g), "vta_prior": rng.rand(g, g),
+                "ac_scores": rng.rand(p).astype(np.float32)}
+
 
 class TestPipelinedTextLoop:
     """--pipelined-text must reproduce the serial loop's metrics exactly
@@ -308,6 +320,23 @@ class TestPipelinedTextLoop:
         (miou_d, fb_d), m_def = self._run(tmp_path, [], name="dflt")
         assert m_def.calls == m_serial.calls
         assert (miou_d, fb_d) == (miou_s, fb_s)
+
+    def test_visualize_dumps_figures(self, tmp_path):
+        """--visualize N writes internal-state figures for the first N
+        episodes into <log-path>/viz without disturbing the meter trace."""
+        import os
+
+        (miou_s, fb_s), m_serial = self._run(
+            tmp_path, ["--text-block", "1"], name="noviz")
+        (miou_v, fb_v), m_viz = self._run(
+            tmp_path, ["--text-block", "1", "--visualize", "2"], name="viz")
+        assert (miou_v, fb_v) == (miou_s, fb_s)
+        assert m_viz.calls == m_serial.calls
+        viz_dir = tmp_path / "viz" / "viz"
+        files = sorted(os.listdir(viz_dir))
+        assert files == ["ep00000.png", "ep00001.png"]
+        for f in files:
+            assert os.path.getsize(viz_dir / f) > 1000
 
     def test_text_block_interrupt_and_resume(self, tmp_path):
         import pytest as _pytest

@@ -84,6 +84,79 @@ class TestKernel:
                                    atol=1e-6)
 
 
+class TestKernelNotap:
+    """attention_notap — the untapped-block path (AlphaCLIP ranking tower):
+    same whole-row softmax as the tapped kernel, no (L, L) output."""
+
+    @pytest.mark.parametrize("l", [64, 200, 577, 900])  # 577 = L/14@336;
+    def test_matches_xla(self, l):                      # 900 > 768 → tiled
+        rng = np.random.RandomState(0)
+        b, h, d = 2, 3, 32
+        q = jnp.asarray(rng.randn(b, h, l, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, h, l, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, h, l, d).astype(np.float32))
+        out = flash_attention.attention_notap(q, k, v, interpret=True)
+        for i in range(b):  # per-batch-row dense reference
+            want_out, _ = xla_reference(q[i], k[i], v[i])
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       np.asarray(want_out),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_bf16_inputs(self):
+        rng = np.random.RandomState(3)
+        b, h, l, d = 1, 2, 130, 16
+        mk = lambda: jnp.asarray(rng.randn(b, h, l, d).astype(np.float32))
+        q, k, v = mk(), mk(), mk()
+        out = flash_attention.attention_notap(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), interpret=True)
+        assert out.dtype == jnp.bfloat16
+        want, _ = xla_reference(q[0], k[0], v[0])
+        np.testing.assert_allclose(np.asarray(out[0], np.float32),
+                                   np.asarray(want), atol=0.1, rtol=0.1)
+
+    def test_layer_integration_untapped(self):
+        """L.mha(return_attn=False) under the pallas impl == the XLA impl —
+        the swap the AlphaCLIP ranking tower rides."""
+        rng = np.random.RandomState(4)
+        b, l, d, nh = 2, 100, 64, 4
+        x = jnp.asarray(rng.randn(b, l, d).astype(np.float32))
+        p = L.init_block_params(jax.random.PRNGKey(0), d, d * 4)["attn"]
+        ref_out, ref_none = L.mha(p, x, nh, return_attn=False)
+        assert ref_none is None
+        L.set_attention_impl("pallas_interpret")
+        try:
+            out, none = L.mha(p, x, nh, return_attn=False)
+        finally:
+            L.set_attention_impl("auto")
+        assert none is None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_visual_cls_integration(self):
+        """clip.visual_cls (the AlphaCLIP ranking head) end-to-end under the
+        pallas impl == the XLA path, alpha channel active."""
+        from mars_tpu.models import clip as clip_m
+        from mars_tpu.models import zoo
+
+        cfg = clip_m.ClipVisualConfig(
+            patch_size=16, width=32, depth=2, num_heads=2, output_dim=8,
+            pos_embed_grid=2, alpha_channel=True)
+        params = zoo._on_host(clip_m.init_visual_params,
+                              jax.random.PRNGKey(1), cfg)
+        rng = np.random.RandomState(5)
+        img = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        alpha = jnp.asarray(rng.randn(2, 32, 32).astype(np.float32))
+        ref = clip_m.visual_cls(params, img, cfg, alpha=alpha)
+        L.set_attention_impl("pallas_interpret")
+        try:
+            out = clip_m.visual_cls(params, img, cfg, alpha=alpha)
+        finally:
+            L.set_attention_impl("auto")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-4)
+
+
 class TestSamGridAttention:
     """ops/sam_attention.py — SAM global-layer kernel vs the XLA path."""
 
