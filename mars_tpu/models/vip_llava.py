@@ -744,10 +744,14 @@ def _speculative_greedy_batched(p, cfg, input_ids, caches, next_tok, start,
     token, same as the plain batched decode's inert EOS streaming).
 
     ``gate > 0``: per-row probe/verify acceptance gating (see
-    _speculative_greedy).  A round runs the K+1 verify forward iff ANY
-    live row is in verify mode (its drafts then verify for free for every
-    row); when no row drafts well the round is a plain (B, 1) decode step
-    — so a non-repeating batch decodes at plain batched speed."""
+    _speculative_greedy).  A round runs the K+1 verify forward iff every
+    LAGGARD (min-progress live row) is in verify mode — the loop is paced
+    by its slowest row, so verifying when laggards don't draft well costs
+    K extra positions per row with zero round savings; when laggards
+    don't draft the round is a plain (B, 1) decode step (leaders ride the
+    next verify the moment a laggard's probe hits accumulate) — so a
+    batch whose slowest row doesn't self-repeat decodes at plain batched
+    speed."""
     bsz, l0 = input_ids.shape
     N = max_new_tokens
     fill = eos_id if eos_id is not None else 0
@@ -830,7 +834,19 @@ def _speculative_greedy_batched(p, cfg, input_ids, caches, next_tok, start,
                     jnp.full((bsz, K), fill, tok.dtype), caches)
 
         if gate > 0:
-            any_spec = jnp.any(live & (score >= gate))
+            spec = score >= gate
+            # Gate verify on the LAGGARDS (min-progress live rows), not on
+            # ANY live row: the loop's round count is paced by its slowest
+            # row, so a K+1-position verify round whose laggards accept
+            # nothing costs every row K extra positions for ZERO round
+            # savings — one spuriously-drafting row taxed realistic-filler
+            # blocks ~26% under the any-row gate (BASELINE.md).  Leaders
+            # in spec mode keep their score through probe rounds via the
+            # hit counter and re-engage the moment a laggard drafts well.
+            # B=1 reduces to the plain score >= gate rule.
+            min_i = jnp.min(jnp.where(live, i, jnp.iinfo(jnp.int32).max))
+            lag = live & (i == min_i)
+            any_spec = jnp.any(live & spec) & ~jnp.any(lag & ~spec)
             w, carry, gd, caches = jax.lax.cond(
                 any_spec, verify_all, probe_all, tok, d, caches)
             # a verify round scores every live row on its OWN acceptance

@@ -281,7 +281,10 @@ class JaxVipLlava:
     MAX_DECODE_BATCH = 8
     # the shared-prefix batched path holds prefix KV AND decode caches per
     # row (~1.3 GB at the production 1155-position prefix), so it chunks
-    # tighter
+    # tighter; int8 KV (kv_bits=8) halves the per-row residency, so the
+    # cap relaxes to MAX_DECODE_BATCH — a D=6/D=8 text block then runs as
+    # ONE B=D decode instead of 4+2 chunks (full weight-stream
+    # amortization across the block)
     MAX_PREFIX_BATCH = 4
 
     def generate_batch(self, images, prompts, max_new_tokens=20,
@@ -320,7 +323,11 @@ class JaxVipLlava:
                 else [max_new_tokens] * b)
         mins = (list(min_new_tokens) if isinstance(min_new_tokens, (list, tuple))
                 else [min_new_tokens] * b)
-        chunk = self.MAX_PREFIX_BATCH if shared_prefix else self.MAX_DECODE_BATCH
+        if shared_prefix:
+            chunk = (self.MAX_DECODE_BATCH if self.kv_bits == 8
+                     else self.MAX_PREFIX_BATCH)
+        else:
+            chunk = self.MAX_DECODE_BATCH
         out = []
         for s in range(0, b, chunk):
             out.extend(self._generate_batch_chunk(

@@ -646,3 +646,11 @@ def test_generate_batch_chunks_to_bound_kv_memory():
                              shared_prefix="Human: <image>\n")
     assert seen == [(4, "Human: <image>\n")] * 2 + [(1, "Human: <image>\n")]
     assert out == [f"p{i}" for i in range(9)]
+    # int8 KV halves the per-row residency → the prefix cap relaxes to
+    # MAX_DECODE_BATCH: a D=6 text block runs as ONE B=6 decode
+    vlm.kv_bits = 8
+    seen.clear()
+    out = vlm.generate_batch([None] * 6, [f"p{i}" for i in range(6)],
+                             shared_prefix="Human: <image>\n")
+    assert seen == [(6, "Human: <image>\n")]
+    assert out == [f"p{i}" for i in range(6)]

@@ -524,11 +524,52 @@ class TestSpeculationGating:
         # over the remaining ~29 tokens — well under one round per token
         assert int(rounds) <= N - 8, int(rounds)
 
+    def test_batched_laggard_gate_never_verifies(self, monkeypatch):
+        """B=2, drafting leader + never-drafting laggard at EQUAL
+        progress: the laggard gate must keep the batch in probe mode (a
+        verify round would cost every row K extra positions and save zero
+        rounds, since rounds are paced by the non-accepting laggard) —
+        the poisoned verify branch proves zero verifies."""
+        import jax
+
+        V, N, K = 101, 16, 5
+
+        def stub_forward(lang, emb, positions, cfg, caches=None, pos0=None):
+            ids = jnp.argmax(emb, axis=-1)
+            nxt = jnp.where(ids < 8, (ids + 1) % 8,
+                            jnp.maximum((5 * ids + 7) % V, 9))
+            logits = jax.nn.one_hot(nxt, V) * 10.0
+            if emb.shape[1] > 1:  # poison any verify forward
+                logits = -logits
+            return logits, caches
+
+        monkeypatch.setattr(vl, "llama_forward", stub_forward)
+        p = {"language": {"embed_tokens": jnp.eye(V, dtype=jnp.float32)}}
+        prompt = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 0, 1],
+                              [11, 23, 37, 41, 53, 67, 71, 83, 97, 13]],
+                             jnp.int32)
+        t0 = [2, 15]
+        want = []
+        for t in t0:
+            seq = []
+            for _ in range(N):
+                seq.append(t)
+                t = (t + 1) % 8 if t < 8 else max((5 * t + 7) % V, 9)
+            want.append(seq)
+        buf, rounds, _ = vl._speculative_greedy_batched(
+            p, self.cfg, prompt, [], jnp.asarray(t0, jnp.int32),
+            jnp.full((2,), prompt.shape[1], jnp.int32), N, None, 0, K, 3,
+            gate=2)
+        np.testing.assert_array_equal(np.asarray(buf[0]), want[0])
+        np.testing.assert_array_equal(np.asarray(buf[1]), want[1])
+        assert int(rounds) == N  # pure probe: plain batched cost
+
     def test_batched_mixed_rows_engage_and_stay_exact(self, monkeypatch):
         """B=2, one self-repeating row (drafts well) + one long-orbit row
-        (never drafts): verify mode engages for the batch — the
-        predictive row chains accepts (rounds < N) — while both rows stay
-        exact greedy."""
+        (never drafts): under the laggard gate the non-drafting row keeps
+        the batch in probe mode (one emit/round, plain cost) while both
+        rows stay exact greedy; a fully-drafting batch still engages
+        verify and chains."""
         import jax
 
         V, N, K = 101, 24, 5
@@ -566,9 +607,8 @@ class TestSpeculationGating:
             gate=2)
         np.testing.assert_array_equal(np.asarray(buf[0]), want[0])
         np.testing.assert_array_equal(np.asarray(buf[1]), want[1])
-        # the never-accepting orbit row paces the loop at one emit/round;
-        # the cyclic row chains ahead and freezes — exactness under those
-        # mixed-mode rounds is the point
+        # the never-accepting orbit row paces the loop at one emit/round
+        # and (as a laggard) holds the batch in probe mode
         assert int(rounds) == N, int(rounds)
 
         # both rows cyclic: gated batch engages verify and chains —

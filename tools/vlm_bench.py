@@ -44,6 +44,9 @@ def main():
                          "Random weights accept ~0 drafts, so the measured "
                          "ms/step IS the K+1-token verify cost — parity with "
                          "the plain step shows accepted tokens come free")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache (kv_bits=8): measures the read-path "
+                         "dequant tax per decode step vs the bf16 cache")
     args = ap.parse_args()
     if args.draft and args.batch > 1:
         ap.error("--draft needs --batch 1")
@@ -81,7 +84,8 @@ def main():
         toks = vl.generate_greedy(p, jnp.asarray(ids), pixels, cfg,
                                   max_new_tokens=n_new, true_length=true_len,
                                   eos_id=2 if args.eos else None,
-                                  draft_tokens=args.draft)
+                                  draft_tokens=args.draft,
+                                  kv_bits=8 if args.kv8 else None)
         return np.asarray(toks)
 
     t0 = time.time(); run(args.tokens); compile_s = time.time() - t0
