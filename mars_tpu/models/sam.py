@@ -18,6 +18,7 @@ mechanism, so ragged prompt sets cost nothing.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -101,14 +102,21 @@ def _rel_pos_table(rel_pos, q_size, k_size):
     return r[rel.astype(jnp.int32)]
 
 
-def _grid_attention(p, x, num_heads, use_rel_pos=True, allow_pallas=False):
+def _grid_attention(p, x, num_heads, use_rel_pos=True, allow_pallas=False,
+                    windowed_pallas=False):
     """Attention over an (B, H, W, C) token grid with decomposed rel pos
     (reference image_encoder.py:224-241, add_decomposed_rel_pos :325-366).
 
     ``allow_pallas``: the GLOBAL layers (full-grid L, e.g. 4096 tokens at
     ViT-H@1024) may route through ops/sam_attention.py's fused kernel —
     the (heads, L, L) logits tensor then never touches HBM.  Follows the
-    same impl switch as the tapped towers (layers.set_attention_impl)."""
+    same impl switch as the tapped towers (layers.set_attention_impl).
+
+    ``windowed_pallas``: the WINDOWED layers (B = batch·n_windows small
+    grids) may route through the batched window kernel — the XLA path's
+    (B, nh, L, L) logits materialization + 6-d rel-pos broadcast measured
+    ~2.7 of the 4.4 ms ViT-H windowed layer
+    (tools/sam_encode_profile.py no_rel_pos delta)."""
     b, h, w, c = x.shape
     hd = c // num_heads
     if (allow_pallas and use_rel_pos and h * w >= 1024
@@ -116,6 +124,23 @@ def _grid_attention(p, x, num_heads, use_rel_pos=True, allow_pallas=False):
         return _grid_attention_pallas(
             p, x, num_heads,
             interpret=L._attention_impl() == "pallas_interpret")
+    if windowed_pallas and use_rel_pos and h * w < 1024:
+        # Default OFF by measurement (mirror of the notap-attention
+        # verdict): the window kernel WINS in isolation (2.21 vs 2.93
+        # ms/layer, tools/sam_attn_ab.py --windowed 25 --grid 14) but
+        # LOSES ~1.4 ms/layer inside the encoder (tools/sam_encode_
+        # profile.py windowed_only 49.1 vs full 39.5 at 8 layers) — the
+        # pallas call's pad/transpose barriers forfeit more XLA fusion
+        # with the surrounding partition/LN/MLP ops than the kernel
+        # saves.  MARS_SAM_WINDOWED_IMPL=pallas re-routes for
+        # re-measurement; interpret-mode tests always drive the kernel.
+        wimpl = L._attention_impl()
+        if wimpl == "pallas_interpret" or (
+                wimpl != "xla"
+                and os.environ.get("MARS_SAM_WINDOWED_IMPL", "xla")
+                == "pallas"):
+            return _grid_attention_pallas_windowed(
+                p, x, num_heads, interpret=wimpl == "pallas_interpret")
     qkv = L.dense(p["qkv"], x).reshape(b, h * w, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, HW, nh, hd)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)  # tower dtype
@@ -165,6 +190,33 @@ def _grid_attention_pallas(p, x, num_heads, interpret=False):
     return L.dense(p["proj"], out)
 
 
+def _grid_attention_pallas_windowed(p, x, num_heads, interpret=False):
+    """Windowed-layer grid attention via ops/sam_attention.py's batched
+    window kernel: the decomposed rel-pos bias reduces to its two small
+    per-query tables here (same einsums as the XLA path, reference
+    image_encoder.py:325-366) and expands tile-wise on the MXU inside the
+    kernel; each window-head's (L, L) logits live only in VMEM."""
+    from mars_tpu.ops import sam_attention
+
+    b, h, w, c = x.shape
+    hd = c // num_heads
+    qkv = L.dense(p["qkv"], x).reshape(b, h * w, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, HW, nh, hd)
+    rh = _rel_pos_table(p["rel_pos_h"], h, h).astype(x.dtype)  # (h, h', hd)
+    rw = _rel_pos_table(p["rel_pos_w"], w, w).astype(x.dtype)
+    rq = q.reshape(b, h, w, num_heads, hd)  # unscaled, as in the reference
+    bias_h = jnp.einsum("bywhd,yYd->bhywY", rq, rh).reshape(
+        b, num_heads, h * w, h)
+    bias_w = jnp.einsum("bywhd,wWd->bhywW", rq, rw).reshape(
+        b, num_heads, h * w, w)
+    out = sam_attention.windowed_attention_pallas(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), bias_h, bias_w, (h, w),
+        interpret=interpret)  # (B, nh, HW, hd)
+    out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+    return L.dense(p["proj"], out)
+
+
 def _layer_norm_2d(p, x, eps=1e-6):
     """Channel LayerNorm without learned stats over spatial (reference
     common.py LayerNorm2d); in NHWC this is LN over the channel axis with
@@ -195,7 +247,8 @@ def encode_image(params, images, cfg: SamConfig):
         h = L.layer_norm(p["ln1"], x, eps=1e-6)
         if windowed:
             h, pad_hw = _window_partition(h, cfg.window_size)
-            h = _grid_attention(p["attn"], h, cfg.num_heads)
+            h = _grid_attention(p["attn"], h, cfg.num_heads,
+                                windowed_pallas=True)
             h = _window_unpartition(h, cfg.window_size, pad_hw, (gh, gw))
         else:
             h = _grid_attention(p["attn"], h, cfg.num_heads, allow_pallas=True)

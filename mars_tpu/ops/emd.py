@@ -99,38 +99,66 @@ def batched_emd(
     Sinkhorn solve runs in chunks gated by a runtime ``lax.cond`` — padded
     bucket rows cost nothing (same pattern as the AlphaCLIP chunk skip):
     a 7-proposal episode in a 128 bucket runs 1 chunk of 16, not 128 lanes.
+
+    The ROW bucket gets a static ladder: the support footprint is shared
+    by every proposal in the call, so ONE ``lax.cond`` ladder outside the
+    proposal loop picks the smallest {256, 512, row_bucket} slice that
+    covers the live rows (rows are compacted to the front).  Dead rows
+    only ever contribute exp(NEG) ≈ 0 to the column logsumexp, so a
+    tighter slice is numerically the same solve at a fraction of the
+    per-iteration (T, C) elementwise work — the Sinkhorn stage is
+    exp/logsumexp VPU-bound (propose-path score+merge measured 170 ms of
+    a 378 ms program at T=1024 with ~150-500 live rows).
     """
-    ridx, rvalid, _ = compact_indices(row_mask, row_bucket)
-    sub_rows = cost_matrix[ridx]  # (T, L)
+    ridx, rvalid_full, rcount = compact_indices(row_mask, row_bucket)
+    sub_rows_full = cost_matrix[ridx]  # (row_bucket, L)
 
-    def one(col_mask):
-        cidx, cvalid, ccount = compact_indices(col_mask, col_bucket)
-        sub = sub_rows[:, cidx]  # (T, C)
-        emd = _sinkhorn_uniform(sub, rvalid, cvalid, eps_schedule, iters_schedule)
-        return jnp.where(ccount > 0, emd, 0.0)
+    def solve_all(t_rows: int):
+        sub_rows = sub_rows_full[:t_rows]
+        rvalid = rvalid_full[:t_rows]
 
-    p = col_masks.shape[0]
-    if col_valid is None or p % chunk != 0:
-        return jax.vmap(one)(col_masks)
+        def one(col_mask):
+            cidx, cvalid, ccount = compact_indices(col_mask, col_bucket)
+            sub = sub_rows[:, cidx]  # (T, C)
+            emd = _sinkhorn_uniform(sub, rvalid, cvalid, eps_schedule,
+                                    iters_schedule)
+            return jnp.where(ccount > 0, emd, 0.0)
 
-    order = jnp.argsort(~col_valid, stable=True)
-    inv = jnp.zeros((p,), jnp.int32).at[order].set(jnp.arange(p, dtype=jnp.int32))
-    n_valid = jnp.sum(col_valid)
-    cm = col_masks[order].reshape(p // chunk, chunk, col_masks.shape[1])
-    starts = jnp.arange(p // chunk, dtype=jnp.int32) * chunk
+        p = col_masks.shape[0]
+        if col_valid is None or p % chunk != 0:
+            return jax.vmap(one)(col_masks)
 
-    def body(_, inp):
-        m, start = inp
-        e = jax.lax.cond(
-            start < n_valid,
-            lambda mm: jax.vmap(one)(mm),
-            lambda mm: jnp.zeros((chunk,), jnp.float32),
-            m,
-        )
-        return None, e
+        order = jnp.argsort(~col_valid, stable=True)
+        inv = jnp.zeros((p,), jnp.int32).at[order].set(
+            jnp.arange(p, dtype=jnp.int32))
+        n_valid = jnp.sum(col_valid)
+        cm = col_masks[order].reshape(p // chunk, chunk, col_masks.shape[1])
+        starts = jnp.arange(p // chunk, dtype=jnp.int32) * chunk
 
-    _, e = jax.lax.scan(body, None, (cm, starts))
-    return e.reshape(p)[inv]
+        def body(_, inp):
+            m, start = inp
+            e = jax.lax.cond(
+                start < n_valid,
+                lambda mm: jax.vmap(one)(mm),
+                lambda mm: jnp.zeros((chunk,), jnp.float32),
+                m,
+            )
+            return None, e
+
+        _, e = jax.lax.scan(body, None, (cm, starts))
+        return e.reshape(p)[inv]
+
+    levels = [b for b in (256, 512) if b < row_bucket] + [row_bucket]
+    if len(levels) == 1:
+        return solve_all(row_bucket)
+
+    def build(i):
+        if i == len(levels) - 1:
+            return lambda: solve_all(levels[i])
+        return lambda: jax.lax.cond(
+            rcount <= levels[i], lambda: solve_all(levels[i]), build(i + 1))
+
+    return build(0)()
 
 
 def exact_emd_lp(cost: "np.ndarray") -> float:

@@ -134,43 +134,63 @@ def mha_pallas(qkv, num_heads, interpret: bool = False):
 # untapped attention (no (L, L) statistics output)
 # ---------------------------------------------------------------------------
 
-def _kernel_notap(l_actual, scale, q_ref, k_ref, v_ref, out_ref):
-    """One (L, D) head per grid step, no attention-statistics output: the
-    head's (L, L) probability block lives only in VMEM between its two
-    matmuls.  This is the path for the UNTAPPED tower blocks (AlphaCLIP
-    ranking / DINOv2 early blocks), where the XLA schedule round-trips the
-    (B, H, L, L) logits+probs through HBM every layer — at the AlphaCLIP
-    L/14@336 geometry (16 heads x 577 tokens, batch-16 chunks of the
-    128-proposal bucket, reference
+def _kernel_notap(l_actual, scale, g, q_ref, k_ref, v_ref, out_ref):
+    """``g`` (L, D) heads per grid step, no attention-statistics output:
+    each head's (L, L) probability block lives only in VMEM between its
+    two matmuls.  This is the path for the UNTAPPED tower blocks
+    (AlphaCLIP ranking / DINOv2 early blocks), where the XLA schedule
+    round-trips the (B, H, L, L) logits+probs through HBM every layer —
+    at the AlphaCLIP L/14@336 geometry (16 heads x 577 tokens, batch-16
+    chunks of the 128-proposal bucket, reference
     mars/components/FilteringMergingModule.py:183-207) that HBM traffic
     caps the stage (round-4 verdict: 24% MFU).
 
     No manual DMA choreography: q/k/v arrive as Mosaic-pipelined VMEM
-    blocks (the next step's head streams in during this step's compute),
+    blocks (the next step's heads stream in during this step's compute),
     and the head dim stays at its true width — the manual-DMA variant
     padded D to 128 and serialized heads inside one step, measured SLOWER
-    than XLA (2.86 vs 2.26 ms/layer on v5e)."""
+    than XLA (2.86 vs 2.26 ms/layer on v5e).  ``g`` heads per step
+    amortize Mosaic's per-step cost: the one-head variant ran a 256-step
+    grid of ~10 us steps at the AlphaCLIP geometry and lost to XLA on
+    pure overhead (2.52 vs 2.32 ms/op, BASELINE.md round 5)."""
     lp = k_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], lp), 1)
-    logits = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    logits = jnp.where(col < l_actual, logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out_ref[0] = jax.lax.dot_general(
-        probs.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    key_mask = col < l_actual
+    for h in range(g):  # static unroll
+        logits = jax.lax.dot_general(
+            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits = jnp.where(key_mask, logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out_ref[h] = jax.lax.dot_general(
+            probs.astype(v_ref.dtype), v_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def attention_notap(q, k, v, interpret: bool = False):
+def _pick_heads_per_step(bh: int, lp: int, dp: int, itemsize: int) -> int:
+    """Largest g in {8,4,2,1} dividing B*H whose double-buffered working
+    set (2x in/out blocks + one f32 (L, L) logits/probs pair) fits well
+    under Mosaic's 16 MB scoped-VMEM default."""
+    budget = 12 * 1024 * 1024
+    for g in (8, 4, 2, 1):
+        if bh % g:
+            continue
+        est = 2 * g * 4 * lp * dp * itemsize + 2 * lp * lp * 4
+        if est <= budget:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "heads_per_step"))
+def attention_notap(q, k, v, interpret: bool = False,
+                    heads_per_step: int | None = None):
     """q, k, v: (B, H, L, D) → out (B, H, L, D) = softmax(q kᵀ/√D) v.
 
-    Whole-row softmax with one head per grid step over a flattened (B*H,)
-    grid, so L is bounded by VMEM — fine for every tower geometry in the
-    pipeline (≤ ~1.5k tokens).
+    Whole-row softmax with ``heads_per_step`` heads per grid step over a
+    flattened (B*H,) grid, so L is bounded by VMEM — fine for every tower
+    geometry in the pipeline (≤ ~1.5k tokens).
     """
     b, h, l, d = q.shape
     scale = d ** -0.5
@@ -181,18 +201,21 @@ def attention_notap(q, k, v, interpret: bool = False):
         q = jnp.pad(q, padw)
         k = jnp.pad(k, padw)
         v = jnp.pad(v, padw)
-    qf = q.reshape(b * h, lp, dp)
-    kf = k.reshape(b * h, lp, dp)
-    vf = v.reshape(b * h, lp, dp)
+    bh = b * h
+    g = heads_per_step or _pick_heads_per_step(bh, lp, dp, q.dtype.itemsize)
+    assert bh % g == 0, (bh, g)
+    qf = q.reshape(bh, lp, dp)
+    kf = k.reshape(bh, lp, dp)
+    vf = v.reshape(bh, lp, dp)
 
-    spec = pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((g, lp, dp), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel_notap, l, scale),
-        grid=(b * h,),
+        functools.partial(_kernel_notap, l, scale, g),
+        grid=(bh // g,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, lp, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, lp, dp), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, lp, dp)[:, :, :l, :d]
@@ -200,9 +223,12 @@ def attention_notap(q, k, v, interpret: bool = False):
 
 def mha_pallas_notap(qkv, num_heads, interpret: bool = False):
     """(B, L, 3, H, hd) packed qkv → out (B, L, H*hd), no attention tap."""
+    import os
+
     b, l, _, nh, hd = qkv.shape
     q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (B, H, L, hd)
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    out = attention_notap(q, k, v, interpret=interpret)
+    g = int(os.environ.get("MARS_NOTAP_HEADS_PER_STEP", "0")) or None
+    out = attention_notap(q, k, v, interpret=interpret, heads_per_step=g)
     return out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)

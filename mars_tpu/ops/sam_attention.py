@@ -138,3 +138,96 @@ def grid_attention_pallas(q, k, v, bias_h, bias_w, grid_hw,
         interpret=interpret,
     )(qp, kp, vp, bh, bw, eh, ew)
     return out[:, :l, :d]
+
+
+# ---------------------------------------------------------------------------
+# windowed grid attention (the 28 non-global ViT-H layers)
+# ---------------------------------------------------------------------------
+
+def _kernel_win(l_actual, scale, g,
+                q_ref, k_ref, v_ref, bh_ref, bw_ref, eh_ref, ew_ref,
+                out_ref):
+    """``g`` window-heads per grid step; each is one whole (L, L) window
+    attention (L = ws² = 196 → one 256 tile) with the decomposed rel-pos
+    bias expanded on the MXU, exactly like the global kernel's q-tiles."""
+    lp = k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    key_mask = col < l_actual
+    for i in range(g):  # static unroll
+        logits = jax.lax.dot_general(
+            q_ref[i], k_ref[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits += jax.lax.dot_general(
+            bh_ref[i], eh_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits += jax.lax.dot_general(
+            bw_ref[i], ew_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(key_mask, logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out_ref[i] = jax.lax.dot_general(
+            probs.astype(v_ref.dtype), v_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window_hw", "interpret"))
+def windowed_attention_pallas(q, k, v, bias_h, bias_w, window_hw,
+                              interpret: bool = False):
+    """Windowed grid attention with decomposed rel-pos, all windows and
+    heads in ONE pallas_call.
+
+    q, k, v: (B, nh, L, hd) tower dtype with B = batch·n_windows and
+    L = ws² (196 at SAM's ws=14), q UNscaled.  bias_h: (B, nh, L, ws)
+    per-query bias over key rows, bias_w likewise over key columns
+    (the caller's small einsums against the rel-pos tables, reference
+    image_encoder.py:325-366).  Returns (B, nh, L, hd).
+
+    The XLA windowed path materializes (B, nh, L, L) logits in HBM,
+    re-reads them through a 6-d broadcast bias add and an f32 softmax —
+    measured ~2.7 ms/layer of the 4.4 ms ViT-H windowed layer
+    (tools/sam_encode_profile.py no_rel_pos delta).  Here each
+    window-head's logits live only in VMEM; the bias expansion runs as
+    two (L, ws)x(ws, L) expander matmuls on the MXU.
+    """
+    b, nh, l, d = q.shape
+    h, w = window_hw
+    assert h * w == l, (h, w, l)
+    scale = d ** -0.5
+    lp = -(-l // _LANE) * _LANE
+    dp = max(-(-d // _LANE) * _LANE, _LANE)
+    hpad = -(-h // _LANE) * _LANE
+    wpad = -(-w // _LANE) * _LANE
+
+    bh_count = b * nh
+    g = 8 if bh_count % 8 == 0 else (4 if bh_count % 4 == 0 else 1)
+
+    qp = jnp.pad(q.reshape(bh_count, l, d), ((0, 0), (0, lp - l), (0, dp - d)))
+    kp = jnp.pad(k.reshape(bh_count, l, d), ((0, 0), (0, lp - l), (0, dp - d)))
+    vp = jnp.pad(v.reshape(bh_count, l, d), ((0, 0), (0, lp - l), (0, dp - d)))
+    bh = jnp.pad(bias_h.reshape(bh_count, l, h),
+                 ((0, 0), (0, lp - l), (0, hpad - h)))
+    bw = jnp.pad(bias_w.reshape(bh_count, l, w),
+                 ((0, 0), (0, lp - l), (0, wpad - w)))
+    eh, ew = _expanders(h, w, lp, q.dtype)
+
+    blk = lambda minor: pl.BlockSpec((g, lp, minor), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_win, l, scale, g),
+        grid=(bh_count // g,),
+        in_specs=[
+            blk(dp), blk(dp), blk(dp), blk(hpad), blk(wpad),
+            pl.BlockSpec((hpad, lp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpad, lp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=blk(dp),
+        out_shape=jax.ShapeDtypeStruct((bh_count, lp, dp), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bh, bw, eh, ew)
+    return out[:, :l, :d].reshape(b, nh, l, d)

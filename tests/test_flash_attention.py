@@ -102,6 +102,24 @@ class TestKernelNotap:
                                        np.asarray(want_out),
                                        atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("g", [1, 2, 4, 8])
+    def test_heads_per_step_parity(self, g):
+        """Every heads-per-step blocking produces identical attention —
+        g only amortizes Mosaic's per-grid-step overhead (the one-head
+        variant's 256 ~10us steps lost to XLA on pure overhead)."""
+        rng = np.random.RandomState(7)
+        b, h, l, d = 2, 4, 150, 32  # bh=8: every g divides
+        q = jnp.asarray(rng.randn(b, h, l, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, h, l, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, h, l, d).astype(np.float32))
+        out = flash_attention.attention_notap(q, k, v, interpret=True,
+                                              heads_per_step=g)
+        for i in range(b):
+            want_out, _ = xla_reference(q[i], k[i], v[i])
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       np.asarray(want_out),
+                                       atol=1e-5, rtol=1e-4)
+
     def test_bf16_inputs(self):
         rng = np.random.RandomState(3)
         b, h, l, d = 1, 2, 130, 16
@@ -210,6 +228,61 @@ class TestSamGridAttention:
         L.set_attention_impl("pallas_interpret")
         try:
             out = sam._grid_attention(p, x, nh, allow_pallas=True)
+        finally:
+            L.set_attention_impl("auto")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)
+
+    @pytest.mark.parametrize("b,nh", [(2, 2), (3, 4)])  # bh: g=4, g=4/8
+    def test_windowed_kernel_matches_dense(self, b, nh):
+        """windowed_attention_pallas — all windows+heads in one call —
+        vs the dense decomposed-rel-pos computation."""
+        from mars_tpu.ops import sam_attention
+
+        rng = np.random.RandomState(5)
+        h, w, d = 5, 6, 24
+        l = h * w
+        mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+        q, k, v = mk(b, nh, l, d), mk(b, nh, l, d), mk(b, nh, l, d)
+        bh_, bw_ = mk(b, nh, l, h), mk(b, nh, l, w)
+
+        out = sam_attention.windowed_attention_pallas(
+            q, k, v, bh_, bw_, (h, w), interpret=True)
+
+        cols = np.arange(l)
+        bias = (np.asarray(bh_)[..., cols // w]
+                + np.asarray(bw_)[..., cols % w])  # (b, nh, l, l)
+        logits = np.einsum("bhld,bhmd->bhlm", np.asarray(q), np.asarray(k))
+        probs = jax.nn.softmax(jnp.asarray(logits * d ** -0.5 + bias), -1)
+        want = jnp.einsum("bhlm,bhmd->bhld", probs, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_windowed_layer_integration(self):
+        """sam._grid_attention(windowed_pallas=True) under the pallas impl
+        == the XLA path at the window geometry (B = batch·n_windows)."""
+        from mars_tpu.models import sam
+
+        rng = np.random.RandomState(6)
+        b, h, w, c, nh = 9, 7, 7, 48, 2  # 9 windows of 7x7
+        hd = c // nh
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        p = {
+            "qkv": {"kernel": jnp.asarray(
+                rng.randn(c, 3 * c).astype(np.float32) * 0.05),
+                "bias": jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1)},
+            "proj": {"kernel": jnp.asarray(
+                rng.randn(c, c).astype(np.float32) * 0.05),
+                "bias": jnp.zeros((c,), jnp.float32)},
+            "rel_pos_h": jnp.asarray(
+                rng.randn(2 * h - 1, hd).astype(np.float32) * 0.1),
+            "rel_pos_w": jnp.asarray(
+                rng.randn(2 * w - 1, hd).astype(np.float32) * 0.1),
+        }
+        ref = sam._grid_attention(p, x, nh)
+        L.set_attention_impl("pallas_interpret")
+        try:
+            out = sam._grid_attention(p, x, nh, windowed_pallas=True)
         finally:
             L.set_attention_impl("auto")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

@@ -405,6 +405,30 @@ class TestEmdChunkSkip:
                                    np.asarray(dense)[::3], rtol=1e-5)
 
 
+class TestEmdRowLadder:
+    def test_row_ladder_matches_full_bucket(self):
+        """The static row-bucket ladder (smallest {256, 512, row_bucket}
+        slice covering the live rows) must reproduce the full-bucket
+        solve: dead compacted rows only contribute exp(NEG)=0 to the
+        column logsumexp, so the slice size is a pure work knob."""
+        from mars_tpu.ops import emd
+
+        k = jax.random.PRNGKey(7)
+        cost = jax.random.uniform(k, (1369, 1369))
+        cols = jax.random.uniform(jax.random.PRNGKey(8), (4, 1369)) < 0.1
+        for n_rows in (100, 300, 600):  # → ladder levels 256, 512, 1024
+            row_mask = jnp.arange(1369) < n_rows
+            # row_bucket == live rows: single-level, no ladder (reference
+            # result with no dead-row slack beyond the bucket)
+            tight = emd.batched_emd(cost, row_mask, cols,
+                                    row_bucket=n_rows + 24, col_bucket=256)
+            laddered = emd.batched_emd(cost, row_mask, cols,
+                                       row_bucket=1024, col_bucket=256)
+            np.testing.assert_allclose(np.asarray(laddered),
+                                       np.asarray(tight), rtol=1e-5,
+                                       err_msg=f"n_rows={n_rows}")
+
+
 class TestAuctionScaled:
     def test_scaled_square_matches_scipy(self):
         from scipy.optimize import linear_sum_assignment

@@ -79,14 +79,18 @@ def main():
         return best
 
     res = {}
-    for impl in args.impls.split(","):
-        res[impl] = timed(impl, impl)
+    for tag in args.impls.split(","):
+        # "pallas:g4" → pallas impl with 4 heads per grid step
+        impl, _, gspec = tag.partition(":")
+        os.environ["MARS_NOTAP_HEADS_PER_STEP"] = gspec.lstrip("g") or "0"
+        res[tag] = timed(tag, impl)
     print(f"[ab] summary: {dict((k, round(v, 2)) for k, v in res.items())}",
           flush=True)
-    if "xla" in res and "pallas" in res:
-        d = args.iters * (res["xla"] - res["pallas"])
+    pallas_best = [v for k, v in res.items() if k.startswith("pallas")]
+    if "xla" in res and pallas_best:
+        d = args.iters * (res["xla"] - min(pallas_best))
         print(f"[ab] x{args.iters} blocks x8 chunks: "
-              f"{round(8 * d, 1)} ms/episode saved by pallas at the "
+              f"{round(8 * d, 1)} ms/episode saved by best pallas at the "
               "full 128 bucket", flush=True)
 
 

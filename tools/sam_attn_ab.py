@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--impls", default="xla,pallas",
                     help="comma list (xla, pallas, pallas_interpret)")
+    ap.add_argument("--windowed", type=int, default=0,
+                    help="N: time the WINDOWED op instead — N windows of "
+                         "--grid x --grid tokens (ViT-H@1024: "
+                         "--windowed 25 --grid 14)")
     args = ap.parse_args()
 
     import jax
@@ -53,14 +57,17 @@ def main():
         "rel_pos_h": jnp.asarray(rng.randn(2 * g - 1, hd) * 0.02, dt),
         "rel_pos_w": jnp.asarray(rng.randn(2 * g - 1, hd) * 0.02, dt),
     }
-    x = jnp.asarray(rng.randn(1, g, g, c) * 0.5, dt)
+    nwin = args.windowed
+    x = jnp.asarray(rng.randn(max(nwin, 1), g, g, c) * 0.5, dt)
 
     def timed(tag, impl):
         @jax.jit
         def run(x0):
             def step(carry, _):
                 with L.attention_impl(impl):
-                    y = sam._grid_attention(p, carry, nh, allow_pallas=True)
+                    y = sam._grid_attention(p, carry, nh,
+                                            allow_pallas=not nwin,
+                                            windowed_pallas=bool(nwin))
                 # keep iterations serialized without changing the value
                 c2 = x0 * (1.0 + 0.0 * y.mean().astype(x0.dtype))
                 return c2, y.mean().astype(jnp.float32)
@@ -83,6 +90,9 @@ def main():
 
     res = {}
     for impl in args.impls.split(","):
+        if nwin:  # windowed kernel is env-gated (default xla by measurement)
+            os.environ["MARS_SAM_WINDOWED_IMPL"] = (
+                "pallas" if impl.startswith("pallas") else "xla")
         res[impl] = timed(impl, impl)
     print(f"[ab] summary: {dict((k, round(v, 2)) for k, v in res.items())}",
           flush=True)

@@ -48,8 +48,8 @@ def main():
                     "--layers 8 (7 windowed + global layer index 7) "
                     "compiles in minutes and the per-global-layer delta "
                     "scales by the global-layer count (4 at full depth)")
-    ap.add_argument("--variants", default="full,full_pallas,softmax_bf16,"
-                    "no_rel_pos,all_windowed",
+    ap.add_argument("--variants", default="full,full_pallas,windowed_only,"
+                    "softmax_bf16,no_rel_pos,all_windowed",
                     help="comma-separated subset to run")
     args = ap.parse_args()
     want = set(args.variants.split(","))
@@ -69,16 +69,19 @@ def main():
                 i for i in cfg.global_attn_indexes if i < args.layers))
         print(f"[profile] truncated to {cfg.depth} layers "
               f"(globals at {cfg.global_attn_indexes})", flush=True)
-    params = cast_floating(bundle["encoder"])
+    params = jax.device_put(cast_floating(bundle["encoder"]))
     img = jnp.asarray(
         np.random.RandomState(0).rand(1, args.size, args.size, 3),
         jnp.bfloat16)
 
     def timed(tag, enc_cfg, iters):
+        # params MUST be an explicit jit argument: closed-over weights
+        # embed as HLO constants and the 641M-param tower blows the
+        # remote-compile service's request-body limit (HTTP 413)
         @jax.jit
-        def run(x):
+        def run(prm, x):
             def step(c, _):
-                y = sam.encode_image(params, c, enc_cfg)
+                y = sam.encode_image(prm, c, enc_cfg)
                 # serialize iterations without changing the input value
                 c2 = c * (1.0 + 0.0 * y.mean().astype(c.dtype))
                 return c2, y.mean().astype(jnp.float32)
@@ -87,11 +90,11 @@ def main():
             return ys
 
         t0 = time.time()
-        _ = float(np.asarray(run(img)).sum())  # compile + warm run
+        _ = float(np.asarray(run(params, img)).sum())  # compile + warm run
         print(f"[profile] {tag}: compiled+warm in {time.time() - t0:.1f}s",
               flush=True)
         t0 = time.time()
-        _ = float(np.asarray(run(img)).sum())
+        _ = float(np.asarray(run(params, img)).sum())
         per = (time.time() - t0) / iters * 1000
         print(f"[profile] {tag}: {per:.1f} ms/encode", flush=True)
         return per
@@ -108,6 +111,26 @@ def main():
         L.set_attention_impl("auto")
         results["full_pallas"] = timed("full_pallas", cfg, args.iters)
         L.set_attention_impl("xla")
+
+    if "windowed_only" in want:
+        # windowed kernel ON, global layers forced to the XLA path —
+        # isolates the window-kernel delta from the global-kernel delta
+        def _win_only(p, x, nh, use_rel_pos=True, allow_pallas=False,
+                      windowed_pallas=False):
+            return orig_attn(p, x, nh, use_rel_pos=use_rel_pos,
+                             allow_pallas=False,
+                             windowed_pallas=windowed_pallas)
+
+        sam._grid_attention = _win_only
+        L.set_attention_impl("auto")
+        os.environ["MARS_SAM_WINDOWED_IMPL"] = "pallas"
+        try:
+            results["windowed_only"] = timed("windowed_only", cfg,
+                                             args.iters)
+        finally:
+            sam._grid_attention = orig_attn
+            L.set_attention_impl("xla")
+            os.environ.pop("MARS_SAM_WINDOWED_IMPL", None)
 
     def bf16_softmax_attn(p, x, num_heads, use_rel_pos=True, **_kw):
         import jax.numpy as jnp
